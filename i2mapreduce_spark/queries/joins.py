@@ -1,0 +1,210 @@
+"""Group C — joins (SURVEY §2B).
+
+Reference analog: MapReduce has NO join primitive — every join in an
+i2MapReduce job is hand-coded (repartition-join via tagged union in the
+reducer, or map-side join against a cached small file; the iterative
+engine's Projector (ref op A9) exists precisely to co-partition the
+structure/state join).  Here each shape is a declarative join and Catalyst
++ AQE pick broadcast vs shuffle vs sort-merge.
+
+100TB strategy per shape:
+- dims (region/nation/part subsets) -> explicit broadcast() hints;
+- fact-fact equi-joins -> sort-merge on the shuffled key, AQE handles skew;
+- the theta/band join anchors on an equi prefix (user_id) so only the
+  residual range predicate is non-equi — never a cartesian;
+- as-of uses the union+window form: ONE shuffle by user_id instead of an
+  O(n*m) pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..catalog import load_tables
+
+
+def q_join_broadcast(spark, sf_dir):
+    """Tiny-dim broadcast hash join (map-side join in MapReduce terms)."""
+    load_tables(spark, sf_dir)
+    n, r = spark.table("nation"), spark.table("region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+def q_join_shuffle_equi(spark, sf_dir):
+    """Fact-fact equi join + aggregate (the classic repartition join)."""
+    load_tables(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_join_multiway(spark, sf_dir):
+    """customer ⋈ orders ⋈ lineitem ⋈ nation -> revenue per nation."""
+    load_tables(spark, sf_dir)
+    c, o = spark.table("customer"), spark.table("orders")
+    li, n = spark.table("lineitem"), spark.table("nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+    )
+
+
+def q_join_left_outer(spark, sf_dir):
+    """LEFT JOIN keeping order-less customers (count(col) skips nulls)."""
+    load_tables(spark, sf_dir)
+    c, o = spark.table("customer"), spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """LEFT SEMI: customers having >=1 'F' order (EXISTS)."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf_dir):
+    """LEFT ANTI: parts never shipped in quantity > 48 (NOT EXISTS)."""
+    load_tables(spark, sf_dir)
+    p = spark.table("part")
+    li = spark.table("lineitem").filter(F.col("l_quantity") > 48)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+def q_join_cross(spark, sf_dir):
+    """Explicit cartesian (125 rows) — only ever for tiny dims."""
+    load_tables(spark, sf_dir)
+    r, n = spark.table("region"), spark.table("nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+def q_join_range_theta(spark, sf_dir):
+    """Band join: event pairs of the same user with 0 < ts2-ts1 <= 5 min.
+
+    Equi prefix on user_id keeps this a hash/sort-merge join with a range
+    residual — the non-equi part never drives the join strategy.
+    """
+    load_tables(spark, sf_dir)
+    a = spark.table("events").alias("a")
+    b = spark.table("events").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("eid1"),
+        F.col("b.event_id").alias("eid2"),
+    )
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest strictly-earlier view of
+    the same user (NULL if none).
+
+    Scalable form: single window over (user_id; ts, rk, event_id) where
+    purchases sort before views at equal ts (strictness) and last() with
+    ignorenulls picks the most recent view — one shuffle, no pair join.
+    Tie among equal-ts views resolved toward the larger event_id, matching
+    the oracle's ORDER BY v.ts DESC, v.event_id DESC.
+    """
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("event_type").isin("view", "purchase"))
+    ev = ev.withColumn(
+        "rk", F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "rk", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("view_id", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "view_id")
+    )
+
+
+QUERIES = {
+    "join_broadcast": q_join_broadcast,
+    "join_shuffle_equi": q_join_shuffle_equi,
+    "join_multiway": q_join_multiway,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_cross": q_join_cross,
+    "join_range_theta": q_join_range_theta,
+    "join_asof": q_join_asof,
+}
+
+ORACLES = {
+    "join_broadcast": (
+        "SELECT n_nationkey, n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "join_shuffle_equi": (
+        "SELECT o_orderstatus, count(*) AS n_items, "
+        "round(sum(l_extendedprice), 2) AS sum_price "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderstatus"
+    ),
+    "join_multiway": (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    "join_left_outer": (
+        "SELECT c_custkey, count(o_orderkey) AS n_orders "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
+    ),
+    "join_anti": (
+        "SELECT p_partkey, p_name FROM part p "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 48)"
+    ),
+    "join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "join_range_theta": (
+        "SELECT a.user_id AS user_id, a.event_id AS eid1, b.event_id AS eid2 "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE"
+    ),
+    "join_asof": (
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+        "j AS (SELECT p.event_id AS purchase_id, v.event_id AS view_id, "
+        "row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+        "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts) "
+        "SELECT purchase_id, view_id FROM j WHERE rn = 1"
+    ),
+}

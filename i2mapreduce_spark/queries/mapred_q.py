@@ -1,0 +1,107 @@
+"""Group I — MapReduce-core surface queries (SURVEY §2B).
+
+Declared through :mod:`i2mapreduce_spark.mapred`, the library that
+re-expresses the reference's own paradigm (ref ops A1/A2/A4/A5/A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .. import mapred
+from ..catalog import load_tables
+
+
+def _words(spark):
+    """documents -> (doc_id, word) via the canonical map/flatMap."""
+    d = spark.table("documents")
+    return mapred.flat_map(
+        d, F.split(F.col("text"), " "), "word", keep=["doc_id"]
+    ).filter(F.col("word") != "")
+
+
+def q_mr_wordcount(spark, sf_dir):
+    """The canonical MapReduce program: split -> explode -> count.
+
+    map = flat_map(split), combine+reduce = reduce_by_key(count);
+    top-100 under a total order (cnt DESC, word).
+    """
+    load_tables(spark, sf_dir)
+    counts = mapred.reduce_by_key(_words(spark), ["word"], cnt=F.count("*"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(100)
+
+
+def q_mr_flatmap_posexplode(spark, sf_dir):
+    """Tokens with 1-based position (posexplode; ref op A1 expanding)."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = mapred.flat_map(
+        d, F.split(F.col("text"), " "), "word", keep=["doc_id"], with_pos=True
+    )
+    return toks.filter(F.col("word") != "").select("doc_id", "word", "pos")
+
+
+def q_mr_partition_custom(spark, sf_dir):
+    """Custom partition routing (ref op A5): repartition(8, user_id) and
+    count rows per physical partition. Rows-only: partition ids are not
+    portable to another engine."""
+    load_tables(spark, sf_dir)
+    ev = mapred.partition_by(spark.table("events"), 8, "user_id")
+    return (
+        ev.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_mr_secondary_sort(spark, sf_dir):
+    """Per-key ordered fold (ref op A6): first/last event type per user in
+    (ts, event_id) order, via ordered window first/last."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+        .distinct()
+    )
+
+
+QUERIES = {
+    "mr_wordcount": q_mr_wordcount,
+    "mr_flatmap_posexplode": q_mr_flatmap_posexplode,
+    "mr_partition_custom": q_mr_partition_custom,
+    "mr_secondary_sort": q_mr_secondary_sort,
+}
+
+ORACLES = {
+    "mr_wordcount": (
+        "SELECT w AS word, count(*) AS cnt "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t "
+        "WHERE w <> '' GROUP BY w ORDER BY cnt DESC, w LIMIT 100"
+    ),
+    "mr_flatmap_posexplode": (
+        "SELECT doc_id, w AS word, CAST(p AS INT) AS pos "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "generate_subscripts(string_split(text, ' '), 1) AS p FROM documents) t "
+        "WHERE w <> ''"
+    ),
+    # mr_partition_custom: rows-only (partition ids not portable)
+    "mr_secondary_sort": (
+        "SELECT DISTINCT user_id, "
+        "first_value(event_type) OVER w AS first_type, "
+        "last_value(event_type) OVER w AS last_type, "
+        "count(*) OVER (PARTITION BY user_id) AS n "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+}

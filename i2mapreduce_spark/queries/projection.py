@@ -1,0 +1,110 @@
+"""Group P — projection / filter / predicates (SURVEY §2B).
+
+Reference analog: the body of a user map() function (ref op A1) — in
+MapReduce every projection/filter is imperative Java inside the mapper.
+Here they are Catalyst expressions: codegen'd, null-safe, and pushed down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+
+def q_project_expr(spark, sf_dir):
+    """Arithmetic projection with alias (net price = extprice*(1-discount)).
+
+    round(.,4) not 2: the product of two 2-decimal doubles has exactly 4
+    decimal digits, so scale-4 rounding is the identity in both engines,
+    while scale-2 hits decimal ties where Spark (HALF_UP) and DuckDB
+    (HALF_EVEN) disagree (observed on 116/60000 rows).
+    """
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(li.l_extendedprice * (1 - li.l_discount), 4).alias("net_price"),
+    )
+
+
+def q_filter_range_pred(spark, sf_dir):
+    """TPC-H Q6 shape: date window + discount band + quantity bound.
+
+    100TB note: all three predicates push to the parquet scan; the agg is a
+    partial+final hash agg (map-side combine, ref op A2) — shuffle carries
+    one row per partition.
+    """
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (li.l_shipdate >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (li.l_shipdate < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+            & (li.l_quantity < 24)
+        )
+        .agg(F.round(F.sum(li.l_extendedprice * li.l_discount), 2).alias("revenue"))
+    )
+
+
+def q_filter_in_like_null(spark, sf_dir):
+    """IN-list + LIKE + explicit IS NULL arm (fixtures are null-free, the
+    arm exercises null-handling without changing the result)."""
+    load_tables(spark, sf_dir)
+    p = spark.table("part")
+    return p.filter(
+        (p.p_brand.isin("Brand#1", "Brand#7", "Brand#13") & p.p_name.like("%key%"))
+        | p.p_type.isNull()
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+def q_case_coalesce_cast(spark, sf_dir):
+    """CASE WHEN price bands, coalesce, cast chain int->double->string."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        F.when(o.o_totalprice < 100000, "low")
+        .when(o.o_totalprice < 300000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.coalesce(F.lit(None).cast("string"), o.o_orderstatus).alias("status_nn"),
+        (o.o_orderkey % 1000).cast("double").cast("string").alias("key_dbl_str"),
+    )
+
+
+QUERIES = {
+    "project_expr": q_project_expr,
+    "filter_range_pred": q_filter_range_pred,
+    "filter_in_like_null": q_filter_in_like_null,
+    "case_coalesce_cast": q_case_coalesce_cast,
+}
+
+ORACLES = {
+    "project_expr": (
+        "SELECT l_orderkey, l_linenumber, "
+        "round(l_extendedprice * (1 - l_discount), 4) AS net_price FROM lineitem"
+    ),
+    "filter_range_pred": (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    ),
+    "filter_in_like_null": (
+        "SELECT p_partkey, p_name, p_brand FROM part "
+        "WHERE (p_brand IN ('Brand#1','Brand#7','Brand#13') "
+        "AND p_name LIKE '%key%') OR p_type IS NULL"
+    ),
+    "case_coalesce_cast": (
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice < 100000 THEN 'low' "
+        "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS price_band, "
+        "coalesce(CAST(NULL AS VARCHAR), o_orderstatus) AS status_nn, "
+        "CAST(CAST(o_orderkey % 1000 AS DOUBLE) AS VARCHAR) AS key_dbl_str "
+        "FROM orders"
+    ),
+}

@@ -1,0 +1,155 @@
+"""Group X — scalar function surface (SURVEY §2B).
+
+Reference analog: arbitrary Java inside map() (ref op A1).  Here: built-in
+pyspark.sql.functions only — JVM-side, codegen'd, no Python in the row
+path.  Oracles stay inside the dialect-portable subset (SURVEY Appendix
+B.7: ln not log, no week/dow, POSIX regex, 1-based positions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+
+def q_fn_string(spark, sf_dir):
+    """upper/substr/concat/length/replace/regexp_extract over documents."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 10).alias("text_pfx"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_src"),
+        F.length("text").alias("text_len"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("source_s"),
+        F.regexp_extract("source", "(src)([0-9]+)", 2).cast("int").alias("src_num"),
+    )
+
+
+def q_fn_datetime(spark, sf_dir):
+    """year/month/day/date_trunc/day-diff on orders (no week/dow: dialects)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("mon_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since"),
+    )
+
+
+def q_fn_math(spark, sf_dir):
+    """round/abs/sqrt/ln/power/% over lineitem prices (ln, not log — the
+    Spark log==ln vs DuckDB log==log10 trap, SURVEY B.7)."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 4).alias("disc_pow"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+def q_fn_array(spark, sf_dir):
+    """Array kernel over embeddings: size, first element, L2 norm via
+    higher-order aggregate (elements cast float->double before arithmetic)."""
+    load_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_el"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+    )
+
+
+def q_fn_json(spark, sf_dir):
+    """JSON extraction stats per event_type (props = {"k": <int>})."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_fn_struct_map(spark, sf_dir):
+    """Build a struct, then re-project its fields flat (cross-engine struct
+    hashing is not comparable, so the checked output is flat)."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    s = d.select(F.struct("doc_id", "lang", "n_chars").alias("s"))
+    return s.select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.lang").alias("lang"),
+        (F.col("s.n_chars") % 100).alias("chars_mod"),
+    )
+
+
+QUERIES = {
+    "fn_string": q_fn_string,
+    "fn_datetime": q_fn_datetime,
+    "fn_math": q_fn_math,
+    "fn_array": q_fn_array,
+    "fn_json": q_fn_json,
+    "fn_struct_map": q_fn_struct_map,
+}
+
+ORACLES = {
+    "fn_string": (
+        "SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 10) AS text_pfx, "
+        "concat(lang, ':', source) AS lang_src, length(text) AS text_len, "
+        "replace(source, 'src', 'S') AS source_s, "
+        "CAST(regexp_extract(source, '(src)([0-9]+)', 2) AS INT) AS src_num "
+        "FROM documents"
+    ),
+    "fn_datetime": (
+        "SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo, "
+        "day(o_orderdate) AS dy, date_trunc('month', o_orderdate) AS mon_start, "
+        "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) "
+        "AS days_since FROM orders"
+    ),
+    "fn_math": (
+        "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS price_r1, "
+        "round(abs(l_extendedprice - 30000), 2) AS abs_dev, "
+        "round(sqrt(l_extendedprice), 4) AS price_sqrt, "
+        "round(ln(l_extendedprice), 4) AS price_ln, "
+        "round(power(l_discount + 1, 2), 4) AS disc_pow, "
+        "l_orderkey % 7 AS key_mod FROM lineitem"
+    ),
+    "fn_array": (
+        "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
+        "round(sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm "
+        "FROM embeddings"
+    ),
+    "fn_json": (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
+        "min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k "
+        "FROM events GROUP BY event_type"
+    ),
+    "fn_struct_map": (
+        "SELECT doc_id, lang, n_chars % 100 AS chars_mod FROM documents"
+    ),
+}

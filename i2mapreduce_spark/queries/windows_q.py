@@ -1,0 +1,117 @@
+"""Group W — window functions (SURVEY §2B).
+
+Reference analog: secondary sort / grouping comparator (ref op A6) — in
+MapReduce, per-key ordered iteration is achieved by composite sort keys
+plus a grouping comparator, and "window" logic is hand-rolled inside the
+reducer over that iteration.  Spark's window functions are the declarative
+form: one shuffle by the partition key, in-partition sort, streaming frame
+evaluation.
+
+Determinism: every ORDER BY ends in a unique key; gaps use integer
+microseconds (epoch_us) so no float or interval-dialect drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..catalog import load_tables
+
+
+def q_window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (row_number + filter)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
+    )
+
+
+def q_window_rank_dense_ntile(spark, sf_dir):
+    """rank / dense_rank / ntile(4) / percent_rank per order status."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("nt"),
+        F.round(F.percent_rank().over(w), 4).alias("prnk"),
+    )
+
+
+def q_window_lag_lead(spark, sf_dir):
+    """Per-user inter-event gap in integer microseconds (lag analytic)."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_window_running_frame(spark, sf_dir):
+    """Cumulative revenue per customer, explicit ROWS frame."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+QUERIES = {
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_rank_dense_ntile": q_window_rank_dense_ntile,
+    "window_lag_lead": q_window_lag_lead,
+    "window_running_frame": q_window_running_frame,
+}
+
+ORACLES = {
+    "window_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn "
+        "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+        "WHERE rn <= 3"
+    ),
+    "window_rank_dense_ntile": (
+        "SELECT o_orderkey, o_orderstatus, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+        "ntile(4) OVER w AS nt, round(percent_rank() OVER w, 4) AS prnk "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)"
+    ),
+    "window_lag_lead": (
+        "SELECT user_id, event_id, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us, "
+        "lead(event_type) OVER w AS next_type "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "window_running_frame": (
+        "SELECT o_custkey, o_orderkey, "
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend "
+        "FROM orders"
+    ),
+}
