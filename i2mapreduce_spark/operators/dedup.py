@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Correctness surfaces are exact and hash-checkable (md5 groupBy; shingle
+join Jaccard).  MinHash-LSH and SimHash are the sub-quadratic scale paths:
+candidate generation is probabilistic, the final score is always exact, so
+precision never degrades — only recall, which tests measure.
+
+All token/shingle hashing uses Spark's xxhash64 (JVM-side, deterministic
+across partitions/executors) — never Python hash() (salted per process).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: large Mersenne prime for minhash universal hashing
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5(text) -> (keep_id = min id, n copies).
+
+    100TB: a single hash-shuffle on a 16-byte key; the md5 is computed
+    map-side so the shuffle never carries document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n"))
+    )
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token array) with empty tokens dropped (cross-engine rule)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return df.select(F.col(id_col), toks.alias("toks"))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-token shingles per document, built with native array
+    functions (no Python in the row path)."""
+    t = tokens(df, text_col, id_col)
+    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        t.filter(F.size("toks") >= n)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, threshold: float,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard >= threshold pairs via shingle-equality join.
+
+    Output (d1, d2, jac) with jac rounded 4dp.  100TB note: the shingle
+    join explodes on stop-shingles — the LSH variant below replaces it;
+    this exact form remains the semantics oracle.
+    """
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    cnt = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(cnt.alias("na"), F.col("d1") == F.col(f"na.{id_col}"))
+        .join(cnt.alias("nb"), F.col("d2") == F.col(f"nb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 4).alias("jac"))
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 48,
+                       seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of a_i*x+b_i mod p.
+
+    x = xxhash64(shingle) (stable, JVM-side); all num_hashes minima are
+    computed in ONE aggregation pass (num_hashes min() columns), so the
+    shuffle carries one row per doc.
+    """
+    rng = np.random.default_rng(seed)
+    # 31-bit hash domain and coefficients: x*a+b < 2^62 so the modular
+    # arithmetic never overflows int64 (Spark 4 runs ANSI mode — overflow
+    # would throw, not wrap)
+    a = rng.integers(1, 1 << 31, num_hashes, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, num_hashes, dtype=np.int64)
+    x = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+    mins = [
+        F.min((x * int(a[i]) + int(b[i])) % _MERSENNE).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingle_df.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
+                      bands: int = 12, shingle_n: int = 3, seed: int = 42,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact re-score.
+
+    bands=12 x rows=4 over 48 hashes -> s-curve threshold ~ (1/12)^(1/4)
+    ~= 0.54; candidates sharing any band bucket are re-scored with the
+    EXACT Jaccard join restricted to candidate pairs.  100TB path: no
+    quadratic join — one shuffle for signatures, one per-band bucket
+    grouping, exact join only over candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col).cache()
+    sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed, id_col=id_col)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.lit(bi),
+                *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)],
+            )
+        ).alias(f"b{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    bucket = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"b{bi}").alias("bucket"))
+                      for bi in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    l, r = bucket.alias("l"), bucket.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("d1"), F.col(f"r.{id_col}").alias("d2"))
+        .distinct()
+    )
+    # exact re-score of candidates only
+    exact = jaccard_pairs(sh, threshold=0.0, id_col=id_col)
+    return (
+        cand.join(exact, ["d1", "d2"])
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "jac")
+    )
+
+
+def simhash_values(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bit votes.
+
+    Bit b of the simhash is 1 iff sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1) > 0.  Pure JVM expression: explode tokens,
+    one agg with 64 conditional sums — no Python.
+    """
+    tok = (
+        tokens(df, text_col, id_col)
+        .select(F.col(id_col), F.explode("toks").alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bit_terms = None
+    for b in range(64):
+        # bit 63 is the int64 sign bit: 1<<63 overflows, use its two's-
+        # complement value instead
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_terms = term if bit_terms is None else bit_terms + term
+    return agg.select(id_col, bit_terms.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    block banding (pigeonhole: <=3 differing bits leave >=1 block equal),
+    then exact hamming re-check via bit_count(xor)."""
+    sh = simhash_values(df, text_col, id_col)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB:
+- payloads are `binary` columns (or object-store URIs for >~1 MB blobs so
+  the shuffle never carries them); metadata is a typed struct column
+  (modality, width/height or sample_rate/duration, codec, byte length);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  mapInPandas stages so each Python worker amortizes library setup per
+  batch, not per row;
+- decoded features are fixed-width `array<float>` columns that flow into
+  the similarity operators unchanged.
+
+The decode step itself needs codec libraries that are NOT in this
+container, so it is stubbed: `decode_stub` raises NotImplementedError
+unless `fake=True`, where a clearly-marked deterministic fake produces
+bytes-derived features — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: metadata struct carried alongside every binary payload
+META_SCHEMA = (
+    "modality string, byte_len int, width int, height int, sample_rate int"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: wrap a text column as an opaque binary payload with
+    typed metadata, standing in for real image/audio bytes."""
+    payload = F.col(text_col).cast("binary")
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        F.length(payload).alias("byte_len"),
+        (F.length(payload) % 64 + 1).alias("width"),
+        (F.length(payload) % 48 + 1).alias("height"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_stub(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:
+    """Decode one payload to a pixel/sample array.
+
+    STUB: real decoding needs Pillow/av/soundfile, absent from this
+    container.  fake=True returns a deterministic bytes-derived array so
+    the distributed plumbing can be exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "pass fake=True for the deterministic test double"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return arr
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Binary payload -> fixed-width feature vector via mapInPandas.
+
+    Deterministic fake 'feature extractor': bucket byte histogram, L2
+    normalized.  The stage shape (Arrow batch in, fixed array<double>
+    out) is exactly what a real CLIP/audio embedder would use.
+    """
+    def extract(batches):
+        for pdf in batches:
+            ids, feats, lens = [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                arr = decode_stub(bytes(payload), meta["modality"], fake=fake)
+                hist, _ = np.histogram(arr % dim, bins=dim, range=(0, dim))
+                v = hist.astype(np.float64)
+                norm = np.linalg.norm(v)
+                feats.append((v / norm if norm else v).round(6).tolist())
+                ids.append(did)
+                lens.append(int(meta["byte_len"]))
+            yield pd.DataFrame({id_col: ids, "byte_len": lens, "feature": feats})
+
+    return df.mapInPandas(
+        extract, schema=f"{id_col} long, byte_len int, feature array<double>"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling stage shape: one payload -> N frame rows (1->N
+    explode through mapInPandas, like video frame extraction)."""
+    def sample(batches):
+        for pdf in batches:
+            ids, frames, offsets = [], [], []
+            for did, payload in zip(pdf[id_col].values, pdf["payload"].values):
+                raw = bytes(payload)
+                for off in range(0, len(raw), every_n):
+                    ids.append(did)
+                    offsets.append(off)
+                    frames.append(raw[off:off + every_n])
+            yield pd.DataFrame({id_col: ids, "frame_off": offsets, "frame": frames})
+
+    return df.select(id_col, "payload").mapInPandas(
+        sample, schema=f"{id_col} long, frame_off int, frame binary"
+    )

@@ -1,3 +1,274 @@
-"""Placeholder — populated in a later phase."""
-QUERIES = {}
-ORACLES = {}
+"""Group L — LLM-data-pipeline operators (SURVEY §2B + north-star
+extensions): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (exact + LSH), text analysis,
+multimodal columns.
+
+Hash-checked keys use exact algorithms; the probabilistic scale paths
+(LSH variants) are rows-only here and recall-tested in tests/test_llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..catalog import load_tables
+from ..operators import dedup, multimodal, similarity, text as text_ops
+
+#: thresholds calibrated on the fixtures (25 planted near-dup pairs have
+#: jaccard ~0.97; cosine max is ~0.51 with 990 pairs >= 0.3)
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.3
+
+# portable tokenization CTE fragment shared by oracle SQL strings
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, lang, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
+    "generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p "
+    "FROM documents)"
+)
+_SHINGLE_CTE = (
+    "sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle "
+    "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 "
+    "JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2)"
+)
+
+
+def q_dedup_exact_hash(spark, sf_dir):
+    """Exact dedup over documents ∪all documents (fixtures have no native
+    dups; the self-union makes every group size 2 so min-id keep is real)."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.exact_dedup_keys(d.unionAll(d))
+
+
+def q_dedup_near_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard near-dup pairs (>= 0.5)."""
+    load_tables(spark, sf_dir)
+    sh = dedup.shingles(spark.table("documents"), n=3)
+    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup (scale path). Rows-only: candidate recall is
+    probabilistic; tests assert recall == 1.0 on fixtures vs the exact key."""
+    load_tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(spark.table("documents"), JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit block banding."""
+    load_tables(spark, sf_dir)
+    return dedup.simhash_near_pairs(spark.table("documents"), max_hamming=3)
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    """Exact top-5 cosine neighbors per vector (numpy kernel, 4dp)."""
+    load_tables(spark, sf_dir)
+    return similarity.cosine_topk(spark, spark.table("embeddings"), k=5)
+
+
+def q_sim_threshold_pairs(spark, sf_dir):
+    """Pairs with cosine >= 0.3 counted per (label_a, label_b)."""
+    load_tables(spark, sf_dir)
+    return similarity.cosine_threshold_pairs(
+        spark, spark.table("embeddings"), COSINE_THRESHOLD
+    )
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH (scale path; rows-only,
+    recall asserted vs exact kernel in tests)."""
+    load_tables(spark, sf_dir)
+    return similarity.cosine_topk_lsh(spark, spark.table("embeddings"), k=5)
+
+
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Top-5 terms per language by summed tf-idf (ln idf), tiebreak term."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    words = (
+        d.select(
+            "doc_id", "lang",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+        )
+    )
+    tf = words.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar action; at scale: a broadcast single-row join
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (
+        tf.join(df_, "w")
+        .groupBy("lang", "w")
+        .agg(F.sum(F.col("tf") * idf).alias("raw"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("raw").desc(), F.col("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("w").alias("term"), F.round("raw", 4).alias("score"))
+    )
+
+
+def q_text_lang_stats(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_text_quality_score(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return text_ops.quality_score(spark.table("documents"))
+
+
+def q_text_token_count(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return text_ops.token_stats(spark.table("documents"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Char-trigram language ID (rows-only; model heuristic not in SQL)."""
+    load_tables(spark, sf_dir)
+    return text_ops.lang_id(spark.table("documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (rows-only; golden test)."""
+    load_tables(spark, sf_dir)
+    return text_ops.fingerprint(spark.table("documents"))
+
+
+def q_multimodal_join(spark, sf_dir):
+    """documents ⋈ embeddings (text + vector in one row) with an array
+    kernel reduced to a scalar (flat output per Appendix B.9)."""
+    load_tables(spark, sf_dir)
+    d, e = spark.table("documents"), spark.table("embeddings")
+    sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id", "lang", "label",
+            F.round(F.sqrt(sq), 4).alias("l2_norm"),
+            F.substring("text", 1, 20).alias("text_pfx"),
+        )
+    )
+
+
+def q_multimodal_extract(spark, sf_dir):
+    """Binary payload -> feature vector plumbing (stubbed decoder, real
+    Spark stage shape). Rows-only; flattened to scalars for stability."""
+    load_tables(spark, sf_dir)
+    wrapped = multimodal.attach_binary_payload(spark.table("documents"))
+    feats = multimodal.extract_features(wrapped, dim=16, fake=True)
+    return feats.select(
+        "doc_id", "byte_len",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.size("feature").alias("dim"),
+    )
+
+
+QUERIES = {
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "dedup_near_jaccard": q_dedup_near_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_threshold_pairs": q_sim_threshold_pairs,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_lang_stats": q_text_lang_stats,
+    "text_quality_score": q_text_quality_score,
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_join": q_multimodal_join,
+    "multimodal_extract": q_multimodal_extract,
+}
+
+ORACLES = {
+    "dedup_exact_hash": (
+        "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n "
+        "FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d "
+        "GROUP BY md5(text)"
+    ),
+    "dedup_near_jaccard": (
+        f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT d1, d2, round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jac "
+        "FROM inter JOIN cnt na ON d1 = na.doc_id JOIN cnt nb ON d2 = nb.doc_id "
+        f"WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}"
+    ),
+    # CAST to DOUBLE[] is load-bearing: list_cosine_similarity on FLOAT[]
+    # computes in float32 and disagrees with the float64 kernel at 4dp
+    "sim_topk_cosine": (
+        "SELECT a.vec_id AS vec_id, b.vec_id AS nbr, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY a.vec_id "
+        "ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 5"
+    ),
+    "sim_threshold_pairs": (
+        "SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_pairs "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD} "
+        "GROUP BY a.label, b.label"
+    ),
+    "text_tfidf_top_terms": (
+        f"WITH {_TOK_CTE}, "
+        "tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM tok GROUP BY 1, 2, 3), "
+        "df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), "
+        "s AS (SELECT lang, tf.w, sum(tf * ln(n_docs / df)) AS raw "
+        "FROM tf JOIN df ON tf.w = df.w CROSS JOIN n GROUP BY 1, 2) "
+        "SELECT lang, w AS term, round(raw, 4) AS score FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, w) <= 5"
+    ),
+    "text_lang_stats": (
+        "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars, "
+        "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang"
+    ),
+    "text_quality_score": (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok, "
+        "len(list_filter(string_split(text, ' '), "
+        "x -> x IN ('a','the','row','value','table'))) AS n_stop, "
+        "length(text) AS n_chars FROM documents) "
+        "SELECT doc_id, CAST(n_tok AS INT) AS n_tokens, "
+        "round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio, "
+        "round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 6) AS avg_token_len, "
+        "round(ln(1 + CAST(n_tok AS DOUBLE)) "
+        "* (1 - CAST(n_stop AS DOUBLE) / n_tok) "
+        "* least((CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok) / 6, 1.0), 4) "
+        "AS quality FROM t"
+    ),
+    "text_token_count": (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) "
+        "AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) "
+        "AS n_re_tokens, "
+        "length(text) AS n_chars FROM documents"
+    ),
+    "multimodal_join": (
+        "SELECT doc_id, lang, label, "
+        "round(sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, "
+        "substr(text, 1, 20) AS text_pfx "
+        "FROM documents JOIN embeddings ON doc_id = vec_id"
+    ),
+    # rows-only: dedup_minhash_lsh, dedup_simhash, sim_ann_lsh (probabilistic
+    # scale paths), text_lang_id (heuristic model), text_fingerprint
+    # (order-sensitive hash), multimodal_extract (stubbed decoder)
+}

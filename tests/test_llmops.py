@@ -1,0 +1,132 @@
+"""LLM-ops operator tests: the probabilistic scale paths (MinHash-LSH,
+SimHash, hyperplane-LSH ANN) are validated against their exact
+counterparts — candidates may miss (recall measured) but every reported
+score must be exact (precision 1.0 by construction, re-checked here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from i2mapreduce_spark.catalog import load_tables
+from i2mapreduce_spark.operators import dedup, multimodal, similarity, text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+def test_minhash_lsh_finds_all_planted_near_dups(spark, sf_dir, docs):
+    """On fixture data the planted near-dups have jaccard ~0.97 — far above
+    the banding s-curve threshold, so recall must be exactly 1.0."""
+    sh = dedup.shingles(docs, n=3)
+    exact = {(r.d1, r.d2) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    lsh = {(r.d1, r.d2) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert lsh == exact, f"missed={exact - lsh} spurious={lsh - exact}"
+
+
+def test_simhash_recalls_planted_near_dups(spark, sf_dir, docs):
+    """SimHash is a candidate generator: on the planted jac>=0.9 pairs it
+    must recall the large majority at hamming<=3 (measured 21/27 at
+    sf0.001 — the misses are short docs where single tokens flip many
+    bits, textbook simhash behavior; precision is NOT asserted because
+    short low-vocab docs legitimately collide)."""
+    sh = dedup.shingles(docs, n=3)
+    exact9 = {(r.d1, r.d2) for r in dedup.jaccard_pairs(sh, 0.9).collect()}
+    if not exact9:
+        pytest.skip("no planted near-dups at this sf")
+    got = {(r.d1, r.d2) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    recall = len(got & exact9) / len(exact9)
+    assert recall >= 0.6, f"simhash recall {recall} on planted near-dups"
+
+
+def test_ann_lsh_recall_and_exact_scores(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    exact = {(r.vec_id, r.nbr): r.sim for r in similarity.cosine_topk(spark, emb, k=5).collect()}
+    approx = {(r.vec_id, r.nbr): r.sim for r in similarity.cosine_topk_lsh(spark, emb, k=5).collect()}
+    # every approx pair's score must equal the exact kernel's score
+    for pair, sim in approx.items():
+        if pair in exact:
+            assert abs(sim - exact[pair]) < 1e-9
+    # recall is probabilistic; require a sane floor at fixture scale
+    # fixture embeddings are RANDOM, so top-k "neighbors" sit barely above
+    # background similarity — the hardest case for LSH; require a floor
+    # well above the ~0.1% a broken bucketing would produce
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall > 0.10, f"ANN recall collapsed: {recall}"
+
+
+def test_exact_dedup_idempotent(spark, sf_dir, docs):
+    """dedup(dedup(x)) == dedup(x) (property test, SURVEY §5.3)."""
+    once = dedup.exact_dedup_keys(docs.unionAll(docs))
+    assert once.filter(F.col("n") != 2).count() == 0
+    kept = docs.join(once.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    twice = dedup.exact_dedup_keys(kept)
+    assert twice.filter(F.col("n") != 1).count() == 0
+    assert twice.count() == once.count()
+
+
+def test_multimodal_decode_stub_gates(spark, sf_dir, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"abc", "image", fake=False)
+
+
+def test_multimodal_extract_deterministic(spark, sf_dir, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(50))
+    a = sorted(multimodal.extract_features(wrapped).collect())
+    b = sorted(multimodal.extract_features(wrapped).collect())
+    assert a == b
+    for row in a[:5]:
+        assert len(row.feature) == 16
+        # features are rounded 6dp after normalization, so the norm can
+        # drift by up to ~16*1e-6
+        assert abs(sum(x * x for x in row.feature) - 1.0) < 1e-4  # L2 normalized
+
+
+def test_multimodal_frame_sample_shape(spark, sf_dir, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(5))
+    frames = multimodal.frame_sample(wrapped, every_n=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r for r in wrapped.collect()}
+    for did, rows in by_doc.items():
+        total = sum(len(r.frame) for r in rows)
+        assert total == src[did].meta.byte_len  # frames tile the payload
+        assert sorted(r.frame_off for r in rows) == list(range(0, total, 10))
+
+
+def test_lang_id_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [(1, "the running and jumping motion"), (2, "der schönen einen sprache")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_guess for r in text_ops.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+
+
+def test_fingerprint_matches_golden_and_is_order_sensitive(spark):
+    def golden(text):
+        acc, power = 0, 1
+        for tok in [t for t in text.split(" ") if t]:
+            ti = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            acc = (acc + ti * power) % ((1 << 61) - 1)
+            power = (power * 1000003) % ((1 << 61) - 1)
+        return acc
+
+    df = spark.createDataFrame(
+        [(1, "join filter window"), (2, "window filter join")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fp for r in text_ops.fingerprint(df).collect()}
+    assert got[1] == golden("join filter window")
+    assert got[2] == golden("window filter join")
+    assert got[1] != got[2], "fingerprint must be order-sensitive"
