@@ -1,0 +1,229 @@
+"""Iterative algorithms — the reference's demonstration workloads
+(PageRank, GIM-V-style propagation, K-means, APriori; SURVEY §2A example
+apps) re-expressed as DataFrame step functions under plans.iterate.
+
+Common structure (the reference's structure/state split, ref op A9):
+the edge/point set is static structure — repartitioned by join key once
+and cached; the rank/label/centroid state is small and evolving; every
+iteration is one co-partitioned join + aggregate.
+
+Determinism: fixed iteration counts, explicit tiebreaks (argmin -> lowest
+centroid id), float64 throughout; goldens in tests compare against <=50
+line numpy replicas with pre-round tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.iterate import IterationResult, iterate
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    init_ranks: DataFrame | None = None,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+) -> IterationResult:
+    """PageRank without dangling-mass redistribution:
+    r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u); nodes with no
+    in-edges hold (1-d)/N.  Uniform 1/N init unless `init_ranks` is given
+    (the warm start, ref op A13).
+
+    100TB notes: edges are repartitioned by src once and cached (the
+    Projector co-partitioning); per-iteration state is (node, rank) only —
+    the shuffle carries O(nodes), never O(edges), because contributions
+    partially aggregate map-side.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = edges.repartition(n_part, "src").cache()
+    nodes = _nodes(edges).repartition(n_part, "node").cache()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+
+    if init_ranks is None:
+        state0 = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        # warm start: keep prior ranks, default new nodes to 1/N
+        state0 = nodes.join(init_ranks, "node", "left").select(
+            "node", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+        )
+
+    base = (1.0 - damping) / n
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        # explicit aliases throughout: state/nodes derive from edges, so
+        # attribute references would be ambiguous in these self-join shapes
+        rates = (
+            state.alias("s")
+            .join(outdeg.alias("o"), F.col("s.node") == F.col("o.src"))
+            .select(
+                F.col("s.node").alias("u"),
+                (F.col("s.rank") / F.col("o.outdeg")).alias("rate"),
+            )
+        )
+        contribs = (
+            rates.alias("r")
+            .join(edges.alias("e"), F.col("r.u") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"), F.col("r.rate").alias("rate"))
+            .groupBy("node")
+            .agg(F.sum("rate").alias("mass"))
+        )
+        return (
+            nodes.alias("n")
+            .join(contribs.alias("c"), F.col("n.node") == F.col("c.node"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (F.lit(base) + damping * F.coalesce(F.col("c.mass"), F.lit(0.0))).alias("rank"),
+            )
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return (
+            old.alias("o")
+            .join(new.alias("n"), "node")
+            .agg(F.sum(F.abs(F.col("o.rank") - F.col("n.rank"))))
+            .collect()[0][0]
+        )
+
+    try:
+        return iterate(
+            state0,
+            step,
+            iters,
+            delta_fn=delta if tol is not None else None,
+            tol=tol,
+            checkpoint_every=checkpoint_every,
+        )
+    finally:
+        # the returned state is eagerly checkpointed, so the structure
+        # caches can be dropped — repeated calls (warm-start scenarios)
+        # would otherwise pile cached copies up
+        edges.unpersist()
+        nodes.unpersist()
+        outdeg.unpersist()
+
+
+def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
+    """Hop-limited BFS min-distance from `source` (GIM-V / iMapReduce
+    shortest-path shape): per hop, frontier ⋈ edges -> min-dist fold.
+    Monotone min-aggregation means re-visiting nodes is harmless — the
+    classic MapReduce SSSP the reference ships as an example app."""
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    )
+    edges = edges.cache()
+    for _ in range(max_hops):
+        grown = (
+            dist.join(edges, dist.node == edges.src)
+            .select(edges.dst.alias("node"), (dist.dist + 1).alias("dist"))
+        )
+        dist = (
+            dist.union(grown)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def connected_components(edges: DataFrame, iters: int = 8) -> DataFrame:
+    """Min-label propagation over symmetric edges, fixed iteration count.
+    label(v) <- min(label(v), min over neighbors u of label(u))."""
+    labels = _nodes(edges).withColumn("label", F.col("node"))
+    edges = edges.cache()
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        prop = (
+            state.alias("s")
+            .join(edges.alias("e"), F.col("s.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"), F.col("s.label").alias("label"))
+        )
+        return (
+            state.select("node", "label")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+
+    return iterate(labels, step, iters, checkpoint_every=2).state
+
+
+def kmeans(
+    spark: SparkSession,
+    emb_df: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """K-means with deterministic seeding (the k smallest ids) and
+    deterministic tie-break (lowest centroid id wins argmin).
+
+    Assignment is an Arrow-batched kernel against broadcast centroids
+    (k x dim — tiny); the centroid update aggregates per (cluster, dim)
+    distributed-side, so only k*dim numbers ever reach the driver.
+    Returns (assignments DataFrame, final centroids ndarray).
+    """
+    seeds = (
+        emb_df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+
+    def make_kernel(bc):
+        # factory, not a loop closure: all loop iterations would share one
+        # cell and the lazily-evaluated assignment would read the wrong
+        # broadcast otherwise
+        def assign_kernel(batches):
+            C = bc.value
+            for pdf in batches:
+                A = np.stack(pdf[vec_col].values).astype(np.float64)
+                # ||a-c||^2 = |a|^2 - 2 a.c + |c|^2 ; argmin ties -> lowest
+                # centroid index (np.argmin returns the first minimum)
+                d2 = (
+                    (A * A).sum(1, keepdims=True)
+                    - 2 * A @ C.T
+                    + (C * C).sum(1)
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "cluster": d2.argmin(axis=1).astype(np.int32),
+                    }
+                )
+
+        return assign_kernel
+
+    assign = None
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+        assign = emb_df.select(id_col, vec_col).mapInPandas(
+            make_kernel(bc), schema=f"{id_col} long, cluster int"
+        )
+        # distributed centroid update: explode dims, mean per (cluster, dim)
+        upd = (
+            emb_df.select(id_col, F.posexplode(vec_col).alias("dim", "x"))
+            .join(assign, id_col)
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in upd:
+            new_c[r.cluster][r.dim] = r.mu
+        centroids = new_c
+
+    return assign, centroids

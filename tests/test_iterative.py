@@ -1,0 +1,137 @@
+"""Golden tests for the iterative algorithms (SURVEY §5.2): each Spark
+implementation is compared against a <=50-line numpy/python replica running
+the exact same fixed-iteration math on the same fixture graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from i2mapreduce_spark.catalog import load_tables
+from i2mapreduce_spark.operators import algorithms
+
+
+@pytest.fixture(scope="module")
+def edges_cp(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return [(r.src, r.dst) for r in spark.table("edges_cp").collect()]
+
+
+@pytest.fixture(scope="module")
+def edges_pp(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return [(r.src, r.dst) for r in spark.table("edges_pp").collect()]
+
+
+def _pagerank_golden(edges, iters=10, d=0.85, init=None):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    ranks = dict.fromkeys(nodes, 1.0 / n) if init is None else dict(init)
+    for _ in range(iters):
+        mass = dict.fromkeys(nodes, 0.0)
+        for u, v in edges:
+            mass[v] += ranks[u] / outdeg[u]
+        ranks = {x: (1 - d) / n + d * mass[x] for x in nodes}
+    return ranks
+
+
+def test_pagerank_matches_golden(spark, sf_dir, edges_cp):
+    res = algorithms.pagerank(spark, spark.table("edges_cp"), iters=10)
+    got = {r.node: r.rank for r in res.state.collect()}
+    want = _pagerank_golden(edges_cp, iters=10)
+    assert set(got) == set(want)
+    worst = max(abs(got[k] - want[k]) for k in want)
+    assert worst < 1e-9, f"pagerank drift vs golden: {worst}"
+    # sanity: total mass for this no-dangling-redistribution variant
+    assert abs(sum(got.values())) > 0
+
+
+def test_connected_components_matches_golden(spark, sf_dir, edges_pp):
+    labels_df = algorithms.connected_components(spark.table("edges_pp"), iters=8)
+    got = {r.node: r.label for r in labels_df.collect()}
+    nodes = sorted({u for u, _ in edges_pp} | {v for _, v in edges_pp})
+    labels = {x: x for x in nodes}
+    for _ in range(8):
+        new = dict(labels)
+        for u, v in edges_pp:
+            if labels[u] < new[v]:
+                new[v] = labels[u]
+        labels = new
+    assert got == labels
+
+
+def test_kmeans_matches_golden(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    rows = sorted(
+        [(r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in emb.collect()]
+    )
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([v for _, v in rows])
+    k, iters = 10, 5
+    C = X[:k].copy()  # seeds = k smallest vec_ids (rows sorted by id)
+    for _ in range(iters):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    want = dict(zip(ids.tolist(), a.tolist()))
+
+    assign, _c = algorithms.kmeans(spark, emb, k=k, iters=iters)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    diff = {i for i in want if want[i] != got.get(i)}
+    assert not diff, f"kmeans assignment mismatch on {len(diff)} points: {sorted(diff)[:5]}"
+
+
+def test_warmstart_converges_faster(spark, sf_dir):
+    """The reference's headline claim in miniature (ref op A13): restarting
+    from the previous converged state after a small delta re-converges in
+    fewer iterations than the cold start."""
+    # edges_pp (symmetric co-purchase graph), NOT edges_cp: the bipartite
+    # graph is a depth-2 DAG where PageRank converges exactly in 3
+    # iterations — no room for a warm-start win (observed: 3 vs 3)
+    from i2mapreduce_spark.queries.iterative import (
+        WARMSTART_DAMPING,
+        WARMSTART_TOL,
+        _perturbed_edges,
+    )
+
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp")
+    kw = dict(iters=60, damping=WARMSTART_DAMPING, tol=WARMSTART_TOL)
+    cold = algorithms.pagerank(spark, edges, **kw)
+    assert cold.converged
+    perturbed = _perturbed_edges(spark, edges).localCheckpoint(eager=True)
+    warm = algorithms.pagerank(spark, perturbed, init_ranks=cold.state, **kw)
+    cold2 = algorithms.pagerank(spark, perturbed, **kw)
+    assert warm.converged and cold2.converged
+    assert warm.iterations < cold2.iterations, (
+        f"warm {warm.iterations} vs cold {cold2.iterations}"
+    )
+
+
+def test_sssp_distances_are_bfs(spark, sf_dir, edges_pp):
+    load_tables(spark, sf_dir)
+    src = min(u for u, _ in edges_pp)
+    got = {r.node: r.dist for r in algorithms.sssp(spark.table("edges_pp"), src, 4).collect()}
+    # python BFS replica, hop-limited
+    adj = {}
+    for u, v in edges_pp:
+        adj.setdefault(u, []).append(v)
+    dist = {src: 0}
+    frontier = [src]
+    for hop in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
