@@ -1,3 +1,184 @@
-"""Placeholder — populated in a later phase."""
-QUERIES = {}
-ORACLES = {}
+"""Group K — incremental / streaming over the events table (SURVEY §2B),
+the idiomatic-Spark realization of the reference's incremental engine
+(ref ops A11-A13: MRBG-Store merge, delta inputs, incremental restart).
+
+Batch-mode forms are hash-checked against DuckDB here; the SAME transforms
+run through Structured Streaming in tests/test_streaming.py
+(stream-batch equivalence, SURVEY §5.2).  `stream_stateful_running` and
+`stream_late_watermark` exercise the incremental machinery directly in
+their driver entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from ..streaming.incremental import chunk_events, fold_delta, stream_over_chunks
+
+SESSION_GAP = "30 minutes"
+N_DELTA_BATCHES = 3
+LATE_EVERY = 50          # event_id % 50 == 0 rows of chunk 0 arrive last
+WATERMARK = "10 minutes"
+
+
+def tumbling_transform(ev):
+    """Shared by the batch query and the streaming equivalence test."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+def q_stream_tumbling_window(spark, sf_dir):
+    """Per 1-hour tumbling window x event_type: count + rounded sum.
+    `window()` is the streaming-native tumbling assignment; batch-mode it
+    is a plain hash aggregate on the truncated hour."""
+    load_tables(spark, sf_dir)
+    return tumbling_transform(spark.table("events"))
+
+
+def q_stream_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event lands in exactly 2
+    windows; count per window start."""
+    load_tables(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+def q_stream_session_window(spark, sf_dir):
+    """30-min-gap sessions per user via `session_window` (the stateful
+    streaming operator, run batch-mode): start = first event, end = last
+    event + gap (end-exclusive).  Oracle: gaps-and-islands with the same
+    >= gap break rule."""
+    load_tables(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+def dedup_transform(ev):
+    return ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+def q_stream_dedup_exact(spark, sf_dir):
+    """Exactly-once repair: drop duplicate event_ids from a doubled feed
+    (`dropDuplicates` is the streaming dedup-with-state operator)."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return dedup_transform(ev.unionAll(ev))
+
+
+def q_stream_stateful_running(spark, sf_dir):
+    """Running per-user totals maintained across 3 chronological delta
+    batches via fold_delta — the MRBG-Store preserve/merge cycle (A11/A12)
+    in batch form: each fold partially aggregates one delta and merges it
+    key-locally into the preserved state.  The final state must equal the
+    from-scratch batch recompute (that is the oracle)."""
+    load_tables(spark, sf_dir)
+    chunks = chunk_events(spark, spark.table("events"), n=N_DELTA_BATCHES)
+    state = None
+    for chunk in chunks:
+        state = fold_delta(
+            state, chunk, ["user_id"], {"total_value": "value"}, count_col="n_events"
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+def q_stream_late_watermark(spark, sf_dir):
+    """A real Structured Streaming run: tumbling per-hour counts in append
+    mode with a 10-min watermark, fed 3 delta chunks in which a slice of
+    the oldest data arrives LAST.  Those late rows land behind the
+    watermark and are dropped; append mode also withholds the final
+    unfinalized windows.  Rows-only check (watermark semantics are not
+    SQL-expressible); tests/test_streaming.py asserts the exact drop."""
+    load_tables(spark, sf_dir)
+    chunks = chunk_events(
+        spark, spark.table("events"), n=N_DELTA_BATCHES, late_every=LATE_EVERY
+    )
+
+    return stream_over_chunks(
+        spark, chunks, late_tumbling_transform, "append", "late_watermark_sink"
+    )
+
+
+def late_tumbling_transform(stream):
+    """Watermarked tumbling count.  Watermarks require TIMESTAMP (LTZ);
+    with session tz pinned to UTC the ntz->ltz->ntz casts are
+    value-preserving (SURVEY Appendix A.3)."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+
+
+_SESSIONIZE = (
+    "WITH brk AS ("
+    " SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+    "   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "sess AS ("
+    " SELECT user_id, ts, sum(new_sess) OVER"
+    "   (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid"
+    " FROM brk) "
+)
+
+QUERIES = {
+    "stream_tumbling_window": q_stream_tumbling_window,
+    "stream_sliding_window": q_stream_sliding_window,
+    "stream_session_window": q_stream_session_window,
+    "stream_dedup_exact": q_stream_dedup_exact,
+    "stream_stateful_running": q_stream_stateful_running,
+    "stream_late_watermark": q_stream_late_watermark,
+}
+
+ORACLES = {
+    "stream_tumbling_window": (
+        "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,"
+        " round(sum(value), 2) AS total FROM events GROUP BY 1, 2"
+    ),
+    "stream_sliding_window": (
+        "SELECT ws, count(*) AS n FROM ("
+        " SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events"
+        " UNION ALL"
+        " SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws"
+        " FROM events) GROUP BY ws"
+    ),
+    "stream_session_window": (
+        _SESSIONIZE
+        + "SELECT user_id, min(ts) AS session_start,"
+        " max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n"
+        " FROM sess GROUP BY user_id, sid"
+    ),
+    "stream_dedup_exact": (
+        "SELECT event_id, user_id, event_type, ts FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn"
+        " FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) WHERE rn = 1"
+    ),
+    "stream_stateful_running": (
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value"
+        " FROM events GROUP BY user_id"
+    ),
+    # stream_late_watermark: rows-only (watermark drop is not SQL-expressible)
+}

@@ -1,0 +1,140 @@
+"""Incremental / streaming engine — the Spark realization of the
+reference's headline feature set (SURVEY §2A ops A11-A13):
+
+- MRBG-Store preserve+merge  -> Structured Streaming state (stateful
+  aggregation state store) or, batch-side, :func:`fold_delta` — a
+  key-local merge of preserved per-key aggregates with a delta batch's
+  partial aggregates.
+- delta-input change detection (A12) -> a file-source stream picking up
+  new chunk files; only the new chunk is read per micro-batch.
+- incremental restart (A13) -> :func:`fold_delta` seeded with prior state.
+
+Scale notes (100 TB): the fold is a union of state (O(keys)) with the
+delta's *partial* aggregate (map-side combined, O(delta keys)) followed by
+a key-grouped merge — the shuffle carries keys, never raw events.  With
+state stored bucketed-by-key the merge is co-partitioned and shuffle-free;
+in Structured Streaming the same role is played by the RocksDB state store
+(`spark.sql.streaming.stateStore.providerClass`), which scales state off
+the executor heap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def chunk_events(
+    spark: SparkSession,
+    events: DataFrame,
+    n: int = 3,
+    late_every: int | None = None,
+) -> list[DataFrame]:
+    """Split events into `n` chronological chunks (the reference's delta
+    inputs, A12: each chunk is one arriving batch of records).
+
+    Deterministic: ntile over the total order (ts, event_id).  With
+    `late_every` set, events from the FIRST chunk whose event_id is
+    divisible by it are displaced into the LAST chunk — out-of-order
+    "late" arrivals for watermark tests.
+    """
+    w = Window.orderBy("ts", "event_id")
+    tiled = events.withColumn("_chunk", F.ntile(n).over(w) - 1)
+    if late_every:
+        tiled = tiled.withColumn(
+            "_chunk",
+            F.when(
+                (F.col("_chunk") == 0) & (F.col("event_id") % late_every == 0),
+                F.lit(n - 1),
+            ).otherwise(F.col("_chunk")),
+        )
+    tiled = tiled.localCheckpoint(eager=True)  # pin the tiling
+    return [tiled.filter(F.col("_chunk") == i).drop("_chunk") for i in range(n)]
+
+
+def stream_over_chunks(
+    spark: SparkSession,
+    chunks: list[DataFrame],
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str,
+    query_name: str,
+) -> DataFrame:
+    """Feed `chunks` one micro-batch at a time through a file-source
+    Structured Streaming query into a memory sink; return the sink table.
+
+    Each chunk is written to the source directory and fully processed
+    (`processAllAvailable`) before the next lands — a deterministic replay
+    of the reference's delta-input arrival (A12).  `transform` is the SAME
+    DataFrame logic the batch query uses: stream-batch equivalence is the
+    point (SURVEY §5.2).
+    """
+    src_dir = tempfile.mkdtemp(prefix=f"i2mr-stream-{query_name}-")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"i2mr-ckpt-{query_name}-")
+    try:
+        schema = chunks[0].schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            for i, chunk in enumerate(chunks):
+                # stage then move part-files in flat: a `chunk=i` subdir
+                # would be inferred as a partition column and break the
+                # stream's fixed schema
+                stage = os.path.join(src_dir, f"_stage_{i}")
+                chunk.write.parquet(stage)
+                for j, f in enumerate(sorted(os.listdir(stage))):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(stage, f),
+                            os.path.join(src_dir, f"chunk-{i}-{j}.parquet"),
+                        )
+                shutil.rmtree(stage, ignore_errors=True)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize: the memory sink table dies with the query's session
+        # state eventually; snapshot it for the caller
+        return spark.table(query_name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def fold_delta(
+    state: DataFrame | None,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """A11's MRBG merge, batch form: merge preserved per-key aggregates
+    with one delta batch, touching only additive aggregate state.
+
+    `state` holds (key_cols, count_col, *sum_cols.keys()); `delta` is raw
+    records.  The delta is partially aggregated first (map-side combine,
+    ref op A2), then merged key-locally with the preserved state — the
+    exact read-merge-write the MRBG-Store performs per changed key.
+    Returns the new state (same schema), ready for the next fold or a
+    final readout.
+    """
+    aggs = [F.count("*").alias(count_col)] + [
+        F.sum(src).alias(dst) for dst, src in sum_cols.items()
+    ]
+    partial = delta.groupBy(*key_cols).agg(*aggs)
+    if state is None:
+        return partial
+    merged_aggs = [F.sum(count_col).alias(count_col)] + [
+        F.sum(dst).alias(dst) for dst in sum_cols
+    ]
+    return state.unionByName(partial).groupBy(*key_cols).agg(*merged_aggs)
