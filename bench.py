@@ -1,0 +1,61 @@
+"""Benchmark runner (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query warm seconds.
+
+Methodology mirrors BASELINE.md §1: one shared SparkSession, each query
+executed twice (first run warms the JVM/code cache and the table views),
+the second run is the reported number.  Results are fully materialized
+(collect) so the measurement includes the Arrow/driver transfer the
+oracle comparison also pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from i2mapreduce_spark.queries import build_registry  # noqa: E402
+from i2mapreduce_spark.session import get_spark  # noqa: E402
+
+#: Headline set — the BASELINE.md §1 measured queries, one per major group.
+HEADLINE = [
+    "agg_pricing_summary",     # D: TPC-H Q1 hash-agg
+    "join_multiway",           # C: 4-table join
+    "window_topk_per_group",   # W: ranked window
+    "mr_wordcount",            # I: MapReduce surface
+    "stream_session_window",   # K: stateful session assignment
+    "iter_apriori_pairs",      # J: frequent pairs self-join
+    "sim_topk_cosine",         # L: numpy kernel similarity
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    queries, _ = build_registry()
+    spark = get_spark(app_name="i2mr-bench")
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries[key]
+        fn(spark, sf_dir).collect()          # warm-up run
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
