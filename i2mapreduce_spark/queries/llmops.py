@@ -13,6 +13,7 @@ from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
 from ..operators import dedup, multimodal, similarity, text as text_ops
+from ..functions import l2_norm_expr
 
 #: thresholds calibrated on the fixtures (25 planted near-dup pairs have
 #: jaccard ~0.97; cosine max is ~0.51 with 990 pairs >= 0.3)
@@ -146,15 +147,11 @@ def q_multimodal_join(spark, sf_dir):
     kernel reduced to a scalar (flat output per Appendix B.9)."""
     load_tables(spark, sf_dir)
     d, e = spark.table("documents"), spark.table("embeddings")
-    sq = F.aggregate(
-        F.col("embedding"), F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
     return (
         d.join(e, d.doc_id == e.vec_id)
         .select(
             "doc_id", "lang", "label",
-            F.round(F.sqrt(sq), 4).alias("l2_norm"),
+            l2_norm_expr("embedding").alias("l2_norm"),
             F.substring("text", 1, 20).alias("text_pfx"),
         )
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions import l2_norm_expr
 
 
 def q_fn_string(spark, sf_dir):
@@ -65,16 +66,11 @@ def q_fn_array(spark, sf_dir):
     higher-order aggregate (elements cast float->double before arithmetic)."""
     load_tables(spark, sf_dir)
     e = spark.table("embeddings")
-    sq_sum = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_el"),
-        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        l2_norm_expr("embedding").alias("l2_norm"),
     )
 
 

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..sources import formats
 
 
 def q_scan_full(spark, sf_dir):
@@ -49,11 +50,50 @@ def q_sink_parquet_roundtrip(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def q_source_csv_roundtrip(spark, sf_dir):
+    """nation -> CSV sink -> CSV source with explicit schema (A7/A8's
+    delimited-text formats).  All-exact columns, so the round trip is
+    lossless and hash-checks against the base table."""
+    load_tables(spark, sf_dir)
+    nation = spark.table("nation")
+    out = tempfile.mkdtemp(prefix="i2mr_csv_") + "/nation"
+    formats.write_csv(nation, out)
+    return formats.read_csv(spark, out, nation.schema)
+
+
+def q_source_jsonl_roundtrip(spark, sf_dir):
+    """region -> JSON-lines sink -> schema'd source (the self-describing
+    record format, A7/A8's SequenceFile analog)."""
+    load_tables(spark, sf_dir)
+    region = spark.table("region")
+    out = tempfile.mkdtemp(prefix="i2mr_jsonl_") + "/region"
+    formats.write_jsonl(region, out)
+    return formats.read_jsonl(spark, out, region.schema)
+
+
+def q_source_text_kv(spark, sf_dir):
+    """documents.text -> text sink -> (line_no, line) KV source, the exact
+    record shape A7's TextInputFormat feeds a mapper; aggregated to
+    order-insensitive totals so the hash check is layout-independent."""
+    load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="i2mr_text_") + "/docs"
+    formats.write_text(spark.table("documents"), out, text_col="text")
+    kv = formats.read_text_kv(spark, out)
+    return kv.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+        F.count_distinct("line_no").alias("n_keys"),
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
     "scan_project_prune": q_scan_project_prune,
     "scan_filter_pushdown": q_scan_filter_pushdown,
     "sink_parquet_roundtrip": q_sink_parquet_roundtrip,
+    "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+    "source_text_kv": q_source_text_kv,
 }
 
 ORACLES = {
@@ -61,4 +101,10 @@ ORACLES = {
     "scan_project_prune": "SELECT l_orderkey, l_quantity FROM lineitem",
     "scan_filter_pushdown": "SELECT * FROM orders WHERE o_totalprice > 400000",
     # sink_parquet_roundtrip: rows-only (side-effecting sink)
+    "source_csv_roundtrip": "SELECT * FROM nation",
+    "source_jsonl_roundtrip": "SELECT * FROM region",
+    "source_text_kv": (
+        "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars,"
+        " count(DISTINCT doc_id) AS n_keys FROM documents"
+    ),
 }
