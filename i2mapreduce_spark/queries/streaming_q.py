@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
-from ..streaming.incremental import chunk_events, fold_delta, stream_over_chunks
+from ..streaming.incremental import (
+    chunk_events,
+    fold_delta,
+    fold_delta_ops,
+    stream_over_chunks,
+)
 
 SESSION_GAP = "30 minutes"
 N_DELTA_BATCHES = 3
@@ -103,6 +108,32 @@ def q_stream_stateful_running(spark, sf_dir):
     )
 
 
+RETRACT_EVERY = 37  # event_id % 37 == 0 rows get deleted in batch 2
+
+
+def q_inc_delta_retract(spark, sf_dir):
+    """A12's (K,V,±) delta contract end-to-end: batch 1 inserts every
+    event, batch 2 DELETES a deterministic slice; the per-user state after
+    the signed merge must equal a from-scratch aggregate over the
+    surviving events (the oracle).  Keys retracted to zero leave the
+    state entirely."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    inserts = ev.withColumn("op", F.lit("+"))
+    deletes = ev.filter(F.col("event_id") % RETRACT_EVERY == 0).withColumn(
+        "op", F.lit("-")
+    )
+    state = fold_delta_ops(
+        None, inserts, ["user_id"], {"total_value": "value"}, count_col="n_events"
+    ).localCheckpoint(eager=True)
+    state = fold_delta_ops(
+        state, deletes, ["user_id"], {"total_value": "value"}, count_col="n_events"
+    )
+    return state.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 def q_stream_late_watermark(spark, sf_dir):
     """A real Structured Streaming run: tumbling per-hour counts in append
     mode with a 10-min watermark, fed 3 delta chunks in which a slice of
@@ -150,6 +181,7 @@ QUERIES = {
     "stream_session_window": q_stream_session_window,
     "stream_dedup_exact": q_stream_dedup_exact,
     "stream_stateful_running": q_stream_stateful_running,
+    "inc_delta_retract": q_inc_delta_retract,
     "stream_late_watermark": q_stream_late_watermark,
 }
 
@@ -179,6 +211,10 @@ ORACLES = {
     "stream_stateful_running": (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value"
         " FROM events GROUP BY user_id"
+    ),
+    "inc_delta_retract": (
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value"
+        f" FROM events WHERE event_id % {RETRACT_EVERY} <> 0 GROUP BY user_id"
     ),
     # stream_late_watermark: rows-only (watermark drop is not SQL-expressible)
 }

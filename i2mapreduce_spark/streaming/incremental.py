@@ -138,3 +138,37 @@ def fold_delta(
         F.sum(dst).alias(dst) for dst in sum_cols
     ]
     return state.unionByName(partial).groupBy(*key_cols).agg(*merged_aggs)
+
+
+def fold_delta_ops(
+    state: DataFrame | None,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+    op_col: str = "op",
+    count_col: str = "n",
+) -> DataFrame:
+    """A12's full delta-input contract: records tagged '+' (insert) or '-'
+    (delete).  Deletes RETRACT from the preserved state — the signed merge
+    the MRBG-Store performs when a record disappears from the input.
+
+    Additive aggregates retract exactly (count -= 1, sum -= value); keys
+    whose count reaches zero leave the state entirely, so a fully-deleted
+    key is indistinguishable from one never seen — asserted in tests.
+    """
+    sign = F.when(F.col(op_col) == "-", F.lit(-1)).otherwise(F.lit(1))
+    partial = delta.groupBy(*key_cols).agg(
+        F.sum(sign).alias(count_col),
+        *[F.sum(sign * F.col(src)).alias(dst) for dst, src in sum_cols.items()],
+    )
+    merged = (
+        partial
+        if state is None
+        else state.unionByName(partial)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(dst).alias(dst) for dst in sum_cols],
+        )
+    )
+    return merged.filter(F.col(count_col) != 0)

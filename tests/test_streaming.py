@@ -18,8 +18,24 @@ from i2mapreduce_spark.queries.streaming_q import (
 from i2mapreduce_spark.streaming.incremental import (
     chunk_events,
     fold_delta,
+    fold_delta_ops,
     stream_over_chunks,
 )
+
+
+def test_fold_delta_ops_retracts_to_nothing(spark):
+    """A fully-deleted key must vanish from the state — indistinguishable
+    from never-seen (A12 delete semantics)."""
+    ins = spark.createDataFrame(
+        [(1, 10.0, "+"), (1, 5.0, "+"), (2, 7.0, "+")], "k long, v double, op string"
+    )
+    state = fold_delta_ops(None, ins, ["k"], {"total": "v"})
+    dels = spark.createDataFrame(
+        [(1, 10.0, "-"), (1, 5.0, "-")], "k long, v double, op string"
+    )
+    state = fold_delta_ops(state, dels, ["k"], {"total": "v"})
+    rows = {r.k: (r.n, r.total) for r in state.collect()}
+    assert rows == {2: (1, 7.0)}
 
 
 def _rows(df):
