@@ -140,26 +140,68 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     return dist
 
 
-def connected_components(edges: DataFrame, iters: int = 8) -> DataFrame:
-    """Min-label propagation over symmetric edges, fixed iteration count.
-    label(v) <- min(label(v), min over neighbors u of label(u))."""
-    labels = _nodes(edges).withColumn("label", F.col("node"))
+def gimv(
+    edges: DataFrame,
+    state0: DataFrame,
+    combine2,
+    combine_all,
+    assign,
+    iters: int,
+    weight_col: str | None = None,
+    checkpoint_every: int = 5,
+) -> IterationResult:
+    """GIM-V — generalized iterated matrix-vector multiply (the
+    reference's second example app, from the PEGASUS model [PAPER §7]):
+    v' = assign(v, combineAll_j(combine2(m_ij, v_j))).
+
+    `edges` is the sparse matrix (src, dst[, weight]); `state0` the vector
+    (node, val).  The three hooks are Column-level, so each iteration is
+    one co-partitioned join + hash aggregate — fully JVM-side:
+
+    - combine2(weight_col_or_none, val_col) -> message Column
+    - combine_all(msg_col) -> aggregate Column (e.g. F.sum, F.min)
+    - assign(old_val_col, agg_col_nullable) -> new val Column
+
+    PageRank = (weight=1/outdeg; combine2 mul; combineAll sum; assign
+    damped add).  SSSP = (combine2 add; combineAll min; assign least).
+    CC = (combine2 identity; combineAll min; assign least).
+    """
     edges = edges.cache()
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        prop = (
-            state.alias("s")
-            .join(edges.alias("e"), F.col("s.node") == F.col("e.src"))
-            .select(F.col("e.dst").alias("node"), F.col("s.label").alias("label"))
+        s, e = state.alias("s"), edges.alias("e")
+        w = F.col(f"e.{weight_col}") if weight_col else None
+        msgs = s.join(e, F.col("s.node") == F.col("e.src")).select(
+            F.col("e.dst").alias("node"),
+            combine2(w, F.col("s.val")).alias("msg"),
         )
+        agg = msgs.groupBy("node").agg(combine_all(F.col("msg")).alias("agg"))
         return (
-            state.select("node", "label")
-            .union(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            state.alias("s")
+            .join(agg.alias("a"), "node", "left")
+            .select("node", assign(F.col("s.val"), F.col("a.agg")).alias("val"))
         )
 
-    return iterate(labels, step, iters, checkpoint_every=2).state
+    try:
+        return iterate(state0, step, iters, checkpoint_every=checkpoint_every)
+    finally:
+        edges.unpersist()
+
+
+def connected_components(edges: DataFrame, iters: int = 8) -> DataFrame:
+    """Min-label propagation over symmetric edges: GIM-V with
+    (combine2 = neighbor label, combineAll = min, assign = least)."""
+    labels = _nodes(edges).withColumn("val", F.col("node"))
+    res = gimv(
+        edges,
+        labels,
+        combine2=lambda _w, v: v,
+        combine_all=F.min,
+        assign=lambda old, agg: F.least(old, F.coalesce(agg, old)),
+        iters=iters,
+        checkpoint_every=2,
+    )
+    return res.state.select("node", F.col("val").alias("label"))
 
 
 def kmeans(

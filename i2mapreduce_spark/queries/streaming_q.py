@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..streaming.incremental import (
+    MRBGStore,
     chunk_events,
     fold_delta,
     fold_delta_ops,
@@ -111,6 +112,49 @@ def q_stream_stateful_running(spark, sf_dir):
 RETRACT_EVERY = 37  # event_id % 37 == 0 rows get deleted in batch 2
 
 
+def wordcount_map(docs):
+    """doc record -> intermediate (word, doc_id, tf) edges (ref op A1)."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    return words.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def wordcount_reduce(edges):
+    """Per word: total occurrences, doc count, and the doc with the max
+    tf (tie -> lowest doc_id) — an order statistic, NOT an additive
+    aggregate, so only edge-level preservation can recompute it
+    incrementally."""
+    mx = F.max("tf").over(Window.partitionBy("word"))
+    return (
+        edges.withColumn("mx", mx)
+        .groupBy("word")
+        .agg(
+            F.sum("tf").alias("n_occ"),
+            F.count("*").alias("n_docs"),
+            F.min(F.when(F.col("tf") == F.col("mx"), F.col("doc_id"))).alias("top_doc"),
+        )
+    )
+
+
+def q_inc_mapreduce_wordcount(spark, sf_dir):
+    """The MRBG-Store cycle end-to-end (A11, PAPER §4-5): initial
+    wordcount on 90% of documents, then an INSERT delta (the other 10%),
+    then a DELETE delta (every 7th doc) — each delta re-reduces only
+    affected words at the preserved-edge level.  Final result must equal
+    a from-scratch run over the surviving documents (the oracle), and the
+    reduce includes a non-additive order statistic to prove the merge is
+    edge-level, not aggregate-level."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    store = MRBGStore(wordcount_map, wordcount_reduce, key="word")
+    store.initial(d.filter(F.col("doc_id") % 10 != 0))
+    store.apply_delta(inserts=d.filter(F.col("doc_id") % 10 == 0))
+    store.apply_delta(deletes=d.filter(F.col("doc_id") % 7 == 0))
+    return store.results
+
+
 def q_inc_delta_retract(spark, sf_dir):
     """A12's (K,V,±) delta contract end-to-end: batch 1 inserts every
     event, batch 2 DELETES a deterministic slice; the per-user state after
@@ -182,6 +226,7 @@ QUERIES = {
     "stream_dedup_exact": q_stream_dedup_exact,
     "stream_stateful_running": q_stream_stateful_running,
     "inc_delta_retract": q_inc_delta_retract,
+    "inc_mapreduce_wordcount": q_inc_mapreduce_wordcount,
     "stream_late_watermark": q_stream_late_watermark,
 }
 
@@ -215,6 +260,15 @@ ORACLES = {
     "inc_delta_retract": (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value"
         f" FROM events WHERE event_id % {RETRACT_EVERY} <> 0 GROUP BY user_id"
+    ),
+    "inc_mapreduce_wordcount": (
+        "WITH tok AS (SELECT doc_id,"
+        " unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w"
+        " FROM documents WHERE doc_id % 7 <> 0), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), "
+        "mx AS (SELECT *, max(tf) OVER (PARTITION BY w) AS m FROM tf) "
+        "SELECT w AS word, CAST(sum(tf) AS BIGINT) AS n_occ, count(*) AS n_docs,"
+        " min(CASE WHEN tf = m THEN doc_id END) AS top_doc FROM mx GROUP BY w"
     ),
     # stream_late_watermark: rows-only (watermark drop is not SQL-expressible)
 }

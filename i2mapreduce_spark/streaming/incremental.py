@@ -28,6 +28,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+__all__ = [
+    "MRBGStore",
+    "chunk_events",
+    "fold_delta",
+    "fold_delta_ops",
+    "stream_over_chunks",
+]
+
 
 def chunk_events(
     spark: SparkSession,
@@ -172,3 +180,92 @@ def fold_delta_ops(
         )
     )
     return merged.filter(F.col(count_col) != 0)
+
+
+class MRBGStore:
+    """The reference's MRBG-Store (ref op A11, PAPER §4-5) as preserved
+    intermediate state over DataFrames: keep every intermediate (K2, V2)
+    edge of a map/reduce job; on a delta input, re-run map ONLY on the
+    delta, splice the changed edges into the preserved set, and re-reduce
+    ONLY the affected K2 groups.
+
+    Unlike :func:`fold_delta` (additive aggregates only), this supports
+    ARBITRARY reduce functions — the merge happens at the intermediate-KV
+    level, exactly like the reference, so the reduce can be a median, a
+    top-k, a string-agg, anything.
+
+    Scale notes (100 TB): `edges` is the big preserved table — keep it
+    bucketed by `key` on disk so the anti-join splice and the re-reduce
+    shuffle only the affected partitions; `results` is O(distinct keys).
+    The affected-key set is derived map-side from the delta (small) and
+    broadcast into both joins by AQE.
+    """
+
+    def __init__(self, map_fn: Callable[[DataFrame], DataFrame],
+                 reduce_fn: Callable[[DataFrame], DataFrame],
+                 key: str = "key"):
+        """`map_fn`: input records -> intermediate (key, ...) edge rows.
+        `reduce_fn`: intermediate edges -> one result row per key group.
+        `key`: the K2 grouping column name in the intermediate schema."""
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+        self.key = key
+        self.edges: DataFrame | None = None      # preserved (K2, V2)
+        self.results: DataFrame | None = None    # reduce output per K2
+        self.last_affected_keys = 0              # observability for tests
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    def initial(self, records: DataFrame) -> DataFrame:
+        """Full first run: map all records, preserve edges, reduce all."""
+        self.edges = self._pin(self.map_fn(records))
+        self.results = self._pin(self.reduce_fn(self.edges))
+        self.last_affected_keys = -1
+        return self.results
+
+    def apply_delta(self, inserts: DataFrame | None = None,
+                    deletes: DataFrame | None = None) -> DataFrame:
+        """Incremental run (PAPER §4.1): map the delta, splice preserved
+        edges, re-reduce only affected K2 groups, patch results.
+
+        `deletes` are input records disappearing from the dataset: their
+        mapped edges are removed from the preserved set (matched on all
+        intermediate columns, bag semantics via a per-row occurrence
+        number, so duplicate edges delete one-for-one).
+        """
+        assert self.edges is not None, "call initial() first"
+        k = self.key
+        new_edges = self.map_fn(inserts) if inserts is not None else None
+        dead_edges = self.map_fn(deletes) if deletes is not None else None
+
+        affected = None
+        for d in (new_edges, dead_edges):
+            if d is not None:
+                keys = d.select(k).distinct()
+                affected = keys if affected is None else affected.union(keys).distinct()
+        if affected is None:
+            return self.results
+        self.last_affected_keys = affected.count()
+
+        edges = self.edges
+        if dead_edges is not None:
+            # bag-aware removal: number duplicate edges on both sides and
+            # anti-join on (edge columns, occurrence)
+            cols = edges.columns
+            w = Window.partitionBy(*cols).orderBy(F.lit(1))
+            numbered = edges.withColumn("_occ", F.row_number().over(w))
+            dead_numbered = dead_edges.withColumn(
+                "_occ", F.row_number().over(Window.partitionBy(*cols).orderBy(F.lit(1)))
+            )
+            edges = numbered.join(dead_numbered, [*cols, "_occ"], "left_anti").drop("_occ")
+        if new_edges is not None:
+            edges = edges.unionByName(new_edges)
+        self.edges = self._pin(edges)
+
+        # re-reduce ONLY the affected groups, patch them into results
+        touched = self.edges.join(affected, k, "left_semi")
+        fresh = self.reduce_fn(touched)
+        kept = self.results.join(affected, k, "left_anti")
+        self.results = self._pin(kept.unionByName(fresh))
+        return self.results

@@ -116,6 +116,40 @@ def test_warmstart_converges_faster(spark, sf_dir):
     )
 
 
+def test_gimv_expresses_pagerank(spark, sf_dir, edges_cp):
+    """GIM-V with (mul, sum, damped-add) hooks must reproduce the direct
+    PageRank implementation exactly — the generality claim of the
+    reference's second example app."""
+    edges = spark.table("edges_cp")
+    n = len({u for u, _ in edges_cp} | {v for _, v in edges_cp})
+    d = 0.85
+    weighted = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+    ).select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state0 = nodes.withColumn("val", F.lit(1.0 / n))
+    res = algorithms.gimv(
+        weighted,
+        state0,
+        combine2=lambda w, v: w * v,
+        combine_all=F.sum,
+        assign=lambda _old, agg: F.lit((1 - d) / n) + d * F.coalesce(agg, F.lit(0.0)),
+        iters=10,
+        weight_col="w",
+    )
+    got = {r.node: r.val for r in res.state.collect()}
+    want = {
+        r.node: r.rank
+        for r in algorithms.pagerank(spark, edges, iters=10).state.collect()
+    }
+    assert set(got) == set(want)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-12
+
+
 def test_sssp_distances_are_bfs(spark, sf_dir, edges_pp):
     load_tables(spark, sf_dir)
     src = min(u for u, _ in edges_pp)

@@ -16,11 +16,44 @@ from i2mapreduce_spark.queries.streaming_q import (
     tumbling_transform,
 )
 from i2mapreduce_spark.streaming.incremental import (
+    MRBGStore,
     chunk_events,
     fold_delta,
     fold_delta_ops,
     stream_over_chunks,
 )
+
+
+def test_mrbg_store_rereduces_only_affected_keys(spark):
+    """PAPER §4-5 in miniature: a delta touching one doc's words must
+    re-reduce exactly those words, leave every other group untouched, and
+    still agree with a full recompute — including after deletes."""
+    from i2mapreduce_spark.queries.streaming_q import wordcount_map, wordcount_reduce
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c d"), (3, "e f e")], "doc_id long, text string"
+    )
+    store = MRBGStore(wordcount_map, wordcount_reduce, key="word")
+    store.initial(docs)
+
+    delta = spark.createDataFrame([(4, "a e")], "doc_id long, text string")
+    store.apply_delta(inserts=delta)
+    assert store.last_affected_keys == 2  # only 'a' and 'e'
+    got = {r.word: (r.n_occ, r.n_docs, r.top_doc) for r in store.results.collect()}
+    full = wordcount_reduce(wordcount_map(docs.unionAll(delta)))
+    want = {r.word: (r.n_occ, r.n_docs, r.top_doc) for r in full.collect()}
+    assert got == want
+
+    # delete doc 3 entirely: 'e' and 'f' re-reduce; 'f' vanishes
+    store.apply_delta(deletes=docs.filter("doc_id = 3"))
+    assert store.last_affected_keys == 2
+    got = {r.word: (r.n_occ, r.n_docs, r.top_doc) for r in store.results.collect()}
+    remaining = docs.filter("doc_id <> 3").unionAll(delta)
+    want = {
+        r.word: (r.n_occ, r.n_docs, r.top_doc)
+        for r in wordcount_reduce(wordcount_map(remaining)).collect()
+    }
+    assert got == want and "f" not in got
 
 
 def test_fold_delta_ops_retracts_to_nothing(spark):
