@@ -119,6 +119,35 @@ def test_fold_delta_equals_batch_recompute(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_stream_equals_batch(spark, sf_dir):
+    """applyInPandasWithState custom keyed state across 3 micro-batches
+    must equal the batch recompute (the streaming realization of A11).
+    Update mode emits a refreshed row per touched user per batch; the
+    final state is each user's LAST emission (max n_events — monotone)."""
+    from i2mapreduce_spark.streaming.stateful import running_totals_transform
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "value")
+    chunks = [
+        c.select("user_id", "value")
+        for c in chunk_events(spark, spark.table("events"), n=3)
+    ]
+    streamed = stream_over_chunks(
+        spark, chunks, running_totals_transform, "update", "stateful_sink"
+    )
+    latest = {}
+    for r in streamed.collect():
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, round(r.total_value, 2))
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert latest == want
+
+
 def test_watermark_drops_late_rows(spark, sf_dir):
     """Late rows (old data arriving in the last chunk) fall behind the
     10-min watermark and are excluded; windows not yet finalized are
