@@ -77,3 +77,29 @@ def map_partitions_pandas(df: DataFrame, fn: Callable, schema) -> DataFrame:
     """Escape hatch for genuinely imperative per-partition logic —
     Arrow-batched (mapInPandas), never row-at-a-time Python."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def salted_reduce_by_key(df: DataFrame, key_cols: Sequence[str], n_salts: int,
+                         **aggs: tuple[Column, Column]) -> DataFrame:
+    """Skew-resistant two-phase reduce: a hot key's rows spread over
+    `n_salts` partial groups, so no single reducer partition drowns —
+    the classic salting idiom for 100 TB keys AQE's skew handling can't
+    reach (skewJoin splits joins, not aggregations).
+
+    Each agg is (partial_expr, final_expr): partial runs per
+    (key, salt), final re-aggregates the n_salts partial rows per key —
+    only decomposable aggregates fit (sum/count/min/max; avg = sum+count
+    composed by the caller).
+
+        salted_reduce_by_key(li, ["l_returnflag"], 8,
+                             qty=(F.sum("l_quantity"), F.sum("qty")))
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*[p.alias(name) for name, (p, _f) in aggs.items()])
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[f.alias(name) for name, (_p, f) in aggs.items()]
+    )

@@ -1,0 +1,38 @@
+"""Bucketed tables: shuffle-free co-located joins and aggregations — the
+persistent form of the reference's Projector co-partitioning (A9): where
+`plans.iterate` co-partitions per job, a bucketed table bakes the hash
+partitioning into the STORAGE layout, so every downstream join or
+aggregation on the bucket key skips its Exchange entirely.
+
+At 100 TB this is the difference between re-shuffling the fact table per
+query and never shuffling it: bucket lineitem and orders by orderkey once
+at ingest, and every orderkey join is a zipped per-bucket sort-merge.
+
+Local note: bucketing requires a saveAsTable (catalog-managed); temp
+views over raw parquet cannot carry bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int, *bucket_cols: str,
+                   sort: bool = True) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Sorting within buckets lets sort-merge joins skip their Sort node
+    too — the join becomes a pure zip of pre-sorted bucket files.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables on their bucket key.  With
+    bucketing.enabled (default) Catalyst plans NO Exchange on either
+    side — asserted in tests/test_plans.py."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

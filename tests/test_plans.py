@@ -63,3 +63,64 @@ def test_topn_uses_take_ordered(spark, sf_dir):
     load_tables(spark, sf_dir)
     df = spark.table("orders").orderBy(F.col("o_totalprice").desc()).limit(10)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Same-bucketed tables join with ZERO shuffles (the storage-layout
+    form of the reference's Projector co-partitioning, A9) — and the
+    result matches the plain-view join."""
+    from i2mapreduce_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    load_tables(spark, sf_dir)
+    write_bucketed(spark.table("orders"), "orders_b", 4, "o_orderkey")
+    write_bucketed(
+        spark.table("lineitem").select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", 4, "o_orderkey",
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture scale the planner would broadcast instead (fine in
+        # production — but this test pins the bucketed sort-merge path a
+        # 100TB fact-fact join takes)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        want = (
+            spark.table("orders")
+            .join(
+                spark.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+                .select("o_orderkey", "l_quantity"),
+                "o_orderkey",
+            )
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_reduce_matches_plain(spark, sf_dir):
+    """Salted two-phase aggregation must equal the direct groupBy (skew
+    mitigation never changes the answer)."""
+    from i2mapreduce_spark.mapred import reduce_by_key, salted_reduce_by_key
+
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    salted = salted_reduce_by_key(
+        li, ["l_returnflag"], 8,
+        n=(F.count("*"), F.sum("n")),
+        qty=(F.sum("l_quantity"), F.sum("qty")),
+        max_price=(F.max("l_extendedprice"), F.max("max_price")),
+    )
+    plain = reduce_by_key(
+        li, ["l_returnflag"],
+        n=F.count("*"), qty=F.sum("l_quantity"), max_price=F.max("l_extendedprice"),
+    )
+    got = {r.l_returnflag: (r.n, round(r.qty, 6), r.max_price) for r in salted.collect()}
+    want = {r.l_returnflag: (r.n, round(r.qty, 6), r.max_price) for r in plain.collect()}
+    assert got == want
