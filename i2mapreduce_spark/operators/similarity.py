@@ -98,6 +98,90 @@ def cosine_threshold_pairs(spark: SparkSession, emb_df: DataFrame, threshold: fl
     return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
 
 
+def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
+                    n_lists: int = 16, n_probe: int = 4, train_iters: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the other
+    standard ANN scale path next to LSH: spherical k-means splits the
+    space into `n_lists` cells; each query probes only its `n_probe`
+    nearest cells and re-scores candidates EXACTLY.
+
+    Distributed shape (100 TB): centroids train on a driver-side sample
+    (standard IVF practice — the sample, not the corpus, bounds driver
+    memory), then assignment is a narrow broadcast map, candidate
+    generation a cell-keyed equi-join (shuffle on cell id, the big
+    corpus moves once), scoring an Arrow kernel, top-k a per-key window.
+    Recall vs the exact kernel is asserted in tests; raising n_probe
+    trades compute for recall with no precision loss.
+    """
+    # --- train on a deterministic sample (smallest ids), spherical k-means
+    sample = emb_df.orderBy(id_col).limit(max(64, n_lists * 8)).select(vec_col).collect()
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    C = S[:n_lists].copy()
+    for _ in range(train_iters):
+        a = (S @ C.T).argmax(axis=1)
+        for c in range(n_lists):
+            if (a == c).any():
+                m = S[a == c].mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cen = bc.value
+        for pdf in batches:
+            A = np.stack(pdf[vec_col].values).astype(np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            sims = A @ cen.T
+            order = np.argsort(-sims, axis=1, kind="stable")
+            rows = {"vec_id": [], "cell": [], "is_probe": [], vec_col: []}
+            for i, vid in enumerate(pdf[id_col].values):
+                for j in range(n_probe):
+                    rows["vec_id"].append(vid)
+                    rows["cell"].append(int(order[i, j]))
+                    # member row only in the home cell; probe rows in all
+                    rows["is_probe"].append(j > 0)
+                    rows[vec_col].append(list(pdf[vec_col].values[i]))
+            yield pd.DataFrame(rows)
+
+    placed = emb_df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"vec_id long, cell int, is_probe boolean, {vec_col} array<float>"
+    )
+    members = placed.filter(~F.col("is_probe")).select(
+        F.col("vec_id").alias("m_id"), "cell", F.col(vec_col).alias("m_vec")
+    )
+    probes = placed.select(F.col("vec_id").alias("q_id"), "cell", F.col(vec_col).alias("q_vec"))
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("m_id") > F.col("q_id"))
+        .select(
+            F.col("q_id").alias("vec_id"), F.col("m_id").alias("nbr"),
+            F.col("q_vec").alias("va"), F.col("m_vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_id", "nbr"])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
+                continue
+            A = np.stack(pdf["va"].values).astype(np.float64)
+            B = np.stack(pdf["vb"].values).astype(np.float64)
+            an = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+            bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+            sims = np.round((A * B).sum(axis=1) / (an * bn), 4)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "nbr": pdf["nbr"].values, "sim": sims}
+            )
+
+    scored = cand.mapInPandas(score, schema="vec_id long, nbr long, sim double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_planes: int = 8, n_tables: int = 16, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -83,6 +83,13 @@ def q_sim_ann_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(spark, spark.table("embeddings"), k=5)
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """Approximate top-5 via IVF cell probing (the other ANN scale path;
+    rows-only, recall + exact re-scoring asserted in tests)."""
+    load_tables(spark, sf_dir)
+    return similarity.cosine_topk_ivf(spark, spark.table("embeddings"), k=5)
+
+
 def q_text_tfidf_top_terms(spark, sf_dir):
     """Top-5 terms per language by summed tf-idf (ln idf), tiebreak term."""
     load_tables(spark, sf_dir)
@@ -178,6 +185,7 @@ QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_lang_stats": q_text_lang_stats,
     "text_quality_score": q_text_quality_score,

@@ -96,12 +96,35 @@ def q_udtf_split_props(spark, sf_dir):
     )
 
 
+def q_udtf_python_native(spark, sf_dir):
+    """A REAL Python UDTF (Spark 4 `@udtf`): arbitrary-arity row expansion
+    with imperative logic — registered and invoked via LATERAL, the
+    full table-function surface (vs q_udtf_split_props' JVM explode)."""
+    load_tables(spark, sf_dir)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val int")
+    class SplitProps:
+        def eval(self, props: str):
+            import json
+
+            for k, v in sorted(json.loads(props).items()):
+                yield k, int(v)
+
+    spark.udtf.register("split_props_py", SplitProps)
+    return spark.sql(
+        "SELECT e.event_id, s.key, s.val"
+        " FROM events e, LATERAL split_props_py(e.props) s"
+    )
+
+
 QUERIES = {
     "udf_python_scalar": q_udf_python_scalar,
     "udf_pandas_vectorized": q_udf_pandas_vectorized,
     "udf_grouped_map": q_udf_grouped_map,
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_split_props": q_udtf_split_props,
+    "udtf_python_native": q_udtf_python_native,
 }
 
 ORACLES = {
@@ -125,6 +148,10 @@ ORACLES = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "udtf_split_props": (
+        "SELECT event_id, 'k' AS key, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events"
+    ),
+    "udtf_python_native": (
         "SELECT event_id, 'k' AS key, "
         "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events"
     ),

@@ -63,6 +63,22 @@ def test_ann_lsh_recall_and_exact_scores(spark, sf_dir):
     assert recall > 0.10, f"ANN recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_and_exact_scores(spark, sf_dir):
+    """IVF mirror of the LSH test: probed-cell candidates re-score to the
+    exact kernel's value; recall floor reflects RANDOM fixture embeddings
+    (no cluster structure — IVF's hardest case; n_probe=4 of 16 cells
+    covers ~25% of space at minimum)."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    exact = {(r.vec_id, r.nbr): r.sim for r in similarity.cosine_topk(spark, emb, k=5).collect()}
+    approx = {(r.vec_id, r.nbr): r.sim for r in similarity.cosine_topk_ivf(spark, emb, k=5).collect()}
+    for pair, sim in approx.items():
+        if pair in exact:
+            assert abs(sim - exact[pair]) < 1e-9
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall > 0.15, f"IVF recall collapsed: {recall}"
+
+
 def test_exact_dedup_idempotent(spark, sf_dir, docs):
     """dedup(dedup(x)) == dedup(x) (property test, SURVEY §5.3)."""
     once = dedup.exact_dedup_keys(docs.unionAll(docs))
