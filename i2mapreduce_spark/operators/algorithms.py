@@ -204,6 +204,57 @@ def connected_components(edges: DataFrame, iters: int = 8) -> DataFrame:
     return res.state.select("node", F.col("val").alias("label"))
 
 
+def apriori_levels(
+    baskets: DataFrame,
+    min_support: int,
+    max_k: int = 3,
+    item_col: str = "item",
+    basket_col: str = "basket",
+) -> dict[int, DataFrame]:
+    """Level-wise APriori (the reference's iterative form of its 4th
+    example app [PAPER §7]): L1 = frequent items; Lk extends each
+    surviving (k-1)-itemset occurrence with a larger item from the same
+    basket, counts support, prunes.
+
+    Returns {k: DataFrame(items array<...>, support)}.  The two pruning
+    rules are both applied the classic way:
+    - anti-monotone: occurrences whose itemset fell below min_support are
+      semi-join-filtered out before extending (no candidate explosion);
+    - lexicographic extension (new item > last item) generates each
+      candidate exactly once.
+
+    100TB: each level is one join + hash agg, shuffling (basket, itemset)
+    occurrences — the set the pruning just shrank; nothing is collected.
+    """
+    b = baskets.select(basket_col, item_col)
+    sup1 = (
+        b.groupBy(item_col)
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    levels = {1: sup1.select(F.array(item_col).alias("items"), "support")}
+    occs = b.join(sup1.select(item_col), item_col, "left_semi").select(
+        basket_col, F.array(item_col).alias("items")
+    )
+    for k in range(2, max_k + 1):
+        ext = (
+            occs.join(b.alias("x"), basket_col)
+            .filter(F.col(f"x.{item_col}") > F.element_at("items", -1))
+            .select(
+                basket_col,
+                F.concat("items", F.array(f"x.{item_col}")).alias("items"),
+            )
+        )
+        sup = (
+            ext.groupBy("items")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+        levels[k] = sup
+        occs = ext.join(sup.select("items"), "items", "left_semi")
+    return levels
+
+
 def kmeans(
     spark: SparkSession,
     emb_df: DataFrame,

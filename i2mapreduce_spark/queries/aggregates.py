@@ -145,6 +145,36 @@ def q_agg_approx_distinct(spark, sf_dir):
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
 
 
+def q_agg_pivot(spark, sf_dir):
+    """groupBy().pivot().agg() — wide-form reshaping (values enumerated
+    explicitly, as a 100TB pivot must be: value discovery is an extra
+    full scan).  Output columns renamed to the lowercase contract."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_open"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+def q_agg_unpivot(spark, sf_dir):
+    """unpivot/melt — long-form reshaping (the inverse surface)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.unpivot(
+        ["o_orderkey"],
+        ["o_totalprice", "o_custkey"],
+        "measure",
+        "val",
+    ).select("o_orderkey", "measure", F.col("val").cast("double").alias("val"))
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
@@ -155,6 +185,8 @@ QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_stats": q_agg_stats,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_pivot": q_agg_pivot,
+    "agg_unpivot": q_agg_unpivot,
 }
 
 ORACLES = {
@@ -215,4 +247,19 @@ ORACLES = {
         "FROM customer GROUP BY c_mktsegment"
     ),
     # agg_approx_distinct: rows-only (approximate)
+    "agg_pivot": (
+        "SELECT l_returnflag, "
+        "coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0)"
+        " AS qty_open, "
+        "coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0)"
+        " AS qty_filled "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_unpivot": (
+        "SELECT o_orderkey, 'o_totalprice' AS measure,"
+        " CAST(o_totalprice AS DOUBLE) AS val FROM orders"
+        " UNION ALL "
+        "SELECT o_orderkey, 'o_custkey' AS measure,"
+        " CAST(o_custkey AS DOUBLE) AS val FROM orders"
+    ),
 }

@@ -80,6 +80,26 @@ def q_iter_apriori_pairs(spark, sf_dir):
     )
 
 
+APRIORI_TRIPLE_SUPPORT = 2
+
+
+def q_iter_apriori_triples(spark, sf_dir):
+    """Level-wise APriori run to k=3 (the reference's iterative
+    formulation: L1 -> prune -> L2 -> prune -> L3), frequent triples with
+    support >= 2.  Hash-checked against a flat 3-way self-join — the
+    level-wise pruning must not change the answer, only the work."""
+    load_tables(spark, sf_dir)
+    levels = algorithms.apriori_levels(
+        spark.table("baskets"), min_support=APRIORI_TRIPLE_SUPPORT, max_k=3
+    )
+    return levels[3].select(
+        F.element_at("items", 1).alias("item1"),
+        F.element_at("items", 2).alias("item2"),
+        F.element_at("items", 3).alias("item3"),
+        "support",
+    )
+
+
 WARMSTART_DAMPING = 0.5  # delta decays ~d^k; 0.5 keeps the two converge
 WARMSTART_TOL = 1e-9     # runs short without weakening the fixpoint
 
@@ -129,6 +149,7 @@ QUERIES = {
     "iter_connected_components": q_iter_connected_components,
     "iter_kmeans": q_iter_kmeans,
     "iter_apriori_pairs": q_iter_apriori_pairs,
+    "iter_apriori_triples": q_iter_apriori_triples,
     "inc_iter_warmstart": q_inc_iter_warmstart,
 }
 
@@ -149,6 +170,16 @@ ORACLES = {
         "ON a.basket = b.basket AND a.item < b.item "
         "GROUP BY a.item, b.item "
         f"HAVING count(*) >= {APRIORI_MIN_SUPPORT}"
+    ),
+    "iter_apriori_triples": (
+        cte("baskets")
+        + "SELECT a.item AS item1, b.item AS item2, c.item AS item3,"
+        " count(*) AS support"
+        " FROM baskets a"
+        " JOIN baskets b ON a.basket = b.basket AND a.item < b.item"
+        " JOIN baskets c ON b.basket = c.basket AND b.item < c.item"
+        " GROUP BY 1, 2, 3"
+        f" HAVING count(*) >= {APRIORI_TRIPLE_SUPPORT}"
     ),
     # golden-checked (numpy replicas): iter_pagerank,
     # iter_connected_components, iter_kmeans, inc_iter_warmstart
