@@ -146,6 +146,20 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+def q_join_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate: orders above 1.5x the global
+    average price.  Catalyst plans the subquery as an independent
+    single-row stage broadcast into the filter — the declarative form of
+    'compute a global stat, then use it everywhere' (which MapReduce
+    needs a second job + side-file for)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+        " FROM orders"
+        " WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
 QUERIES = {
     "join_broadcast": q_join_broadcast,
     "join_shuffle_equi": q_join_shuffle_equi,
@@ -156,6 +170,7 @@ QUERIES = {
     "join_cross": q_join_cross,
     "join_range_theta": q_join_range_theta,
     "join_asof": q_join_asof,
+    "join_scalar_subquery": q_join_scalar_subquery,
 }
 
 ORACLES = {
@@ -206,5 +221,10 @@ ORACLES = {
         "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
         "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts) "
         "SELECT purchase_id, view_id FROM j WHERE rn = 1"
+    ),
+    "join_scalar_subquery": (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+        " FROM orders"
+        " WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"
     ),
 }
