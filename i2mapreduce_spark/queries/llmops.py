@@ -62,6 +62,20 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(spark.table("documents"), max_hamming=3)
 
 
+EMBED_DEDUP_THRESHOLD = 0.35  # 271 edges/500 vecs at sf0.01: small comps
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup groups: cosine >= 0.35 pairs form edges,
+    connected components form dup groups, min vec_id is kept per group —
+    the similarity kernel composed with the CC iterative operator.
+    Oracle: exact pair SQL + recursive-CTE label propagation."""
+    load_tables(spark, sf_dir)
+    return similarity.embedding_dedup_groups(
+        spark, spark.table("embeddings"), EMBED_DEDUP_THRESHOLD
+    )
+
+
 def q_sim_topk_cosine(spark, sf_dir):
     """Exact top-5 cosine neighbors per vector (numpy kernel, 4dp)."""
     load_tables(spark, sf_dir)
@@ -182,6 +196,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
@@ -201,6 +216,22 @@ ORACLES = {
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n "
         "FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d "
         "GROUP BY md5(text)"
+    ),
+    "dedup_embedding_cosine": (
+        "WITH RECURSIVE pairs AS ("
+        " SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a"
+        " JOIN embeddings b ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.embedding, b.embedding)"
+        f" >= {EMBED_DEDUP_THRESHOLD}), "
+        "edges AS (SELECT a AS src, b AS dst FROM pairs"
+        " UNION ALL SELECT b, a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "walk(node, label) AS ("
+        " SELECT node, node FROM nodes"
+        " UNION"
+        " SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node), "
+        "lab AS (SELECT node, min(label) AS label FROM walk GROUP BY node) "
+        "SELECT label AS keep_id, count(*) AS group_size FROM lab GROUP BY label"
     ),
     "dedup_near_jaccard": (
         f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
