@@ -188,19 +188,66 @@ def gimv(
         edges.unpersist()
 
 
-def connected_components(edges: DataFrame, iters: int = 8) -> DataFrame:
-    """Min-label propagation over symmetric edges: GIM-V with
-    (combine2 = neighbor label, combineAll = min, assign = least)."""
+def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
+    """Min-label CC over symmetric edges with pointer-doubling: each round
+    (1) propagates min neighbor labels (GIM-V combine2 = neighbor label,
+    combineAll = min, assign = least), then (2) shortcuts label <-
+    label-of-label.  The shortcut makes convergence O(log diameter)
+    instead of O(diameter), and a changed-label count ends the loop at the
+    TRUE fixpoint — a path graph of any length converges in ~log2(n)
+    rounds, where plain propagation with a fixed budget silently splits
+    long components.  `iters` is a safety cap, not the expected rounds.
+
+    100TB: both joins are on the label/node key; the changed-label count
+    is the reference's global fixpoint barrier (one cheap action/round).
+    """
     labels = _nodes(edges).withColumn("val", F.col("node"))
-    res = gimv(
-        edges,
-        labels,
-        combine2=lambda _w, v: v,
-        combine_all=F.min,
-        assign=lambda old, agg: F.least(old, F.coalesce(agg, old)),
-        iters=iters,
-        checkpoint_every=2,
-    )
+    edges = edges.cache()
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        s, e = state.alias("s"), edges.alias("e")
+        msgs = s.join(e, F.col("s.node") == F.col("e.src")).select(
+            F.col("e.dst").alias("node"), F.col("s.val").alias("msg")
+        )
+        agg = msgs.groupBy("node").agg(F.min("msg").alias("agg"))
+        prop = (
+            state.alias("s")
+            .join(agg.alias("a"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("s.val"), F.coalesce(F.col("a.agg"), F.col("s.val"))
+                ).alias("val"),
+            )
+        )
+        # pointer doubling: follow my label's label (renamed columns make
+        # the self-join unambiguous)
+        lut = prop.select(
+            F.col("node").alias("l_node"), F.col("val").alias("l_val")
+        )
+        return (
+            prop.alias("p")
+            .join(lut.alias("q"), F.col("p.val") == F.col("q.l_node"), "left")
+            .select(
+                F.col("p.node").alias("node"),
+                F.coalesce(F.col("q.l_val"), F.col("p.val")).alias("val"),
+            )
+        )
+
+    def changed(old: DataFrame, new: DataFrame) -> float:
+        return float(
+            old.alias("o")
+            .join(new.alias("n"), "node")
+            .filter(F.col("o.val") != F.col("n.val"))
+            .count()
+        )
+
+    try:
+        res = iterate(
+            labels, step, iters, delta_fn=changed, tol=0.5, checkpoint_every=2
+        )
+    finally:
+        edges.unpersist()
     return res.state.select("node", F.col("val").alias("label"))
 
 

@@ -221,7 +221,8 @@ ORACLES = {
         "WITH RECURSIVE pairs AS ("
         " SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a"
         " JOIN embeddings b ON a.vec_id < b.vec_id"
-        " WHERE list_cosine_similarity(a.embedding, b.embedding)"
+        " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
         f" >= {EMBED_DEDUP_THRESHOLD}), "
         "edges AS (SELECT a AS src, b AS dst FROM pairs"
         " UNION ALL SELECT b, a FROM pairs), "

@@ -79,11 +79,29 @@ def q_window_running_frame(spark, sf_dir):
     )
 
 
+_RANGE_SQL = (
+    "SELECT user_id, event_id, "
+    "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
+    "FROM events"
+)
+
+
+def q_window_range_interval(spark, sf_dir):
+    """Interval RANGE frame (value-based, vs window_running_frame's
+    row-based): events per user in the trailing hour.  Same windowed
+    state a streaming sliding aggregate keeps; duplicate ts values
+    share a frame, which ROWS frames would split."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RANGE_SQL)
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_rank_dense_ntile": q_window_rank_dense_ntile,
     "window_lag_lead": q_window_lag_lead,
     "window_running_frame": q_window_running_frame,
+    "window_range_interval": q_window_range_interval,
 }
 
 ORACLES = {
@@ -113,5 +131,11 @@ ORACLES = {
         "ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend "
         "FROM orders"
+    ),
+    "window_range_interval": (
+        "SELECT user_id, event_id, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
+        "FROM events"
     ),
 }
