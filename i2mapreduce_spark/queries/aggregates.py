@@ -175,6 +175,94 @@ def q_agg_unpivot(spark, sf_dir):
     ).select("o_orderkey", "measure", F.col("val").cast("double").alias("val"))
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median/p25/p75) per order status.
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` both use
+    linear interpolation, so the values hash-match after rounding.  100TB
+    note: exact percentile sorts each group — the production path at scale
+    is `approx_percentile` (KLL/GK sketch, constant memory), kept off the
+    hash surface like agg_approx_distinct."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+def q_agg_minmax_by(spark, sf_dir):
+    """max_by/min_by (argmax/argmin) per nation: customer name at the
+    extreme custkey.  Ordering key is unique per group, so the arg is
+    deterministic — ties on a non-unique key would be engine-defined."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("latest_cust"),
+        F.min_by("c_name", "c_custkey").alias("earliest_cust"),
+    )
+
+
+def q_agg_string_concat(spark, sf_dir):
+    """Ordered distinct string aggregation: nations per region as one
+    comma-joined sorted string (listagg surface).  Sorting before joining
+    is what makes the result order-independent of partitioning."""
+    load_tables(spark, sf_dir)
+    n = spark.table("nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations")
+    )
+
+
+def q_agg_corr_covar(spark, sf_dir):
+    """Pearson correlation + sample covariance of quantity vs discount
+    per return flag (two-pass-free: both are single-pass moment aggs with
+    partial/final merge — the same combiner shape as A2)."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+_FILTER_CLAUSE_SQL = (
+    "SELECT o_orderstatus, count(*) AS n_all, "
+    "count(*) FILTER (WHERE o_totalprice > 200000) AS n_big, "
+    "round(coalesce(sum(o_totalprice) FILTER "
+    "(WHERE o_orderpriority = '1-URGENT'), 0), 2) AS sum_urgent, "
+    "round(coalesce(avg(o_totalprice) FILTER "
+    "(WHERE year(o_orderdate) = 1997), 0), 2) AS avg_1997 "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
+def q_agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE ...) aggregates: several differently-filtered
+    aggregates in ONE scan + one agg, instead of N self-joined subqueries
+    — the declarative form of a multi-counter combiner (A2), and the
+    single-pass shape that matters at 100TB."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+def q_agg_histogram_bins(spark, sf_dir):
+    """Fixed-width histogram of order prices: integer bin ids from
+    floor(x/width) — a width_bucket equivalent that stays in the integer
+    domain (deterministic cross-engine, no float-edge flapping)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / F.lit(100000.0)).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
@@ -187,6 +275,12 @@ QUERIES = {
     "agg_approx_distinct": q_agg_approx_distinct,
     "agg_pivot": q_agg_pivot,
     "agg_unpivot": q_agg_unpivot,
+    "agg_percentiles": q_agg_percentiles,
+    "agg_minmax_by": q_agg_minmax_by,
+    "agg_string_concat": q_agg_string_concat,
+    "agg_corr_covar": q_agg_corr_covar,
+    "agg_histogram_bins": q_agg_histogram_bins,
+    "agg_filter_clause": q_agg_filter_clause,
 }
 
 ORACLES = {
@@ -247,6 +341,35 @@ ORACLES = {
         "FROM customer GROUP BY c_mktsegment"
     ),
     # agg_approx_distinct: rows-only (approximate)
+    "agg_percentiles": (
+        "SELECT o_orderstatus, "
+        "round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 2) AS p25, "
+        "round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS p50, "
+        "round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 2) AS p75 "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    "agg_minmax_by": (
+        "SELECT c_nationkey, max_by(c_name, c_custkey) AS latest_cust, "
+        "min_by(c_name, c_custkey) AS earliest_cust "
+        "FROM customer GROUP BY c_nationkey"
+    ),
+    "agg_string_concat": (
+        "SELECT n_regionkey, "
+        "string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+    "agg_corr_covar": (
+        "SELECT l_returnflag, "
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+        "round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_filter_clause": _FILTER_CLAUSE_SQL,
+    "agg_histogram_bins": (
+        "SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bin, "
+        "count(*) AS n, round(avg(o_totalprice), 2) AS avg_price "
+        "FROM orders GROUP BY 1"
+    ),
     "agg_pivot": (
         "SELECT l_returnflag, "
         "coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0)"

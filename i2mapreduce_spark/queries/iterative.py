@@ -100,6 +100,31 @@ def q_iter_apriori_triples(spark, sf_dir):
     )
 
 
+GIMV_ITERS = 3
+
+
+def q_iter_gimv(spark, sf_dir):
+    """GIM-V (the reference's PEGASUS-model example app) in the counting
+    semiring: v0 = 1, v'(n) = sum over in-edges of v(src) — combine2 =
+    identity, combineAll = sum, assign = replace-with-agg.  After 3
+    iterations v(n) = the number of 3-step walks ending at n.  Stays in
+    the integer domain, so this is the one GIM-V instantiation that
+    hash-checks exactly against plain chained SQL (no float reduce-order
+    drift) — pagerank/kmeans stay golden-checked instead."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp")
+    state0 = algorithms._nodes(edges).withColumn("val", F.lit(1).cast("long"))
+    res = algorithms.gimv(
+        edges,
+        state0,
+        combine2=lambda _w, v: v,
+        combine_all=F.sum,
+        assign=lambda _old, agg: F.coalesce(agg, F.lit(0).cast("long")),
+        iters=GIMV_ITERS,
+    )
+    return res.state.select("node", F.col("val").alias("walks3"))
+
+
 WARMSTART_DAMPING = 0.5  # delta decays ~d^k; 0.5 keeps the two converge
 WARMSTART_TOL = 1e-9     # runs short without weakening the fixpoint
 
@@ -150,6 +175,7 @@ QUERIES = {
     "iter_kmeans": q_iter_kmeans,
     "iter_apriori_pairs": q_iter_apriori_pairs,
     "iter_apriori_triples": q_iter_apriori_triples,
+    "iter_gimv": q_iter_gimv,
     "inc_iter_warmstart": q_inc_iter_warmstart,
 }
 
@@ -180,6 +206,24 @@ ORACLES = {
         " JOIN baskets c ON b.basket = c.basket AND b.item < c.item"
         " GROUP BY 1, 2, 3"
         f" HAVING count(*) >= {APRIORI_TRIPLE_SUPPORT}"
+    ),
+    "iter_gimv": (
+        _EDGES_PP
+        + ", nodes AS (SELECT src AS node FROM edges_pp"
+        " UNION SELECT dst FROM edges_pp), "
+        "v0 AS (SELECT node, CAST(1 AS BIGINT) AS val FROM nodes), "
+        "m1 AS (SELECT e.dst AS node, CAST(sum(v.val) AS BIGINT) AS agg"
+        " FROM edges_pp e JOIN v0 v ON v.node = e.src GROUP BY e.dst), "
+        "v1 AS (SELECT n.node, coalesce(m.agg, 0) AS val"
+        " FROM nodes n LEFT JOIN m1 m ON m.node = n.node), "
+        "m2 AS (SELECT e.dst AS node, CAST(sum(v.val) AS BIGINT) AS agg"
+        " FROM edges_pp e JOIN v1 v ON v.node = e.src GROUP BY e.dst), "
+        "v2 AS (SELECT n.node, coalesce(m.agg, 0) AS val"
+        " FROM nodes n LEFT JOIN m2 m ON m.node = n.node), "
+        "m3 AS (SELECT e.dst AS node, CAST(sum(v.val) AS BIGINT) AS agg"
+        " FROM edges_pp e JOIN v2 v ON v.node = e.src GROUP BY e.dst) "
+        "SELECT n.node, coalesce(m.agg, 0) AS walks3"
+        " FROM nodes n LEFT JOIN m3 m ON m.node = n.node"
     ),
     # golden-checked (numpy replicas): iter_pagerank,
     # iter_connected_components, iter_kmeans, inc_iter_warmstart

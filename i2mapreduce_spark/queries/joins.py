@@ -146,6 +146,34 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER: every nation key seen on either side of a
+    customer/supplier split, with per-side distinct counts and NULL-safe
+    coalesced output.  Both sides restricted to disjoint-ish key ranges so
+    each outer arm (left-only, right-only, both) is exercised."""
+    load_tables(spark, sf_dir)
+    c = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") <= 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        spark.table("supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
 def q_join_scalar_subquery(spark, sf_dir):
     """Scalar subquery in a predicate: orders above 1.5x the global
     average price.  Catalyst plans the subquery as an independent
@@ -171,9 +199,19 @@ QUERIES = {
     "join_range_theta": q_join_range_theta,
     "join_asof": q_join_asof,
     "join_scalar_subquery": q_join_scalar_subquery,
+    "join_full_outer": q_join_full_outer,
 }
 
 ORACLES = {
+    "join_full_outer": (
+        "WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust"
+        " FROM customer WHERE c_nationkey <= 15 GROUP BY 1), "
+        "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp"
+        " FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) "
+        "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, "
+        "coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp "
+        "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey"
+    ),
     "join_broadcast": (
         "SELECT n_nationkey, n_name, r_name FROM nation "
         "JOIN region ON n_regionkey = r_regionkey"

@@ -191,6 +191,21 @@ def q_multimodal_extract(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: one binary payload -> N fixed-stride
+    frame rows through an Arrow-batched mapInPandas explode (the 1->N
+    stage shape real frame extraction uses).  The fixture payload is
+    text-as-bytes (ASCII, so byte slicing == char slicing), which makes
+    the sampled frames expressible in SQL — hash-checked, unlike the
+    stubbed decoder in multimodal_extract."""
+    load_tables(spark, sf_dir)
+    wrapped = multimodal.attach_binary_payload(spark.table("documents"))
+    frames = multimodal.frame_sample(wrapped, every_n=10)
+    return frames.select(
+        "doc_id", "frame_off", F.col("frame").cast("string").alias("frame_s")
+    )
+
+
 QUERIES = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_near_jaccard": q_dedup_near_jaccard,
@@ -209,6 +224,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_join": q_multimodal_join,
     "multimodal_extract": q_multimodal_extract,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -304,6 +320,13 @@ ORACLES = {
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, "
         "substr(text, 1, 20) AS text_pfx "
         "FROM documents JOIN embeddings ON doc_id = vec_id"
+    ),
+    "multimodal_frame_sample": (
+        "WITH idx AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, CAST(ceil(length(text)/10.0) AS BIGINT))) AS n "
+        "FROM documents) "
+        "SELECT doc_id, CAST((n-1)*10 AS INT) AS frame_off, "
+        "substring(text, CAST((n-1)*10+1 AS INT), 10) AS frame_s FROM idx"
     ),
     # rows-only: dedup_minhash_lsh, dedup_simhash, sim_ann_lsh (probabilistic
     # scale paths), text_lang_id (heuristic model), text_fingerprint

@@ -100,6 +100,42 @@ def q_fn_struct_map(spark, sf_dir):
     )
 
 
+def q_fn_bitwise_conditional(spark, sf_dir):
+    """Bitwise &,|,xor,shifts + nullif/greatest/least on integer keys.
+
+    Dialect trap: `^` is xor in Spark but POWER in DuckDB — the oracle
+    uses xor().  All integer-domain, so no rounding needed."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(15)).alias("k_or"),
+        k.bitwiseXOR(F.lit(170)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.nullif((k % 10), F.lit(0)).alias("mod_nz"),
+        F.greatest(k % 7, k % 5, k % 3).alias("g_mod"),
+        F.least(k % 7, k % 5, k % 3).alias("l_mod"),
+    )
+
+
+def q_fn_interval_arith(spark, sf_dir):
+    """Calendar interval arithmetic on timestamps: +30 days, -1 month,
+    +90 minutes.  Month math is calendar-aware (Jan 31 - 1 month clamps)
+    and both engines clamp identically; all values NTZ-UTC (SURVEY A.3)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 30 DAYS")).cast("timestamp_ntz").alias("due_ts"),
+        (d - F.expr("INTERVAL 1 MONTH")).cast("timestamp_ntz").alias("prev_mon_ts"),
+        (d + F.expr("INTERVAL 90 MINUTES")).cast("timestamp_ntz").alias("review_ts"),
+    )
+
+
 QUERIES = {
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -107,9 +143,30 @@ QUERIES = {
     "fn_array": q_fn_array,
     "fn_json": q_fn_json,
     "fn_struct_map": q_fn_struct_map,
+    "fn_bitwise_conditional": q_fn_bitwise_conditional,
+    "fn_interval_arith": q_fn_interval_arith,
 }
 
 ORACLES = {
+    "fn_bitwise_conditional": (
+        "SELECT o_orderkey, "
+        "o_orderkey & 255 AS k_and, "
+        "o_orderkey | 15 AS k_or, "
+        "xor(o_orderkey, 170) AS k_xor, "
+        "o_orderkey << 2 AS k_shl, "
+        "o_orderkey >> 3 AS k_shr, "
+        "nullif(o_orderkey % 10, 0) AS mod_nz, "
+        "greatest(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS g_mod, "
+        "least(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS l_mod "
+        "FROM orders"
+    ),
+    "fn_interval_arith": (
+        "SELECT o_orderkey, "
+        "o_orderdate + INTERVAL 30 DAY AS due_ts, "
+        "o_orderdate - INTERVAL 1 MONTH AS prev_mon_ts, "
+        "o_orderdate + INTERVAL 90 MINUTE AS review_ts "
+        "FROM orders"
+    ),
     "fn_string": (
         "SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 10) AS text_pfx, "
         "concat(lang, ':', source) AS lang_src, length(text) AS text_len, "

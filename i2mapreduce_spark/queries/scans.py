@@ -86,6 +86,41 @@ def q_source_text_kv(spark, sf_dir):
     )
 
 
+def q_source_orc_roundtrip(spark, sf_dir):
+    """supplier -> ORC sink -> ORC source (the second columnar format;
+    exercises Spark's native ORC reader/writer alongside parquet).
+    Lossless for these exact types, so it hash-checks vs the base table."""
+    load_tables(spark, sf_dir)
+    supplier = spark.table("supplier")
+    out = tempfile.mkdtemp(prefix="i2mr_orc_") + "/supplier"
+    supplier.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+def q_sink_partitioned_pruning(spark, sf_dir):
+    """Hive-style partitioned sink + partition-pruned source: write orders
+    partitioned by o_orderstatus, read back ONLY the 'F' directory.  The
+    filter prunes at the directory level — a 100TB table partitioned on a
+    low-cardinality key skips whole partitions before any IO (tests assert
+    the plan's PartitionFilters).  Hash-checks against a plain filter on
+    the base table, proving the sink/source cycle is lossless."""
+    load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="i2mr_part_") + "/orders_by_status"
+    o = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        # partition column round-trips as the directory value (string in
+        # the hive layout) — cast back to the base type for the oracle
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
     "scan_project_prune": q_scan_project_prune,
@@ -94,6 +129,8 @@ QUERIES = {
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "source_text_kv": q_source_text_kv,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
+    "sink_partitioned_pruning": q_sink_partitioned_pruning,
 }
 
 ORACLES = {
@@ -106,5 +143,10 @@ ORACLES = {
     "source_text_kv": (
         "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars,"
         " count(DISTINCT doc_id) AS n_keys FROM documents"
+    ),
+    "source_orc_roundtrip": "SELECT * FROM supplier",
+    "sink_partitioned_pruning": (
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, "
+        "o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
     ),
 }

@@ -49,11 +49,29 @@ def q_setop_except(spark, sf_dir):
     return _cust_nations(spark).subtract(_supp_nations(spark, 20))
 
 
+def q_setop_intersect_all(spark, sf_dir):
+    """Bag INTERSECT ALL: multiplicity = min(copies left, copies right).
+    Spark plans this as a hash agg of per-side counts, not a join of
+    distinct rows — the bag semantics survive duplicates."""
+    load_tables(spark, sf_dir)
+    return _cust_nations(spark).intersectAll(_supp_nations(spark))
+
+
+def q_setop_except_all(spark, sf_dir):
+    """Bag EXCEPT ALL: each right copy cancels ONE left copy (vs
+    setop_except which removes all).  Customer nations minus one copy per
+    supplier occurrence."""
+    load_tables(spark, sf_dir)
+    return _cust_nations(spark).exceptAll(_supp_nations(spark))
+
+
 QUERIES = {
     "setop_union_all": q_setop_union_all,
     "setop_union_distinct": q_setop_union_distinct,
     "setop_intersect": q_setop_intersect,
     "setop_except": q_setop_except,
+    "setop_intersect_all": q_setop_intersect_all,
+    "setop_except_all": q_setop_except_all,
 }
 
 ORACLES = {
@@ -72,5 +90,13 @@ ORACLES = {
     "setop_except": (
         "SELECT c_nationkey AS nationkey FROM customer "
         "EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey <= 20"
+    ),
+    "setop_intersect_all": (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT ALL SELECT s_nationkey FROM supplier"
+    ),
+    "setop_except_all": (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "EXCEPT ALL SELECT s_nationkey FROM supplier"
     ),
 }

@@ -178,6 +178,23 @@ def q_inc_delta_retract(spark, sf_dir):
     )
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static dimension enrichment: each event joined against a
+    small static per-user dim (first-seen timestamp) to emit the event's
+    age in integer microseconds.  In Structured Streaming this exact
+    transform is a broadcast join against the static side evaluated per
+    micro-batch with NO state store (tests/test_streaming.py runs it
+    through the chunked stream harness); at 100TB the dim stays broadcast
+    and the event stream never shuffles."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return ev.join(F.broadcast(dim), "user_id").select(
+        "user_id", "event_id", (us("ts") - us("first_seen")).alias("age_us")
+    )
+
+
 def q_stream_late_watermark(spark, sf_dir):
     """A real Structured Streaming run: tumbling per-hour counts in append
     mode with a 10-min watermark, fed 3 delta chunks in which a slice of
@@ -227,10 +244,18 @@ QUERIES = {
     "stream_stateful_running": q_stream_stateful_running,
     "inc_delta_retract": q_inc_delta_retract,
     "inc_mapreduce_wordcount": q_inc_mapreduce_wordcount,
+    "stream_static_join": q_stream_static_join,
     "stream_late_watermark": q_stream_late_watermark,
 }
 
 ORACLES = {
+    "stream_static_join": (
+        "WITH dim AS (SELECT user_id, min(ts) AS first_seen"
+        " FROM events GROUP BY user_id) "
+        "SELECT e.user_id, e.event_id,"
+        " epoch_us(e.ts) - epoch_us(d.first_seen) AS age_us"
+        " FROM events e JOIN dim d ON e.user_id = d.user_id"
+    ),
     "stream_tumbling_window": (
         "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,"
         " round(sum(value), 2) AS total FROM events GROUP BY 1, 2"

@@ -96,12 +96,52 @@ def q_window_range_interval(spark, sf_dir):
     return spark.sql(_RANGE_SQL)
 
 
+def q_window_first_last_nth(spark, sf_dir):
+    """first_value / last_value / nth_value over the FULL partition frame
+    (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING).  The explicit frame
+    matters: the default frame ends at CURRENT ROW, which silently turns
+    last_value into a running value — a classic window trap in both
+    engines.  Order (o_orderdate, o_orderkey) is unique -> deterministic."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+def q_window_cume_dist(spark, sf_dir):
+    """cume_dist per order status by price band: value-based, so tied
+    rows share a value — deterministic without a tiebreak (unlike
+    row_number).  Banding prices to integers forces real ties."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    band = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    w = Window.partitionBy("o_orderstatus").orderBy(band)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        band.alias("band"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_rank_dense_ntile": q_window_rank_dense_ntile,
     "window_lag_lead": q_window_lag_lead,
     "window_running_frame": q_window_running_frame,
     "window_range_interval": q_window_range_interval,
+    "window_first_last_nth": q_window_first_last_nth,
+    "window_cume_dist": q_window_cume_dist,
 }
 
 ORACLES = {
@@ -137,5 +177,21 @@ ORACLES = {
         "count(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
         "FROM events"
+    ),
+    "window_first_last_nth": (
+        "SELECT o_custkey, o_orderkey, "
+        "first_value(o_orderkey) OVER w AS first_order, "
+        "last_value(o_orderkey) OVER w AS last_order, "
+        "nth_value(o_orderkey, 2) OVER w AS second_order "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "window_cume_dist": (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS band, "
+        "round(cume_dist() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)), 4) AS cdist "
+        "FROM orders"
     ),
 }

@@ -58,6 +58,21 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen" in plan or "codegen id" in plan, plan
 
 
+def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on a hive partition column must prune at the directory
+    level (PartitionFilters), not as a data filter — at 100TB this skips
+    whole partitions before any IO."""
+    load_tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_status")
+    spark.table("orders").select("o_orderkey", "o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200], plan
+
+
 def test_topn_uses_take_ordered(spark, sf_dir):
     """orderBy().limit(n) must not globally sort (TakeOrderedAndProject)."""
     load_tables(spark, sf_dir)

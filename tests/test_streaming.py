@@ -97,6 +97,24 @@ def test_dedup_stream_equals_batch(spark, sf_dir):
     assert _rows(streamed) == _rows(dedup_transform(ev))
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment: a static dim broadcast-joined inside each
+    micro-batch (no state store) must enrich exactly as the batch join."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").select(
+            "user_id", "event_id", (us("ts") - us("first_seen")).alias("age_us")
+        )
+
+    chunks = chunk_events(spark, ev, n=3)
+    streamed = stream_over_chunks(spark, chunks, enrich, "append", "enrich_sink")
+    assert _rows(streamed) == _rows(enrich(ev))
+
+
 def test_fold_delta_equals_batch_recompute(spark, sf_dir):
     """A11/A13: folding 3 delta batches into preserved state == batch
     recompute, and each fold touches only partial aggregates."""
