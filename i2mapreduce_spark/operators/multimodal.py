@@ -88,6 +88,47 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
     )
 
 
+def resize(df: DataFrame, out_w: int = 8, out_h: int = 6,
+           fake: bool = True, id_col: str = "doc_id") -> DataFrame:
+    """Image-resize stage shape: payload -> decode (stubbed) -> H x W
+    pixel grid -> area-average pool to a fixed out_h x out_w grid, via
+    Arrow-batched mapInPandas.  Output is the flattened grid reduced to
+    scalars (mean + two corner cells) so downstream stays flat-columnar.
+
+    The fake 'image' tiles the payload bytes to meta.height x meta.width
+    (np.resize pad-by-repeat — deterministic); pooling uses integer bucket
+    maps, so the result is exactly reproducible across partitionings.
+    """
+    def _resize(batches):
+        for pdf in batches:
+            ids, means, c00s, clasts = [], [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                arr = decode_stub(bytes(payload), meta["modality"], fake=fake)
+                h, w = int(meta["height"]), int(meta["width"])
+                img = np.resize(arr, (h, w))
+                ys = (np.arange(h) * out_h) // h
+                xs = (np.arange(w) * out_w) // w
+                pooled = np.zeros((out_h, out_w))
+                cnt = np.zeros((out_h, out_w))
+                np.add.at(pooled, (ys[:, None], xs[None, :]), img)
+                np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+                grid = pooled / np.maximum(cnt, 1.0)
+                ids.append(did)
+                means.append(round(float(grid.mean()), 4))
+                c00s.append(round(float(grid[0, 0]), 4))
+                clasts.append(round(float(grid[-1, -1]), 4))
+            yield pd.DataFrame({
+                id_col: ids, "px_mean": means, "px_c00": c00s, "px_last": clasts,
+            })
+
+    return df.mapInPandas(
+        _resize,
+        schema=f"{id_col} long, px_mean double, px_c00 double, px_last double",
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling stage shape: one payload -> N frame rows (1->N
     explode through mapInPandas, like video frame extraction)."""

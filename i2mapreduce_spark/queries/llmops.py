@@ -206,6 +206,14 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (stubbed decoder, real mapInPandas pooling
+    stage).  Rows-only; determinism + range invariants in pytest."""
+    load_tables(spark, sf_dir)
+    wrapped = multimodal.attach_binary_payload(spark.table("documents"))
+    return multimodal.resize(wrapped, out_w=8, out_h=6, fake=True)
+
+
 QUERIES = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_near_jaccard": q_dedup_near_jaccard,
@@ -225,6 +233,7 @@ QUERIES = {
     "multimodal_join": q_multimodal_join,
     "multimodal_extract": q_multimodal_extract,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -330,5 +339,6 @@ ORACLES = {
     ),
     # rows-only: dedup_minhash_lsh, dedup_simhash, sim_ann_lsh (probabilistic
     # scale paths), text_lang_id (heuristic model), text_fingerprint
-    # (order-sensitive hash), multimodal_extract (stubbed decoder)
+    # (order-sensitive hash), multimodal_extract + multimodal_resize
+    # (stubbed decoder)
 }

@@ -178,6 +178,58 @@ def q_inc_delta_retract(spark, sf_dir):
     )
 
 
+JOIN_WINDOW = "4 hours"             # purchase attributes to views this recent
+JOIN_WATERMARK = "12 hours"         # state eviction bound (> JOIN_WINDOW)
+
+
+def _views_purchases(spark):
+    ev = spark.table("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    return views, purchases
+
+
+def interval_join_transform(views, purchases):
+    """Stream-stream inner interval join: every (view, purchase) pair of
+    the same user with vts <= pts <= vts + JOIN_WINDOW.  Both sides are
+    watermarked (state eviction: a buffered view can be dropped once the
+    purchase watermark passes vts + window) — the canonical two-feed
+    correlation the reference would need two MRBG-keyed jobs for.
+    Works identically on batch DataFrames, which is what the hash-checked
+    driver entry runs; tests replay it as two real file-source streams."""
+    v = views.withColumn("vts", F.col("vts").cast("timestamp")).withWatermark(
+        "vts", JOIN_WATERMARK
+    )
+    p = purchases.withColumn("pts", F.col("pts").cast("timestamp")).withWatermark(
+        "pts", JOIN_WATERMARK
+    )
+    cond = (
+        (v.user_id == p.user_id)
+        & (p.pts >= v.vts)
+        & (p.pts <= v.vts + F.expr(f"INTERVAL {JOIN_WINDOW}"))
+    )
+    us = F.unix_micros
+    return v.join(p, cond).select(
+        v.user_id.alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (us(p.pts) - us(v.vts)).alias("lag_us"),
+    )
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """Batch surface of the stream-stream interval join (hash-checked);
+    tests/test_streaming.py runs the SAME transform over two live
+    file-source streams and asserts equality."""
+    load_tables(spark, sf_dir)
+    views, purchases = _views_purchases(spark)
+    return interval_join_transform(views, purchases)
+
+
 def q_stream_static_join(spark, sf_dir):
     """Stream-static dimension enrichment: each event joined against a
     small static per-user dim (first-seen timestamp) to emit the event's
@@ -245,6 +297,7 @@ QUERIES = {
     "inc_delta_retract": q_inc_delta_retract,
     "inc_mapreduce_wordcount": q_inc_mapreduce_wordcount,
     "stream_static_join": q_stream_static_join,
+    "stream_stream_join": q_stream_stream_join,
     "stream_late_watermark": q_stream_late_watermark,
 }
 
@@ -255,6 +308,13 @@ ORACLES = {
         "SELECT e.user_id, e.event_id,"
         " epoch_us(e.ts) - epoch_us(d.first_seen) AS age_us"
         " FROM events e JOIN dim d ON e.user_id = d.user_id"
+    ),
+    "stream_stream_join": (
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,"
+        " epoch_us(p.ts) - epoch_us(v.ts) AS lag_us"
+        " FROM events v JOIN events p ON v.user_id = p.user_id"
+        " AND v.event_type = 'view' AND p.event_type = 'purchase'"
+        " AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '4 hours'"
     ),
     "stream_tumbling_window": (
         "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,"

@@ -119,6 +119,56 @@ def stream_over_chunks(
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def stream_over_two_sources(
+    spark: SparkSession,
+    left_chunks: list[DataFrame],
+    right_chunks: list[DataFrame],
+    transform: Callable[[DataFrame, DataFrame], DataFrame],
+    output_mode: str,
+    query_name: str,
+) -> DataFrame:
+    """Two-stream variant of stream_over_chunks for stream-stream joins:
+    two file sources advance in lockstep (left chunk i, right chunk i,
+    then processAllAvailable) so both watermarks move together — the
+    deterministic replay of two correlated delta feeds."""
+    dirs = [tempfile.mkdtemp(prefix=f"i2mr-2stream-{query_name}-{s}-")
+            for s in ("l", "r", "ckpt")]
+    try:
+        streams = [
+            spark.readStream.schema(chunks[0].schema).parquet(d)
+            for chunks, d in ((left_chunks, dirs[0]), (right_chunks, dirs[1]))
+        ]
+        q = (
+            transform(*streams)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", dirs[2])
+            .start()
+        )
+        try:
+            for i in range(max(len(left_chunks), len(right_chunks))):
+                for chunks, d in ((left_chunks, dirs[0]), (right_chunks, dirs[1])):
+                    if i >= len(chunks):
+                        continue
+                    stage = os.path.join(d, f"_stage_{i}")
+                    chunks[i].write.parquet(stage)
+                    for j, f in enumerate(sorted(os.listdir(stage))):
+                        if f.endswith(".parquet"):
+                            os.rename(
+                                os.path.join(stage, f),
+                                os.path.join(d, f"chunk-{i}-{j}.parquet"),
+                            )
+                    shutil.rmtree(stage, ignore_errors=True)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(query_name).localCheckpoint(eager=True)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def fold_delta(
     state: DataFrame | None,
     delta: DataFrame,

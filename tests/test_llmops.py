@@ -119,6 +119,32 @@ def test_multimodal_frame_sample_shape(spark, sf_dir, docs):
         assert sorted(r.frame_off for r in rows) == list(range(0, total, 10))
 
 
+def test_multimodal_resize_deterministic_and_ranged(spark, sf_dir, docs):
+    """Resize pooling: repartition-independent, byte-valued range, and a
+    numpy replica agrees exactly on one row."""
+    import numpy as np
+
+    wrapped = multimodal.attach_binary_payload(docs.limit(20))
+    a = sorted(multimodal.resize(wrapped).collect())
+    b = sorted(multimodal.resize(wrapped.repartition(7)).collect())
+    assert a == b
+    for r in a:
+        assert 0.0 <= r.px_c00 <= 255.0 and 0.0 <= r.px_mean <= 255.0
+
+    src = wrapped.orderBy("doc_id").first()
+    arr = np.frombuffer(bytes(src.payload), dtype=np.uint8).astype(np.float64)
+    h, w = src.meta.height, src.meta.width
+    img = np.resize(arr, (h, w))
+    ys, xs = (np.arange(h) * 6) // h, (np.arange(w) * 8) // w
+    pooled, cnt = np.zeros((6, 8)), np.zeros((6, 8))
+    np.add.at(pooled, (ys[:, None], xs[None, :]), img)
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    grid = pooled / np.maximum(cnt, 1.0)
+    got = next(r for r in a if r.doc_id == src.doc_id)
+    assert got.px_c00 == round(float(grid[0, 0]), 4)
+    assert got.px_mean == round(float(grid.mean()), 4)
+
+
 def test_lang_id_deterministic_and_sane(spark):
     df = spark.createDataFrame(
         [(1, "the running and jumping motion"), (2, "der schönen einen sprache")],

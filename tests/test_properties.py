@@ -90,6 +90,64 @@ def test_union_distinct_consistent_with_union_all(spark, sf_dir):
     assert ud.count() == ua.distinct().count()
 
 
+def test_bag_setops_partition_multiplicities(spark, sf_dir):
+    """Bag algebra: per key, |INTERSECT ALL| = min(l,r) and
+    |EXCEPT ALL| = max(l-r, 0); together they partition the left bag."""
+    load_tables(spark, sf_dir)
+    ia = QUERIES["setop_intersect_all"](spark, sf_dir).groupBy("nationkey").count()
+    ea = QUERIES["setop_except_all"](spark, sf_dir).groupBy("nationkey").count()
+    l = (
+        spark.table("customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("l"))
+    )
+    r = (
+        spark.table("supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("r"))
+    )
+    joined = (
+        l.join(r, "nationkey", "full_outer")
+        .join(ia.withColumnRenamed("count", "ia"), "nationkey", "left")
+        .join(ea.withColumnRenamed("count", "ea"), "nationkey", "left")
+        .fillna(0)
+    )
+    bad = joined.filter(
+        (F.col("ia") != F.least("l", "r"))
+        | (F.col("ea") != F.greatest(F.col("l") - F.col("r"), F.lit(0)))
+    )
+    assert bad.count() == 0
+
+
+def test_full_outer_covers_both_sides(spark, sf_dir):
+    """FULL OUTER keys = left keys ∪ right keys, and per-side counts in
+    the joined output match each side's own aggregation."""
+    load_tables(spark, sf_dir)
+    fo = QUERIES["join_full_outer"](spark, sf_dir)
+    c_keys = {
+        r.nationkey
+        for r in spark.table("customer")
+        .filter("c_nationkey <= 15")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .collect()
+    }
+    s_keys = {
+        r.nationkey
+        for r in spark.table("supplier")
+        .filter("s_nationkey >= 10")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+        .collect()
+    }
+    rows = {r.nationkey: (r.n_cust, r.n_supp) for r in fo.collect()}
+    assert set(rows) == c_keys | s_keys
+    for k in c_keys - s_keys:
+        assert rows[k][1] == 0
+    for k in s_keys - c_keys:
+        assert rows[k][0] == 0
+
+
 def test_warmstart_state_matches_cold_fixpoint(spark, sf_dir):
     """Warm and cold starts must converge to the SAME fixpoint (the warm
     start saves iterations, never changes the answer)."""

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from i2mapreduce_spark.catalog import load_tables
 from i2mapreduce_spark.queries.streaming_q import (
     LATE_EVERY,
+    _views_purchases,
     dedup_transform,
+    interval_join_transform,
     late_tumbling_transform,
     tumbling_transform,
 )
@@ -21,6 +23,7 @@ from i2mapreduce_spark.streaming.incremental import (
     fold_delta,
     fold_delta_ops,
     stream_over_chunks,
+    stream_over_two_sources,
 )
 
 
@@ -95,6 +98,34 @@ def test_dedup_stream_equals_batch(spark, sf_dir):
         spark, chunks, dedup_transform, "append", "dedup_sink"
     )
     assert _rows(streamed) == _rows(dedup_transform(ev))
+
+
+def _chunk_by(df, ts_col, n=3):
+    """Chronological n-way split on (ts_col, id) — like chunk_events but
+    for the renamed view/purchase frames."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(ts_col, df.columns[1])
+    tiled = df.withColumn("_c", F.ntile(n).over(w) - 1).localCheckpoint(eager=True)
+    return [tiled.filter(F.col("_c") == i).drop("_c") for i in range(n)]
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The interval join over two REAL file-source streams advancing in
+    lockstep must emit exactly the batch join's pairs: chronological
+    arrival keeps every buffered view inside the watermark bound, so
+    state eviction never drops a matchable row."""
+    load_tables(spark, sf_dir)
+    views, purchases = _views_purchases(spark)
+    streamed = stream_over_two_sources(
+        spark,
+        _chunk_by(views, "vts"),
+        _chunk_by(purchases, "pts"),
+        interval_join_transform,
+        "append",
+        "ssjoin_sink",
+    )
+    assert _rows(streamed) == _rows(interval_join_transform(views, purchases))
 
 
 def test_stream_static_join_equals_batch(spark, sf_dir):
