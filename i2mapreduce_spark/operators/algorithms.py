@@ -309,6 +309,8 @@ def kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centroids: np.ndarray | None = None,
+    tol: float | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """K-means with deterministic seeding (the k smallest ids) and
     deterministic tie-break (lowest centroid id wins argmin).
@@ -317,11 +319,20 @@ def kmeans(
     (k x dim — tiny); the centroid update aggregates per (cluster, dim)
     distributed-side, so only k*dim numbers ever reach the driver.
     Returns (assignments DataFrame, final centroids ndarray).
+
+    `init_centroids` warm-starts from a prior model (ref op A13: seed the
+    restarted loop with the previously converged state); with `tol` set
+    the loop stops once the max centroid shift falls below it, and
+    `kmeans.last_iters_run` records how many iterations ran — the
+    warm-start saving the reference demonstrates, in miniature.
     """
-    seeds = (
-        emb_df.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
-    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    if init_centroids is not None:
+        centroids = np.asarray(init_centroids, dtype=np.float64).copy()
+    else:
+        seeds = (
+            emb_df.orderBy(id_col).limit(k).select(vec_col).collect()
+        )
+        centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
 
     def make_kernel(bc):
         # factory, not a loop closure: all loop iterations would share one
@@ -348,6 +359,7 @@ def kmeans(
         return assign_kernel
 
     assign = None
+    kmeans.last_iters_run = 0
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(centroids)
         assign = emb_df.select(id_col, vec_col).mapInPandas(
@@ -364,6 +376,10 @@ def kmeans(
         new_c = centroids.copy()
         for r in upd:
             new_c[r.cluster][r.dim] = r.mu
+        shift = float(np.abs(new_c - centroids).max())
         centroids = new_c
+        kmeans.last_iters_run += 1
+        if tol is not None and shift <= tol:
+            break
 
     return assign, centroids

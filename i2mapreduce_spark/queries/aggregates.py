@@ -263,6 +263,21 @@ def q_agg_histogram_bins(spark, sf_dir):
     )
 
 
+def q_agg_bool_bitwise(spark, sf_dir):
+    """Boolean (bool_and/bool_or) and bitwise (bit_and/bit_or/bit_xor)
+    aggregates per order status — all exact integer/boolean domain, all
+    partial-aggregable (A2 combiner shape)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("bool_and(o_totalprice > 1000)").alias("all_over_1k"),
+        F.expr("bool_or(o_totalprice > 500000)").alias("any_over_500k"),
+        F.expr("bit_and(o_orderkey)").alias("key_band"),
+        F.expr("bit_or(o_orderkey)").alias("key_bor"),
+        F.expr("bit_xor(o_orderkey)").alias("key_bxor"),
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
@@ -281,6 +296,7 @@ QUERIES = {
     "agg_corr_covar": q_agg_corr_covar,
     "agg_histogram_bins": q_agg_histogram_bins,
     "agg_filter_clause": q_agg_filter_clause,
+    "agg_bool_bitwise": q_agg_bool_bitwise,
 }
 
 ORACLES = {
@@ -365,6 +381,15 @@ ORACLES = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "agg_filter_clause": _FILTER_CLAUSE_SQL,
+    "agg_bool_bitwise": (
+        "SELECT o_orderstatus, "
+        "bool_and(o_totalprice > 1000) AS all_over_1k, "
+        "bool_or(o_totalprice > 500000) AS any_over_500k, "
+        "bit_and(o_orderkey) AS key_band, "
+        "bit_or(o_orderkey) AS key_bor, "
+        "bit_xor(o_orderkey) AS key_bxor "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
     "agg_histogram_bins": (
         "SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bin, "
         "count(*) AS n, round(avg(o_totalprice), 2) AS avg_price "

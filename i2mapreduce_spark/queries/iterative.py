@@ -103,6 +103,37 @@ def q_iter_apriori_triples(spark, sf_dir):
 GIMV_ITERS = 3
 
 
+def q_iter_sssp_weighted(spark, sf_dir):
+    """Weighted SSSP as GIM-V in the min-plus (tropical) semiring:
+    combine2 = dist + edge weight, combineAll = min, assign = least —
+    4 Bellman-Ford relaxation rounds = exact min cost over paths of <= 4
+    edges.  Weights are derived deterministically from the keys
+    ((src+dst) % 7 + 1) so both engines see the same graph; hash-checked
+    against a DuckDB recursive CTE."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("int")
+    )
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    state0 = algorithms._nodes(edges).withColumn(
+        "val",
+        F.when(F.col("node") == source, F.lit(0)).cast("int"),
+    )
+    res = algorithms.gimv(
+        edges,
+        state0,
+        combine2=lambda w, v: v + w,
+        combine_all=F.min,
+        assign=lambda old, agg: F.least(old, agg),
+        iters=SSSP_MAX_HOPS,
+        weight_col="w",
+    )
+    return (
+        res.state.filter(F.col("val").isNotNull())
+        .select("node", F.col("val").cast("int").alias("dist"))
+    )
+
+
 def q_iter_gimv(spark, sf_dir):
     """GIM-V (the reference's PEGASUS-model example app) in the counting
     semiring: v0 = 1, v'(n) = sum over in-edges of v(src) — combine2 =
@@ -176,6 +207,7 @@ QUERIES = {
     "iter_apriori_pairs": q_iter_apriori_pairs,
     "iter_apriori_triples": q_iter_apriori_triples,
     "iter_gimv": q_iter_gimv,
+    "iter_sssp_weighted": q_iter_sssp_weighted,
     "inc_iter_warmstart": q_inc_iter_warmstart,
 }
 
@@ -207,6 +239,18 @@ ORACLES = {
         " GROUP BY 1, 2, 3"
         f" HAVING count(*) >= {APRIORI_TRIPLE_SUPPORT}"
     ),
+    "iter_sssp_weighted": (
+        _EDGES_PP
+        + ", edges_w AS (SELECT src, dst,"
+        " CAST((src + dst) % 7 + 1 AS INT) AS w FROM edges_pp), "
+        "walk(node, dist, hops) AS ( "
+        "SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT), 0, 0 "
+        "UNION "
+        "SELECT e.dst, w.dist + e.w, w.hops + 1"
+        " FROM walk w JOIN edges_w e ON e.src = w.node "
+        f"WHERE w.hops < {SSSP_MAX_HOPS}) "
+        "SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node"
+    ).replace("WITH ", "WITH RECURSIVE ", 1),
     "iter_gimv": (
         _EDGES_PP
         + ", nodes AS (SELECT src AS node FROM edges_pp"

@@ -174,6 +174,24 @@ def q_join_full_outer(spark, sf_dir):
     )
 
 
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing.  Keys are NULLed via nullif on
+    a real value (nationkey 10), so the null-match arm carries rows."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer").withColumn(
+        "nk", F.nullif(F.col("c_nationkey"), F.lit(10))
+    )
+    n = spark.table("nation").withColumn(
+        "nk", F.nullif(F.col("n_nationkey"), F.lit(10))
+    )
+    return (
+        c.join(n, c.nk.eqNullSafe(n.nk))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
 def q_join_scalar_subquery(spark, sf_dir):
     """Scalar subquery in a predicate: orders above 1.5x the global
     average price.  Catalyst plans the subquery as an independent
@@ -200,9 +218,16 @@ QUERIES = {
     "join_asof": q_join_asof,
     "join_scalar_subquery": q_join_scalar_subquery,
     "join_full_outer": q_join_full_outer,
+    "join_null_safe": q_join_null_safe,
 }
 
 ORACLES = {
+    "join_null_safe": (
+        "SELECT n_name, count(*) AS n_cust "
+        "FROM customer JOIN nation "
+        "ON nullif(c_nationkey, 10) IS NOT DISTINCT FROM nullif(n_nationkey, 10) "
+        "GROUP BY n_name"
+    ),
     "join_full_outer": (
         "WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust"
         " FROM customer WHERE c_nationkey <= 15 GROUP BY 1), "

@@ -75,11 +75,37 @@ def q_mr_secondary_sort(spark, sf_dir):
     )
 
 
+def q_mr_salted_skew_agg(spark, sf_dir):
+    """Skew-resistant two-phase salted reduce (A2+A5 at 100TB): a hot
+    key's rows spread over 8 salted partial groups before the final
+    per-key merge.  The salt must not change the answer — hash-checked
+    against the plain one-phase GROUP BY."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = mapred.salted_reduce_by_key(
+        li,
+        ["l_returnflag"],
+        8,
+        sum_qty=(F.sum("l_quantity"), F.sum("sum_qty")),
+        n_items=(F.count("*"), F.sum("n_items")),
+        max_price=(F.max("l_extendedprice"), F.max("max_price")),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_items",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 QUERIES = {
     "mr_wordcount": q_mr_wordcount,
     "mr_flatmap_posexplode": q_mr_flatmap_posexplode,
     "mr_partition_custom": q_mr_partition_custom,
     "mr_secondary_sort": q_mr_secondary_sort,
+    "mr_salted_skew_agg": q_mr_salted_skew_agg,
 }
 
 ORACLES = {
@@ -93,6 +119,11 @@ ORACLES = {
         "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
         "generate_subscripts(string_split(text, ' '), 1) AS p FROM documents) t "
         "WHERE w <> ''"
+    ),
+    "mr_salted_skew_agg": (
+        "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, "
+        "count(*) AS n_items, round(max(l_extendedprice), 2) AS max_price "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     # mr_partition_custom: rows-only (partition ids not portable)
     "mr_secondary_sort": (

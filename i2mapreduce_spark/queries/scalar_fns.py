@@ -136,6 +136,51 @@ def q_fn_interval_arith(spark, sf_dir):
     )
 
 
+def q_fn_hash_digest(spark, sf_dir):
+    """Cryptographic digests (md5 / sha256) over document text — the
+    fingerprint primitives exact dedup builds on.  Hex output is
+    byte-identical across engines."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+def q_fn_string_pad(spark, sf_dir):
+    """Pad/trim/reverse/repeat/translate string surface (no initcap —
+    absent from DuckDB 1.0)."""
+    load_tables(spark, sf_dir)
+    n = spark.table("nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 12, "*").alias("name_lpad"),
+        F.rpad("n_name", 12, ".").alias("name_rpad"),
+        F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit(" "))).alias("name_trim"),
+        F.reverse("n_name").alias("name_rev"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("name_rep"),
+        F.translate("n_name", "AEI", "432").alias("name_l33t"),
+    )
+
+
+def q_fn_trig(spark, sf_dir):
+    """Trigonometric / angular function surface over normalized prices
+    (sin, cos, atan2, degrees, radians; rounded 4dp)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    x = F.col("o_totalprice") / F.lit(100000.0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(x), 4).alias("sin_x"),
+        F.round(F.cos(x), 4).alias("cos_x"),
+        F.round(F.atan2(x, F.lit(2.0)), 4).alias("atan2_x2"),
+        F.round(F.degrees(x), 4).alias("deg_x"),
+        F.round(F.radians(x), 4).alias("rad_x"),
+    )
+
+
 QUERIES = {
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -145,9 +190,35 @@ QUERIES = {
     "fn_struct_map": q_fn_struct_map,
     "fn_bitwise_conditional": q_fn_bitwise_conditional,
     "fn_interval_arith": q_fn_interval_arith,
+    "fn_hash_digest": q_fn_hash_digest,
+    "fn_string_pad": q_fn_string_pad,
+    "fn_trig": q_fn_trig,
 }
 
 ORACLES = {
+    "fn_hash_digest": (
+        "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 "
+        "FROM documents"
+    ),
+    "fn_string_pad": (
+        "SELECT n_nationkey, "
+        "lpad(n_name, 12, '*') AS name_lpad, "
+        "rpad(n_name, 12, '.') AS name_rpad, "
+        "trim('  ' || n_name || ' ') AS name_trim, "
+        "reverse(n_name) AS name_rev, "
+        "repeat(substr(n_name, 1, 2), 3) AS name_rep, "
+        "translate(n_name, 'AEI', '432') AS name_l33t "
+        "FROM nation"
+    ),
+    "fn_trig": (
+        "SELECT o_orderkey, "
+        "round(sin(o_totalprice / 100000.0), 4) AS sin_x, "
+        "round(cos(o_totalprice / 100000.0), 4) AS cos_x, "
+        "round(atan2(o_totalprice / 100000.0, 2.0), 4) AS atan2_x2, "
+        "round(degrees(o_totalprice / 100000.0), 4) AS deg_x, "
+        "round(radians(o_totalprice / 100000.0), 4) AS rad_x "
+        "FROM orders"
+    ),
     "fn_bitwise_conditional": (
         "SELECT o_orderkey, "
         "o_orderkey & 255 AS k_and, "

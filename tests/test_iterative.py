@@ -116,6 +116,29 @@ def test_warmstart_converges_faster(spark, sf_dir):
     )
 
 
+def test_kmeans_warmstart_converges_faster(spark, sf_dir):
+    """A13 on the second example app: k-means re-seeded from a prior
+    model after a small data delta (2% of points removed) re-converges in
+    fewer iterations than re-seeding from scratch — and lands within the
+    same tolerance."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    delta = emb.filter(F.col("vec_id") % 50 != 0)  # drop 2% of points
+    tol, iters = 0.01, 25
+
+    _, c_cold = algorithms.kmeans(spark, emb, k=10, iters=iters, tol=tol)
+    cold_iters = algorithms.kmeans.last_iters_run
+    assert cold_iters < iters  # converged, not capped
+
+    algorithms.kmeans(spark, delta, k=10, iters=iters, tol=tol)
+    cold2_iters = algorithms.kmeans.last_iters_run
+    algorithms.kmeans(
+        spark, delta, k=10, iters=iters, tol=tol, init_centroids=c_cold
+    )
+    warm_iters = algorithms.kmeans.last_iters_run
+    assert warm_iters < cold2_iters, f"warm {warm_iters} vs cold {cold2_iters}"
+
+
 def test_gimv_expresses_pagerank(spark, sf_dir, edges_cp):
     """GIM-V with (mul, sum, damped-add) hooks must reproduce the direct
     PageRank implementation exactly — the generality claim of the

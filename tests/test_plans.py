@@ -119,6 +119,35 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+#: build-time-cheap keys only: iterative/incremental/streaming/ANN keys run
+#: driver loops or real streams inside the query builder itself
+_HYGIENE_SKIP = ("iter_", "inc_", "stream_", "sim_", "dedup_", "multimodal_", "udf_grouped")
+#: deliberate exceptions, each a declared surface of its own
+_ALLOW_CARTESIAN = {"join_cross"}
+_ALLOW_ROW_PYTHON = {"udf_python_scalar", "udtf_python_native", "udtf_split_props"}
+
+
+def test_declared_plans_have_no_accidental_cartesian_or_row_udf(spark, sf_dir):
+    """Repo-wide plan hygiene over the declared relational surface: no
+    CartesianProduct outside join_cross, and Python appears row-at-a-time
+    only in the keys whose POINT is the row-UDF surface — everything else
+    must stay JVM-side or Arrow-batched.  At 100TB either regression is
+    a catastrophic slowdown that row-count correctness would never catch."""
+    from i2mapreduce_spark.queries import build_registry
+
+    queries, _ = build_registry()
+    bad = {}
+    for key, fn in sorted(queries.items()):
+        if key.startswith(_HYGIENE_SKIP):
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan and key not in _ALLOW_CARTESIAN:
+            bad[key] = "CartesianProduct"
+        if "BatchEvalPython" in plan and key not in _ALLOW_ROW_PYTHON:
+            bad[key] = "row-at-a-time Python UDF"
+    assert not bad, bad
+
+
 def test_salted_reduce_matches_plain(spark, sf_dir):
     """Salted two-phase aggregation must equal the direct groupBy (skew
     mitigation never changes the answer)."""

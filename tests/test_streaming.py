@@ -146,6 +146,31 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert _rows(streamed) == _rows(enrich(ev))
 
 
+def test_stateful_stream_on_rocksdb_state_store(spark, sf_dir):
+    """The 100TB state path: the same stateful dedup runs unchanged on the
+    RocksDB state-store provider (bounded memory per executor, vs the
+    default in-memory HDFS-backed map) and produces identical output."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        load_tables(spark, sf_dir)
+        ev = spark.table("events")
+        chunks = [c.unionAll(c) for c in chunk_events(spark, ev, n=3)]
+        streamed = stream_over_chunks(
+            spark, chunks, dedup_transform, "append", "rocksdb_dedup_sink"
+        )
+        assert _rows(streamed) == _rows(dedup_transform(ev))
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def test_fold_delta_equals_batch_recompute(spark, sf_dir):
     """A11/A13: folding 3 delta batches into preserved state == batch
     recompute, and each fold touches only partial aggregates."""
