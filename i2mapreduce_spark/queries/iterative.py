@@ -156,6 +156,41 @@ def q_iter_gimv(spark, sf_dir):
     return res.state.select("node", F.col("val").alias("walks3"))
 
 
+N_APRIORI_DELTAS = 3
+
+
+def q_inc_apriori_pairs(spark, sf_dir):
+    """Incremental APriori (the paper's §7 headline app for fine-grained
+    incremental processing): pair supports are additive per basket, so
+    the preserved MRBG state is the (item1,item2) -> count table.
+    Baskets arrive in 3 delta batches (chunked BY basket, so every pair
+    is contained in one batch); each batch's pairs fold key-locally into
+    the preserved state (A11 merge), and the final support filter runs on
+    preserved state only.  Hash-checks against the one-shot self-join
+    oracle — the incremental plan must reproduce the batch answer
+    exactly."""
+    from ..streaming.incremental import fold_delta
+
+    load_tables(spark, sf_dir)
+    baskets = spark.table("baskets")
+    state = None
+    for i in range(N_APRIORI_DELTAS):
+        chunk = baskets.filter(F.pmod("basket", F.lit(N_APRIORI_DELTAS)) == i)
+        a, b = chunk.alias("a"), chunk.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        ).select(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+        state = fold_delta(state, pairs, ["item1", "item2"], {}).localCheckpoint(
+            eager=True
+        )
+    return (
+        state.filter(F.col("n") >= APRIORI_MIN_SUPPORT)
+        .select("item1", "item2", F.col("n").alias("support"))
+    )
+
+
 WARMSTART_DAMPING = 0.5  # delta decays ~d^k; 0.5 keeps the two converge
 WARMSTART_TOL = 1e-9     # runs short without weakening the fixpoint
 
@@ -208,6 +243,7 @@ QUERIES = {
     "iter_apriori_triples": q_iter_apriori_triples,
     "iter_gimv": q_iter_gimv,
     "iter_sssp_weighted": q_iter_sssp_weighted,
+    "inc_apriori_pairs": q_inc_apriori_pairs,
     "inc_iter_warmstart": q_inc_iter_warmstart,
 }
 
@@ -222,6 +258,16 @@ ORACLES = {
         "SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node"
     ).replace("WITH ", "WITH RECURSIVE ", 1),
     "iter_apriori_pairs": (
+        cte("baskets")
+        + "SELECT a.item AS item1, b.item AS item2, count(*) AS support "
+        "FROM baskets a JOIN baskets b "
+        "ON a.basket = b.basket AND a.item < b.item "
+        "GROUP BY a.item, b.item "
+        f"HAVING count(*) >= {APRIORI_MIN_SUPPORT}"
+    ),
+    # the incremental plan must land on the same answer as the one-shot
+    # self-join — identical oracle on purpose
+    "inc_apriori_pairs": (
         cte("baskets")
         + "SELECT a.item AS item1, b.item AS item2, count(*) AS support "
         "FROM baskets a JOIN baskets b "

@@ -206,6 +206,41 @@ def q_join_scalar_subquery(spark, sf_dir):
     )
 
 
+def q_join_correlated_subquery(spark, sf_dir):
+    """CORRELATED scalar subquery (vs join_scalar_subquery's uncorrelated
+    one): orders beating 1.2x their own customer's average.  Catalyst
+    decorrelates this into an aggregate + equi-join — the rewrite that
+    makes per-group predicates scale instead of re-running a subquery per
+    row."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+        " FROM orders o"
+        " WHERE o_totalprice > 1.2 * (SELECT avg(i.o_totalprice)"
+        "   FROM orders i WHERE i.o_custkey = o.o_custkey)"
+    )
+
+
+def q_cte_exchange_reuse(spark, sf_dir):
+    """One CTE consumed twice (self-join of a grouped aggregate: customer
+    spend vs their nation's max spend).  Spark plans the second consumer
+    as a ReusedExchange over the first's shuffle output — compute-once
+    semantics that matter enormously when the CTE scans 100TB (plan
+    asserted in tests/test_plans.py)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "WITH spend AS ("
+        "  SELECT c_custkey, c_nationkey, sum(o_totalprice) AS total"
+        "  FROM customer JOIN orders ON c_custkey = o_custkey"
+        "  GROUP BY c_custkey, c_nationkey) "
+        "SELECT a.c_custkey, round(a.total, 2) AS total,"
+        " round(m.mx, 2) AS nation_max"
+        " FROM spend a JOIN (SELECT c_nationkey, max(total) AS mx"
+        "   FROM spend GROUP BY c_nationkey) m"
+        " ON a.c_nationkey = m.c_nationkey"
+    )
+
+
 QUERIES = {
     "join_broadcast": q_join_broadcast,
     "join_shuffle_equi": q_join_shuffle_equi,
@@ -219,9 +254,28 @@ QUERIES = {
     "join_scalar_subquery": q_join_scalar_subquery,
     "join_full_outer": q_join_full_outer,
     "join_null_safe": q_join_null_safe,
+    "join_correlated_subquery": q_join_correlated_subquery,
+    "cte_exchange_reuse": q_cte_exchange_reuse,
 }
 
 ORACLES = {
+    "join_correlated_subquery": (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+        " FROM orders o"
+        " WHERE o_totalprice > 1.2 * (SELECT avg(i.o_totalprice)"
+        " FROM orders i WHERE i.o_custkey = o.o_custkey)"
+    ),
+    "cte_exchange_reuse": (
+        "WITH spend AS ("
+        " SELECT c_custkey, c_nationkey, sum(o_totalprice) AS total"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " GROUP BY c_custkey, c_nationkey) "
+        "SELECT a.c_custkey, round(a.total, 2) AS total,"
+        " round(m.mx, 2) AS nation_max"
+        " FROM spend a JOIN (SELECT c_nationkey, max(total) AS mx"
+        " FROM spend GROUP BY c_nationkey) m"
+        " ON a.c_nationkey = m.c_nationkey"
+    ),
     "join_null_safe": (
         "SELECT n_name, count(*) AS n_cust "
         "FROM customer JOIN nation "

@@ -73,6 +73,20 @@ def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
     assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200], plan
 
 
+def test_cte_consumed_twice_reuses_exchange(spark, sf_dir):
+    """A CTE with two consumers must compute once.  Under AQE the reuse
+    happens at runtime (stage materialization cache), so the assertion
+    reads the FINAL adaptive plan after an action — the static plan still
+    shows two copies of the subtree."""
+    from i2mapreduce_spark.queries.joins import q_cte_exchange_reuse
+
+    df = q_cte_exchange_reuse(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_topn_uses_take_ordered(spark, sf_dir):
     """orderBy().limit(n) must not globally sort (TakeOrderedAndProject)."""
     load_tables(spark, sf_dir)
