@@ -181,6 +181,45 @@ def q_fn_trig(spark, sf_dir):
     )
 
 
+def q_fn_array_hof(spark, sf_dir):
+    """Higher-order array functions over embeddings: lambda filter count,
+    transform+aggregate (sum of squares of positives), element max.  All
+    JVM-side lambda evaluation — the columnar way to compute per-vector
+    stats without any Python."""
+    load_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    v = F.col("embedding")
+    pos = F.filter(v, lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(pos, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("pos_sumsq"),
+        F.round(F.array_max(v).cast("double"), 4).alias("el_max"),
+    )
+
+
+def q_fn_datetime_epoch(spark, sf_dir):
+    """Epoch extraction + reconstruction: ts -> integer epoch seconds ->
+    back to timestamp (floor to second).  Integer domain end-to-end; the
+    ntz<->ltz casts are value-preserving under the pinned UTC session."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.timestamp_seconds(epoch).cast("timestamp_ntz").alias("ts_floor"),
+        (epoch % 86400).alias("sec_of_day"),
+    )
+
+
 QUERIES = {
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -193,9 +232,26 @@ QUERIES = {
     "fn_hash_digest": q_fn_hash_digest,
     "fn_string_pad": q_fn_string_pad,
     "fn_trig": q_fn_trig,
+    "fn_array_hof": q_fn_array_hof,
+    "fn_datetime_epoch": q_fn_datetime_epoch,
 }
 
 ORACLES = {
+    "fn_array_hof": (
+        "SELECT vec_id, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, "
+        "round(coalesce(list_sum(list_transform(list_filter(embedding, x -> x > 0), "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0), 4) AS pos_sumsq, "
+        "round(CAST(list_max(embedding) AS DOUBLE), 4) AS el_max "
+        "FROM embeddings"
+    ),
+    "fn_datetime_epoch": (
+        "SELECT event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
+        "make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_floor, "
+        "CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sec_of_day "
+        "FROM events"
+    ),
     "fn_hash_digest": (
         "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 "
         "FROM documents"
