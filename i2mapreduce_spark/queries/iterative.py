@@ -232,6 +232,25 @@ def q_inc_iter_warmstart(spark, sf_dir):
     return warm.state.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_iter_triangle_count(spark, sf_dir):
+    """Global triangle count over the co-purchase graph — the canonical
+    GIM-V-family graph metric.  Orientation trick: orient every edge
+    low->high (src<dst) so each triangle a<b<c is found exactly once as
+    wedge (a,b)+(b,c) closed by (a,c); this also bounds the wedge
+    explosion by high-degree nodes, the standard skew fix at scale."""
+    load_tables(spark, sf_dir)
+    e = spark.table("edges_pp").filter(F.col("src") < F.col("dst"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
 _EDGES_PP = cte("edges_pp")
 
 QUERIES = {
@@ -245,9 +264,17 @@ QUERIES = {
     "iter_sssp_weighted": q_iter_sssp_weighted,
     "inc_apriori_pairs": q_inc_apriori_pairs,
     "inc_iter_warmstart": q_inc_iter_warmstart,
+    "iter_triangle_count": q_iter_triangle_count,
 }
 
 ORACLES = {
+    "iter_triangle_count": (
+        _EDGES_PP
+        + ", h AS (SELECT src, dst FROM edges_pp WHERE src < dst) "
+        "SELECT count(*) AS n_triangles "
+        "FROM h e1 JOIN h e2 ON e2.src = e1.dst "
+        "JOIN h e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+    ),
     "iter_sssp": (
         _EDGES_PP
         + ", walk(node, dist) AS ( "

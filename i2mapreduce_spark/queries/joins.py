@@ -241,6 +241,58 @@ def q_cte_exchange_reuse(spark, sf_dir):
     )
 
 
+def q_join_lateral(spark, sf_dir):
+    """LATERAL correlated subquery join: top-2 customers by acctbal per
+    nation (tiebreak c_custkey).  Exercises Catalyst's DecorrelateInnerQuery
+    — the per-row subquery becomes one window + join, not N probes."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT n_name, t.c_name AS top_customer, t.bal AS bal "
+        "FROM nation, LATERAL ("
+        "  SELECT c_name, round(c_acctbal, 2) AS bal FROM customer"
+        "  WHERE c_nationkey = n_nationkey"
+        "  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"
+    )
+
+
+def q_join_range_binned(spark, sf_dir):
+    """Band join via time-bucket binning — the scale path for
+    join_range_theta (identical result, hash-checked against the same
+    oracle).  Each left row joins only buckets floor(ts/300s) and +1 of the
+    right side, so the equi-join prefix is (user_id, bucket): shuffle
+    matching stays O(rows-per-user-per-5min) instead of O(rows-per-user)^2,
+    which is what survives skewed power users at 100 TB."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    # ntz -> ltz is value-preserving under the pinned UTC session; bucket
+    # width 300 s means |bucket(b)-bucket(a)| <= 1 whenever 0 < b-a <= 5 min
+    bkt = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 300)
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid1"),
+        F.col("ts").alias("ts1"),
+        bkt.alias("bkt1"),
+    ).withColumn("off", F.explode(F.array(F.lit(0), F.lit(1))))
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("eid2"),
+        F.col("ts").alias("ts2"),
+        bkt.alias("bkt2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("bkt1") + F.col("off") == F.col("bkt2")),
+        )
+        .filter(
+            (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("user_id", "eid1", "eid2")
+    )
+
+
 QUERIES = {
     "join_broadcast": q_join_broadcast,
     "join_shuffle_equi": q_join_shuffle_equi,
@@ -256,9 +308,25 @@ QUERIES = {
     "join_null_safe": q_join_null_safe,
     "join_correlated_subquery": q_join_correlated_subquery,
     "cte_exchange_reuse": q_cte_exchange_reuse,
+    "join_lateral": q_join_lateral,
+    "join_range_binned": q_join_range_binned,
 }
 
 ORACLES = {
+    "join_lateral": (
+        "SELECT n_name, t.c_name AS top_customer, t.bal AS bal "
+        "FROM nation, LATERAL ("
+        "SELECT c_name, round(c_acctbal, 2) AS bal FROM customer "
+        "WHERE c_nationkey = n_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"
+    ),
+    # identical semantics to join_range_theta — binning must not change
+    # the answer, only the join's matching cost
+    "join_range_binned": (
+        "SELECT a.user_id AS user_id, a.event_id AS eid1, b.event_id AS eid2 "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE"
+    ),
     "join_correlated_subquery": (
         "SELECT o_orderkey, round(o_totalprice, 2) AS price"
         " FROM orders o"

@@ -163,6 +163,42 @@ def q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(spark.table("documents"))
 
 
+def q_text_bigram_top(spark, sf_dir):
+    """Top-20 word bigrams corpus-wide (n-gram extraction, the LM-data
+    staple).  Tokenize -> windowed lead per doc -> count; tiebreak bigram.
+    One narrow window per doc + one agg shuffle — no pair join."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "w"
+        ),
+    )
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bigrams = toks.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
+    return (
+        bigrams.groupBy(F.concat_ws(" ", "w", "w2").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def q_text_scrub_pii(spark, sf_dir):
+    """PII-style scrubbing: mask every digit in the raw props payload and
+    profile the surviving shapes per event type.  regexp_replace is the
+    JVM-side masking primitive a redaction pipeline runs at 100 TB."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    masked = F.regexp_replace("props", "[0-9]", "#")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(masked).alias("n_shapes"),
+        F.min(masked).alias("min_shape"),
+    )
+
+
 def q_multimodal_join(spark, sf_dir):
     """documents ⋈ embeddings (text + vector in one row) with an array
     kernel reduced to a scalar (flat output per Appendix B.9)."""
@@ -234,9 +270,28 @@ QUERIES = {
     "multimodal_extract": q_multimodal_extract,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "text_bigram_top": q_text_bigram_top,
+    "text_scrub_pii": q_text_scrub_pii,
 }
 
 ORACLES = {
+    "text_bigram_top": (
+        "WITH toks AS (SELECT doc_id, w, p FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "generate_subscripts(string_split(text, ' '), 1) AS p "
+        "FROM documents) t WHERE w <> ''), "
+        "bi AS (SELECT doc_id, w, "
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2 FROM toks) "
+        "SELECT w || ' ' || w2 AS bigram, count(*) AS cnt FROM bi "
+        "WHERE w2 IS NOT NULL GROUP BY bigram "
+        "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "text_scrub_pii": (
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_shapes, "
+        "min(regexp_replace(props, '[0-9]', '#', 'g')) AS min_shape "
+        "FROM events GROUP BY event_type"
+    ),
     "dedup_exact_hash": (
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n "
         "FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d "

@@ -75,14 +75,42 @@ def q_case_coalesce_cast(spark, sf_dir):
     )
 
 
+def q_sample_hash_bucket(spark, sf_dir):
+    """Deterministic hash sampling (~25%): keep rows whose md5(key) starts
+    with 0-3.  The training-data-pipeline sampling primitive — unlike
+    TABLESAMPLE it is engine-independent, stable under re-runs and
+    repartitioning, and pushes as a plain filter (no global pass)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return (
+        o.filter(bucket.isin("0", "1", "2", "3"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "project_expr": q_project_expr,
     "filter_range_pred": q_filter_range_pred,
     "filter_in_like_null": q_filter_in_like_null,
     "case_coalesce_cast": q_case_coalesce_cast,
+    "sample_hash_bucket": q_sample_hash_bucket,
 }
 
 ORACLES = {
+    "sample_hash_bucket": (
+        "SELECT count(*) AS n_sampled, "
+        "round(sum(o_totalprice), 2) AS sampled_price, "
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+        "FROM orders "
+        "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) "
+        "IN ('0', '1', '2', '3')"
+    ),
     "project_expr": (
         "SELECT l_orderkey, l_linenumber, "
         "round(l_extendedprice * (1 - l_discount), 4) AS net_price FROM lineitem"

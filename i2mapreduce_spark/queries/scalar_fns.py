@@ -220,6 +220,77 @@ def q_fn_datetime_epoch(spark, sf_dir):
     )
 
 
+def q_fn_levenshtein(spark, sf_dir):
+    """Edit distance (fuzzy-match primitive for record linkage / dedup):
+    levenshtein between part name/type and against a fixed probe."""
+    load_tables(spark, sf_dir)
+    p = spark.table("part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("dist_name_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("dist_brand"),
+    )
+
+
+def q_fn_printf_format(spark, sf_dir):
+    """printf-style formatting (Spark format_string / DuckDB printf) —
+    integer+string directives only: float directives differ in rounding
+    mode between Java and C formatting, so they stay off the hash surface."""
+    load_tables(spark, sf_dir)
+    p = spark.table("part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s-%05d", F.col("p_brand"), F.col("p_partkey")).alias("sku"),
+        F.format_string("%08x", F.col("p_partkey")).alias("key_hex"),
+    )
+
+
+def q_fn_sequence_gapfill(spark, sf_dir):
+    """Calendar densification (time-series gap-fill): generate every day of
+    Jan 2024 via sequence(), left-join daily event aggregates, zero-fill.
+    Scale note: the generated dimension is tiny and broadcast; the fact
+    aggregation is the only shuffle."""
+    load_tables(spark, sf_dir)
+    days = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "interval 1 day)) AS day"
+    )
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    return days.join(daily, "day", "left").select(
+        # DATE never crosses the hash surface: pandas renders DuckDB dates
+        # as midnight timestamps, Spark dates as date objects (App. B.9-ish
+        # flattening trap) — emit ntz timestamps on both sides instead
+        F.col("day").cast("timestamp_ntz").alias("day_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+#: fixed probe vocabulary for array set-op intersection
+_PROBE_WORDS = ("scan", "join", "merge")
+
+
+def q_fn_array_setops(spark, sf_dir):
+    """Array set algebra over tokenized documents: distinct/sort/join to a
+    canonical vocab string, distinct-token count, intersection size with a
+    fixed probe vocabulary.  All JVM-side higher-order functions."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.array_remove(F.split("text", " "), "")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in _PROBE_WORDS]))
+        ).alias("n_probe"),
+    )
+
+
 QUERIES = {
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -234,9 +305,42 @@ QUERIES = {
     "fn_trig": q_fn_trig,
     "fn_array_hof": q_fn_array_hof,
     "fn_datetime_epoch": q_fn_datetime_epoch,
+    "fn_levenshtein": q_fn_levenshtein,
+    "fn_printf_format": q_fn_printf_format,
+    "fn_sequence_gapfill": q_fn_sequence_gapfill,
+    "fn_array_setops": q_fn_array_setops,
 }
 
 ORACLES = {
+    "fn_levenshtein": (
+        "SELECT p_partkey, levenshtein(p_name, p_type) AS dist_name_type, "
+        "levenshtein(p_brand, 'Brand#33') AS dist_brand FROM part"
+    ),
+    "fn_printf_format": (
+        "SELECT p_partkey, printf('%s-%05d', p_brand, p_partkey) AS sku, "
+        "printf('%08x', p_partkey) AS key_hex FROM part"
+    ),
+    "fn_sequence_gapfill": (
+        "WITH days AS (SELECT CAST(d AS DATE) AS day FROM "
+        "(SELECT unnest(generate_series(DATE '2024-01-01', "
+        "DATE '2024-01-30', INTERVAL 1 DAY)) AS d) g), "
+        "agg AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n, "
+        "round(sum(value), 2) AS sv FROM events GROUP BY CAST(ts AS DATE)) "
+        "SELECT CAST(d.day AS TIMESTAMP) AS day_ts, coalesce(a.n, 0) AS n_events, "
+        "coalesce(a.sv, 0.0) AS sum_value FROM days d "
+        "LEFT JOIN agg a ON a.day = d.day"
+    ),
+    "fn_array_setops": (
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "array_to_string(list_sort(list_distinct(toks)), ' ') AS vocab, "
+        "CAST(len(list_distinct(toks)) AS INT) AS n_distinct, "
+        "CAST(len(list_distinct(list_filter(toks, "
+        "w -> w IN ('scan', 'join', 'merge')))) AS INT) AS n_probe "
+        "FROM t"
+    ),
     "fn_array_hof": (
         "SELECT vec_id, "
         "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, "
