@@ -1,15 +1,19 @@
 """Similarity search over embedding columns.
 
 Correctness surface: exact cosine top-k / threshold pairs, computed with a
-vectorized numpy kernel (Arrow-batched mapInPandas) — the SQL higher-order
-function form is ~10x slower (measured: 35s vs 3.5s at sf0.1, SURVEY §6).
+vectorized numpy kernel — the SQL higher-order function form is ~10x
+slower (measured: 35s vs 3.5s at sf0.1, SURVEY §6).
 
-Scale path (100 TB / billions of vectors): random-hyperplane LSH bucketing
-prunes candidates, then the exact kernel re-scores survivors — recall is
-probabilistic, precision stays exact.  The fixture-scale queries broadcast
-the full normalized matrix (2000x64 doubles = 1 MB at sf0.1; broadcast is
-the right call up to ~100M vectors per bucket worth of memory); beyond
-that, replace the broadcast with a bucket-keyed join on the same kernel.
+Distributed shape: the exact all-pairs kernel is a BLOCK x BLOCK cogroup —
+each vector is assigned a block by id, every (i <= j) block pair meets once
+on an executor via cogroup().applyInPandas, and numpy does the dense
+matmul per block pair.  Nothing is collected to the driver; per-task
+memory is (2 blocks x dim) doubles, tuned by n_blocks (communication is
+O(n_blocks x corpus): each row is shipped to n_blocks+1 block pairs).
+At 100 TB, size n_blocks so one block fits an executor core's memory
+budget; the quadratic block-pair fan-out is inherent to EXACT all-pairs —
+the LSH/IVF paths below are the sub-quadratic scale route, re-scoring
+only bucketed candidates with the same arithmetic.
 """
 
 from __future__ import annotations
@@ -18,113 +22,174 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+#: default block count for the exact all-pairs kernel (fixtures: 500-2000
+#: vectors -> blocks of 60-250 rows; raise with corpus size so one block
+#: fits in an executor core's memory budget)
+N_BLOCKS = 8
 
-def _normalized_matrix(emb_df, id_col: str, vec_col: str, extra_cols: tuple = ()):
-    """Collect embeddings to a normalized float64 matrix (driver-side;
-    fixture-scale only — see module docstring for the >memory path)."""
-    pdf = emb_df.select(id_col, vec_col, *extra_cols).toPandas()
-    order = np.argsort(pdf[id_col].values, kind="stable")
-    ids = pdf[id_col].values[order]
-    M = np.stack(pdf[vec_col].values[order]).astype(np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    extras = {c: pdf[c].values[order] for c in extra_cols}
-    return ids, M / norms, extras
+
+def _block_pair_frames(spark: SparkSession, emb_df: DataFrame, id_col: str,
+                       vec_col: str, extra_cols: tuple = (),
+                       n_blocks: int = N_BLOCKS):
+    """Tag each row with its id-block and replicate it to every (gi <= gj)
+    block pair it participates in.  Returns (left, right) frames for
+    cogroup: left carries block gi's rows, right block gj's (right's
+    columns carry an `_r` suffix — fresh exprIds, so the self-derived
+    cogroup analyzes unambiguously).  The block-pair list is tiny
+    (n_blocks*(n_blocks+1)/2 rows) and broadcast; the corpus is never
+    collected."""
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+
+    def side(match: str, suffix: str):
+        e = emb_df.select(id_col, vec_col, *extra_cols).withColumn(
+            "_g", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+        )
+        bp = spark.createDataFrame(pairs, "gi int, gj int")
+        out = e.join(F.broadcast(bp), F.col("_g") == F.col(match)).drop("_g")
+        if suffix:
+            out = out.select([F.col(c).alias(c + suffix) for c in out.columns])
+        return out
+
+    return side("gi", ""), side("gj", "_r")
+
+
+def _norm_rows(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    M = np.stack(pdf[vec_col].values).astype(np.float64)
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
 
 
 def cosine_topk(spark: SparkSession, emb_df: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_blocks: int = N_BLOCKS) -> DataFrame:
     """Exact top-k cosine neighbors per vector among ids > own id.
 
     Output: (vec_id, nbr, sim) with sim rounded to 4dp; deterministic
-    ordering (sim DESC, nbr ASC) per vector.
+    ordering (sim DESC, nbr ASC) per vector.  Two-stage exact plan:
+    per-block-pair local top-k in the numpy kernel (selection on
+    unrounded sims, ties -> lower nbr), then a global per-vector window
+    keeps the true top-k — exact because the global top-k is a subset of
+    the union of per-block-pair top-ks.
     """
-    ids, Mn, _ = _normalized_matrix(emb_df, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
+                                     n_blocks=n_blocks)
 
-    def kernel(batches):
-        b_ids, b_Mn = bc.value
-        for pdf in batches:
-            A = np.stack(pdf[vec_col].values).astype(np.float64)
-            an = np.linalg.norm(A, axis=1, keepdims=True)
-            an[an == 0] = 1.0
-            S = (A / an) @ b_Mn.T
-            out_v, out_n, out_s = [], [], []
-            for i, vid in enumerate(pdf[id_col].values):
-                mask = b_ids > vid
+    def kernel(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
+        same_block = key[0] == key[1]
+        Ln = _norm_rows(lpdf, vec_col)
+        Rn = _norm_rows(rpdf, vec_col + "_r")
+        lid = lpdf[id_col].values
+        rid = rpdf[id_col + "_r"].values
+        S = Ln @ Rn.T
+        out_v, out_n, out_s = [], [], []
+
+        def emit_topk(q_ids, c_ids, sims_qc):
+            # rows = queries, cols = candidates with id > query id
+            for i, vid in enumerate(q_ids):
+                mask = c_ids > vid
                 if not mask.any():
                     continue
-                cand, sims = b_ids[mask], S[i][mask]
+                cand, sims = c_ids[mask], sims_qc[i][mask]
                 top = np.lexsort((cand, -sims))[:k]
                 out_v.extend([vid] * len(top))
                 out_n.extend(cand[top])
-                out_s.extend(np.round(sims[top], 4))
-            yield pd.DataFrame({"vec_id": out_v, "nbr": out_n, "sim": out_s})
+                out_s.extend(sims[top])
 
-    return emb_df.select(id_col, vec_col).mapInPandas(
-        kernel, schema="vec_id long, nbr long, sim double"
+        emit_topk(lid, rid, S)
+        if not same_block:  # right rows may also be the smaller id
+            emit_topk(rid, lid, S.T)
+        return pd.DataFrame({"vec_id": out_v, "nbr": out_n, "sim": out_s})
+
+    cand = (
+        left.groupBy("gi", "gj")
+        .cogroup(right.groupBy("gi_r", "gj_r"))
+        .applyInPandas(kernel, schema="vec_id long, nbr long, sim double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nbr", F.round("sim", 4).alias("sim"))
     )
 
 
 def cosine_threshold_pairs(spark: SparkSession, emb_df: DataFrame, threshold: float,
                            label_col: str = "label", id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           n_blocks: int = N_BLOCKS) -> DataFrame:
     """Count pairs with cosine >= threshold, grouped by (label_a, label_b)
-    where a is the smaller vec_id.  Same kernel, aggregate output."""
-    ids, Mn, extras = _normalized_matrix(emb_df, id_col, vec_col, (label_col,))
-    labels = extras[label_col]
-    bc = spark.sparkContext.broadcast((ids, Mn, labels))
+    where a is the smaller vec_id.  Same block-pair kernel, fully
+    vectorized emission (2-D nonzero, no per-row python loop)."""
+    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
+                                     (label_col,), n_blocks=n_blocks)
 
-    def kernel(batches):
-        b_ids, b_Mn, b_labels = bc.value
-        for pdf in batches:
-            A = np.stack(pdf[vec_col].values).astype(np.float64)
-            an = np.linalg.norm(A, axis=1, keepdims=True)
-            an[an == 0] = 1.0
-            S = (A / an) @ b_Mn.T
-            la, lb = [], []
-            for i, vid in enumerate(pdf[id_col].values):
-                mask = (b_ids > vid) & (S[i] >= threshold)
-                if not mask.any():
-                    continue
-                row_label = pdf[label_col].values[i]
-                la.extend([row_label] * int(mask.sum()))
-                lb.extend(b_labels[mask])
-            yield pd.DataFrame({"label_a": la, "label_b": lb})
+    def kernel(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"label_a": [], "label_b": []})
+        same_block = key[0] == key[1]
+        S = _norm_rows(lpdf, vec_col) @ _norm_rows(rpdf, vec_col + "_r").T
+        lid = lpdf[id_col].values
+        rid = rpdf[id_col + "_r"].values
+        llab = lpdf[label_col].values
+        rlab = rpdf[label_col + "_r"].values
+        hit = S >= threshold
+        la_parts, lb_parts = [], []
+        ii, jj = np.nonzero(hit & (rid[None, :] > lid[:, None]))
+        la_parts.append(llab[ii]); lb_parts.append(rlab[jj])
+        if not same_block:
+            ii, jj = np.nonzero(hit & (rid[None, :] < lid[:, None]))
+            la_parts.append(rlab[jj]); lb_parts.append(llab[ii])
+        return pd.DataFrame({
+            "label_a": np.concatenate(la_parts),
+            "label_b": np.concatenate(lb_parts),
+        })
 
-    pairs = emb_df.select(id_col, vec_col, label_col).mapInPandas(
-        kernel, schema="label_a int, label_b int"
+    pairs = (
+        left.groupBy("gi", "gj")
+        .cogroup(right.groupBy("gi_r", "gj_r"))
+        .applyInPandas(kernel, schema="label_a int, label_b int")
     )
     return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
 
 
 def cosine_pairs(spark: SparkSession, emb_df: DataFrame, threshold: float,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_blocks: int = N_BLOCKS) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold: (a, b, sim) rounded 4dp.
-    Same broadcast kernel as cosine_topk; at 100 TB the LSH/IVF candidate
-    generators replace the broadcast and this becomes their re-scorer."""
-    ids, Mn, _ = _normalized_matrix(emb_df, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    Same block-pair kernel as cosine_topk; at 100 TB the LSH/IVF candidate
+    generators replace exact all-pairs and this becomes their re-scorer."""
+    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
+                                     n_blocks=n_blocks)
 
-    def kernel(batches):
-        b_ids, b_Mn = bc.value
-        for pdf in batches:
-            A = np.stack(pdf[vec_col].values).astype(np.float64)
-            an = np.linalg.norm(A, axis=1, keepdims=True)
-            an[an == 0] = 1.0
-            S = (A / an) @ b_Mn.T
-            out_a, out_b, out_s = [], [], []
-            for i, vid in enumerate(pdf[id_col].values):
-                mask = (b_ids > vid) & (S[i] >= threshold)
-                if not mask.any():
-                    continue
-                out_a.extend([vid] * int(mask.sum()))
-                out_b.extend(b_ids[mask])
-                out_s.extend(np.round(S[i][mask], 4))
-            yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+    def kernel(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        same_block = key[0] == key[1]
+        S = _norm_rows(lpdf, vec_col) @ _norm_rows(rpdf, vec_col + "_r").T
+        lid = lpdf[id_col].values
+        rid = rpdf[id_col + "_r"].values
+        hit = S >= threshold
+        a_parts, b_parts, s_parts = [], [], []
+        ii, jj = np.nonzero(hit & (rid[None, :] > lid[:, None]))
+        a_parts.append(lid[ii]); b_parts.append(rid[jj]); s_parts.append(S[ii, jj])
+        if not same_block:
+            ii, jj = np.nonzero(hit & (rid[None, :] < lid[:, None]))
+            a_parts.append(rid[jj]); b_parts.append(lid[ii]); s_parts.append(S[ii, jj])
+        return pd.DataFrame({
+            "a": np.concatenate(a_parts),
+            "b": np.concatenate(b_parts),
+            "sim": np.round(np.concatenate(s_parts), 4),
+        })
 
-    return emb_df.select(id_col, vec_col).mapInPandas(
-        kernel, schema="a long, b long, sim double"
+    return (
+        left.groupBy("gi", "gj")
+        .cogroup(right.groupBy("gi_r", "gj_r"))
+        .applyInPandas(kernel, schema="a long, b long, sim double")
     )
 
 

@@ -55,6 +55,12 @@ def iterate(
     deltas: list[float] = []
     converged = False
     i = 0
+    # With a delta_fn the loop takes an action EVERY iteration; leaving
+    # the plan uncheckpointed would make each action re-execute the whole
+    # chain since the last checkpoint (quadratic work in the checkpoint
+    # interval).  Materializing per iteration is then effectively free.
+    if delta_fn is not None and tol is not None:
+        checkpoint_every = 1
     for i in range(1, max_iters + 1):
         new_state = step(state, i)
         if i % checkpoint_every == 0:
