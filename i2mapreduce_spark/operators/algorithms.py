@@ -358,6 +358,31 @@ def kmeans(
 
         return assign_kernel
 
+    def make_partials_kernel(bc):
+        # assignment + map-side combine in ONE pass: each Arrow batch
+        # emits k partial rows (cluster, count, sum-vector) — the shuffle
+        # carries O(partitions x k x dim), never the exploded n x dim rows
+        def partials_kernel(batches):
+            C = bc.value
+            for pdf in batches:
+                A = np.stack(pdf[vec_col].values).astype(np.float64)
+                d2 = (
+                    (A * A).sum(1, keepdims=True)
+                    - 2 * A @ C.T
+                    + (C * C).sum(1)
+                )
+                lab = d2.argmin(axis=1)
+                present = np.unique(lab)
+                yield pd.DataFrame(
+                    {
+                        "cluster": present.astype(np.int32),
+                        "cnt": [int((lab == c).sum()) for c in present],
+                        "vsum": [A[lab == c].sum(axis=0).tolist() for c in present],
+                    }
+                )
+
+        return partials_kernel
+
     assign = None
     kmeans.last_iters_run = 0
     for _ in range(iters):
@@ -365,17 +390,29 @@ def kmeans(
         assign = emb_df.select(id_col, vec_col).mapInPandas(
             make_kernel(bc), schema=f"{id_col} long, cluster int"
         )
-        # distributed centroid update: explode dims, mean per (cluster, dim)
+        # centroid update: per-partition partials from the same distance
+        # kernel, then one k-row aggregate (element-wise vector sum via
+        # zip_with) — only k x dim numbers reach the driver
         upd = (
-            emb_df.select(id_col, F.posexplode(vec_col).alias("dim", "x"))
-            .join(assign, id_col)
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            emb_df.select(vec_col)
+            .mapInPandas(
+                make_partials_kernel(bc),
+                schema="cluster int, cnt long, vsum array<double>",
+            )
+            .groupBy("cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.aggregate(
+                    F.collect_list("vsum"),
+                    F.array_repeat(F.lit(0.0), int(centroids.shape[1])),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+            )
             .collect()
         )
         new_c = centroids.copy()
         for r in upd:
-            new_c[r.cluster][r.dim] = r.mu
+            new_c[r.cluster] = np.asarray(r.vsum, dtype=np.float64) / r.cnt
         shift = float(np.abs(new_c - centroids).max())
         centroids = new_c
         kmeans.last_iters_run += 1

@@ -88,6 +88,39 @@ def jaccard_pairs(shingle_df: DataFrame, threshold: float,
     )
 
 
+def jaccard_for_candidates(cand: DataFrame, shingle_df: DataFrame,
+                           threshold: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs (d1, d2).
+
+    Intersection counts come from replicating each candidate pair across
+    d1's shingles and probing d2's shingle set — work is O(|cand| x
+    shingles-per-doc), never the all-co-shingle-pairs blowup of
+    jaccard_pairs.  This is the re-scorer the LSH path needs at 100 TB:
+    the aggregation's key set is the candidate pairs, so hot shingles
+    shared by thousands of docs cost nothing beyond the bucket join that
+    already produced the candidates.
+    """
+    pair_sh = cand.join(
+        shingle_df.select(F.col(id_col).alias("d1"), "shingle"), "d1"
+    ).select("d1", "d2", "shingle")
+    inter = (
+        pair_sh.join(
+            shingle_df.select(F.col(id_col).alias("d2"), "shingle"),
+            ["d2", "shingle"],
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    cnt = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(cnt.alias("na"), F.col("d1") == F.col(f"na.{id_col}"))
+        .join(cnt.alias("nb"), F.col("d2") == F.col(f"nb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 4).alias("jac"))
+    )
+
+
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 48,
                        seed: int = 42, id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of a_i*x+b_i mod p.
@@ -156,13 +189,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
         .select(F.col(f"l.{id_col}").alias("d1"), F.col(f"r.{id_col}").alias("d2"))
         .distinct()
     )
-    # exact re-score of candidates only
-    exact = jaccard_pairs(sh, threshold=0.0, id_col=id_col)
-    return (
-        cand.join(exact, ["d1", "d2"])
-        .filter(F.col("jac") >= threshold)
-        .select("d1", "d2", "jac")
-    )
+    # exact re-score restricted to candidates (never the full shingle join)
+    return jaccard_for_candidates(cand, sh, threshold, id_col=id_col)
 
 
 def simhash_values(df: DataFrame, text_col: str = "text",

@@ -46,13 +46,49 @@ def chunk_events(
     """Split events into `n` chronological chunks (the reference's delta
     inputs, A12: each chunk is one arriving batch of records).
 
-    Deterministic: ntile over the total order (ts, event_id).  With
+    Deterministic: exact ntile semantics over the total order
+    (ts, event_id) — but computed WITHOUT a single-partition global
+    window.  The global rank of each row is per-partition row_number
+    (parallel) plus the cumulative count of earlier range partitions
+    (n_partitions scalars collected to the driver — bounded).  Because
+    (ts, event_id) is a unique total order, the rank — and therefore the
+    chunk — is independent of where the range boundaries land, so the
+    assignment is bit-identical to the old global-ntile one.  With
     `late_every` set, events from the FIRST chunk whose event_id is
     divisible by it are displaced into the LAST chunk — out-of-order
     "late" arrivals for watermark tests.
     """
-    w = Window.orderBy("ts", "event_id")
-    tiled = events.withColumn("_chunk", F.ntile(n).over(w) - 1)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        events.repartitionByRange(n_part, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids with the data
+    )
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    )
+    wp = Window.partitionBy("_pid").orderBy("ts", "event_id")
+    rank = (F.row_number().over(wp) - 1 + off_expr).cast("long")
+    # exact ntile(n) from the 0-based global rank: the first (total % n)
+    # tiles get ceil(total/n) rows, the rest floor(total/n)
+    q, rem = divmod(total, n)
+    big = rem * (q + 1)
+    chunk = F.when(rank < big, (rank / (q + 1)).cast("int")).otherwise(
+        (F.lit(rem) + (rank - big) / q).cast("int") if q else F.lit(n - 1)
+    )
+    tiled = ranged.withColumn("_chunk", chunk).drop("_pid")
     if late_every:
         tiled = tiled.withColumn(
             "_chunk",
