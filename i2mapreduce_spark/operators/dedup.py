@@ -195,20 +195,32 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
 
 def simhash_values(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64 bit votes.
+    """64-bit SimHash per doc from token-hash bit votes.
 
-    Bit b of the simhash is 1 iff sum over tokens of (+1 if bit b of
-    xxhash64(token) else -1) > 0.  Pure JVM expression: explode tokens,
-    one agg with 64 conditional sums — no Python.
+    Bit b of the simhash is 1 iff sum over token occurrences of (+1 if
+    bit b of hash(token) else -1) > 0.  The token hash is the last 8 md5
+    bytes little-endian — identical to DuckDB's md5_number_lower, so the
+    whole simhash (and the near-pair answer) hash-checks against a DuckDB
+    oracle.  Pure JVM expression: explode tokens, extract the 8 hash
+    bytes from the md5 hex, one agg with 64 conditional sums — no Python.
     """
+    hex_ = F.md5(F.col("w").cast("binary"))
+    # byte j of the digest = hex chars (2j+1, 2j+2); little-endian lower
+    # 64 bits = bytes 8..15, where byte 8+k carries result bits 8k..8k+7
+    byte_cols = [
+        F.conv(F.substring(hex_, 2 * (8 + k) + 1, 2), 16, 10).cast("int").alias(f"b{k}")
+        for k in range(8)
+    ]
     tok = (
         tokens(df, text_col, id_col)
         .select(F.col(id_col), F.explode("toks").alias("w"))
-        .withColumn("h", F.xxhash64("w"))
+        .select(F.col(id_col), *byte_cols)
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"b{b // 8}"), b % 8).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(64)
     ]

@@ -19,9 +19,19 @@ partitioning, UDF signatures) is real and tested either way.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def _round_half_away(x: float, nd: int = 4) -> float:
+    """round-half-away-from-zero for non-negative x — DuckDB's double
+    rounding rule (python round() is banker's and flips exact .xxxx5
+    ties the other way, e.g. 0.03125 -> 0.0312 vs DuckDB's 0.0313)."""
+    m = 10 ** nd
+    return math.floor(x * m + 0.5) / m
 
 #: metadata struct carried alongside every binary payload
 META_SCHEMA = (
@@ -92,12 +102,16 @@ def resize(df: DataFrame, out_w: int = 8, out_h: int = 6,
            fake: bool = True, id_col: str = "doc_id") -> DataFrame:
     """Image-resize stage shape: payload -> decode (stubbed) -> H x W
     pixel grid -> area-average pool to a fixed out_h x out_w grid, via
-    Arrow-batched mapInPandas.  Output is the flattened grid reduced to
-    scalars (mean + two corner cells) so downstream stays flat-columnar.
+    Arrow-batched mapInPandas.  Output is reduced to scalars (pixel mean
+    + two pooled corner cells) so downstream stays flat-columnar.
 
     The fake 'image' tiles the payload bytes to meta.height x meta.width
     (np.resize pad-by-repeat — deterministic); pooling uses integer bucket
     maps, so the result is exactly reproducible across partitionings.
+    Every emitted value is a single exact-integer-sum / count quotient:
+    one IEEE division, bit-identical in any engine — a mean over the 48
+    bucket AVERAGES would instead be float-summation-order-sensitive and
+    flaps 4dp rounding ties (observed on the fixtures).
     """
     def _resize(batches):
         for pdf in batches:
@@ -116,9 +130,9 @@ def resize(df: DataFrame, out_w: int = 8, out_h: int = 6,
                 np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
                 grid = pooled / np.maximum(cnt, 1.0)
                 ids.append(did)
-                means.append(round(float(grid.mean()), 4))
-                c00s.append(round(float(grid[0, 0]), 4))
-                clasts.append(round(float(grid[-1, -1]), 4))
+                means.append(_round_half_away(float(img.sum()) / img.size))
+                c00s.append(_round_half_away(float(grid[0, 0])))
+                clasts.append(_round_half_away(float(grid[-1, -1])))
             yield pd.DataFrame({
                 id_col: ids, "px_mean": means, "px_c00": c00s, "px_last": clasts,
             })

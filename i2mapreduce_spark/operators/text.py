@@ -108,14 +108,18 @@ _FP_MOD = (1 << 61) - 1
 
 
 def _token_int(tok: str) -> int:
-    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+    # last 8 md5 bytes, little-endian == DuckDB's md5_number_lower(tok):
+    # the same token integer is computable in both engines, which is what
+    # lets the fingerprint carry a real DuckDB oracle
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling hash over tokens:
     fp = sum(tok_int_i * BASE^i) mod (2^61-1).  Token ints come from md5
     (stable across processes — python hash() is salted and must never be
-    used in distributed code)."""
+    used in distributed code); the oracle reproduces the same fold with
+    list_reduce + md5_number_lower in HUGEINT arithmetic."""
     def roll(batches):
         for pdf in batches:
             fps = []

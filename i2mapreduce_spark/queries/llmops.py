@@ -392,8 +392,99 @@ ORACLES = {
         "SELECT doc_id, CAST((n-1)*10 AS INT) AS frame_off, "
         "substring(text, CAST((n-1)*10+1 AS INT), 10) AS frame_s FROM idx"
     ),
-    # rows-only: dedup_minhash_lsh, dedup_simhash, sim_ann_lsh (probabilistic
-    # scale paths), text_lang_id (heuristic model), text_fingerprint
-    # (order-sensitive hash), multimodal_extract + multimodal_resize
-    # (stubbed decoder)
+    # rows-only: dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf (probabilistic
+    # scale paths), multimodal_extract (stubbed decoder)
 }
+
+
+def _lang_score_sql(markers: tuple) -> str:
+    """# of marker trigrams present as substrings — equivalent to the
+    kernel's trigram-set membership test for 3-char markers (every length-3
+    substring is a trigram); 1-char zh markers never equal a trigram, so
+    zh scores a constant 0 in both engines."""
+    return " + ".join(
+        "contains(text, '" + m.replace("'", "''") + "')::INT" for m in markers
+    )
+
+
+ORACLES["text_lang_id"] = (
+    "WITH s AS (SELECT doc_id, "
+    f"{_lang_score_sql(('der', 'ein', 'sch', 'ung', 'ich'))} AS de, "
+    f"{_lang_score_sql(('the', 'ing', 'ion', 'and', 'ed '))} AS en, "
+    f"{_lang_score_sql(('que', 'ión', 'los', 'ado', 'nte'))} AS es, "
+    f"{_lang_score_sql(('les', 'ent', 'ion', 'eur', 'que'))} AS fr, "
+    "0 AS zh FROM documents) "
+    "SELECT doc_id, "
+    "CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de' "
+    "WHEN en >= es AND en >= fr AND en >= zh THEN 'en' "
+    "WHEN es >= fr AND es >= zh THEN 'es' "
+    "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess, "
+    "greatest(de, en, es, fr, zh) AS score FROM s"
+)
+
+_FP_MOD_SQL = (1 << 61) - 1   # matches operators.text._FP_MOD
+_FP_BASE_SQL = 1000003        # matches operators.text._FP_BASE
+
+# Horner fold right-to-left == sum(tok_i * BASE^i); md5_number_lower is
+# byte-identical to the kernel's int.from_bytes(md5[8:], 'little')
+ORACLES["text_fingerprint"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+    "h AS (SELECT doc_id, list_transform(toks, "
+    f"t -> md5_number_lower(t)::HUGEINT % {_FP_MOD_SQL}) AS hs FROM tok) "
+    "SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE "
+    "(list_reduce(list_reverse(hs), "
+    f"(acc, t) -> (acc * {_FP_BASE_SQL} + t) % {_FP_MOD_SQL}))::BIGINT "
+    "END AS fp FROM h"
+)
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"sum(CASE WHEN (md5_number_lower(w) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0 END" for b in range(64)
+)
+
+# oracle computes the SAME md5-bit-vote simhash, then brute-forces all
+# pairs with hamming <= 3 — the banding plan must match the exact answer
+# (pigeonhole: <= 3 differing bits leave >= 1 of the 4 16-bit blocks equal)
+ORACLES["dedup_simhash"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents), "
+    f"v AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM tok GROUP BY doc_id), "
+    f"u AS (SELECT doc_id, ({_SIMHASH_BITS_SQL})::HUGEINT AS uh FROM v), "
+    "sh AS (SELECT doc_id, (CASE WHEN uh >= 9223372036854775808 "
+    "THEN uh - 18446744073709551616 ELSE uh END)::BIGINT AS h FROM u) "
+    "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+    "bit_count(xor(a.h, b.h)) AS hamming "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.h, b.h)) <= 3"
+)
+
+# reconstructs the fake decoder exactly: image = text bytes tiled to
+# h x w (np.resize), integer-bucket area pooling to 6 x 8, empty buckets
+# 0; ASCII payloads make ord(substr()) == byte value
+ORACLES["multimodal_resize"] = (
+    "WITH d AS (SELECT doc_id, text, length(text) AS L, "
+    "length(text) % 48 + 1 AS h, length(text) % 64 + 1 AS w FROM documents), "
+    "cells AS (SELECT doc_id, h, w, "
+    "(ty.yy * 6) // h AS by, (tx.xx * 8) // w AS bx, "
+    "ord(substr(text, ((ty.yy * w + tx.xx) % L) + 1, 1)) AS px "
+    "FROM d, LATERAL (SELECT unnest(range(0, h)) AS yy) ty, "
+    "LATERAL (SELECT unnest(range(0, w)) AS xx) tx), "
+    "bavg AS (SELECT doc_id, by, bx, avg(px) AS v FROM cells GROUP BY 1, 2, 3), "
+    "grid0 AS (SELECT d.doc_id, gy.by, gx.bx "
+    "FROM d, (SELECT unnest(range(0, 6)) AS by) gy, "
+    "(SELECT unnest(range(0, 8)) AS bx) gx), "
+    "grid AS (SELECT g.doc_id, g.by, g.bx, coalesce(b.v, 0.0) AS v "
+    "FROM grid0 g LEFT JOIN bavg b "
+    "ON b.doc_id = g.doc_id AND b.by = g.by AND b.bx = g.bx), "
+    "pm AS (SELECT doc_id, round(sum(px)::DOUBLE / count(*), 4) AS px_mean "
+    "FROM cells GROUP BY doc_id), "
+    "gc AS (SELECT doc_id, "
+    "round(min(CASE WHEN by = 0 AND bx = 0 THEN v END), 4) AS px_c00, "
+    "round(min(CASE WHEN by = 5 AND bx = 7 THEN v END), 4) AS px_last "
+    "FROM grid GROUP BY doc_id) "
+    "SELECT pm.doc_id, px_mean, px_c00, px_last FROM pm JOIN gc USING (doc_id)"
+)

@@ -246,8 +246,9 @@ def q_fn_printf_format(spark, sf_dir):
 
 
 def q_fn_sequence_gapfill(spark, sf_dir):
-    """Calendar densification (time-series gap-fill): generate every day of
-    Jan 2024 via sequence(), left-join daily event aggregates, zero-fill.
+    """Calendar densification (time-series gap-fill): generate the days
+    Jan 1-30 2024 via sequence(), left-join daily event aggregates,
+    zero-fill.
     Scale note: the generated dimension is tiny and broadcast; the fact
     aggregation is the only shuffle."""
     load_tables(spark, sf_dir)

@@ -355,5 +355,26 @@ ORACLES = {
         "SELECT w AS word, CAST(sum(tf) AS BIGINT) AS n_occ, count(*) AS n_docs,"
         " min(CASE WHEN tf = m THEN doc_id END) AS top_doc FROM mx GROUP BY w"
     ),
-    # stream_late_watermark: rows-only (watermark drop is not SQL-expressible)
+    # Deterministic reconstruction of the append-mode watermark run:
+    # batches = the ntile chunks with the displaced rows moved to batch 3;
+    # a displaced row survives unless its window expired under the
+    # watermark in force during batch 3 (max ts of batches 1-2 minus the
+    # delay); the final emission keeps windows closed under the final
+    # watermark.  Validated against the live streaming output at
+    # sf0.001/0.01/0.1; fixture timestamps never land exactly on a
+    # watermark boundary, so the <=/< choice at the boundary is not
+    # load-bearing.
+    "stream_late_watermark": (
+        "WITH t AS (SELECT ts, event_id, "
+        "ntile(3) OVER (ORDER BY ts, event_id) AS c FROM events), "
+        "b AS (SELECT ts, date_trunc('hour', ts) AS ws, "
+        "CASE WHEN c = 1 AND event_id % 50 = 0 THEN 3 ELSE c END AS batch "
+        "FROM t), "
+        "wm2 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS v FROM b WHERE batch <= 2), "
+        "fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS v FROM b), "
+        "kept AS (SELECT * FROM b WHERE batch <= 2 "
+        "OR ws + INTERVAL 1 HOUR > (SELECT v FROM wm2)) "
+        "SELECT ws, count(*) AS n FROM kept "
+        "WHERE ws + INTERVAL 1 HOUR <= (SELECT v FROM fwm) GROUP BY ws"
+    ),
 }

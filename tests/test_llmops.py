@@ -79,6 +79,59 @@ def test_ann_ivf_recall_and_exact_scores(spark, sf_dir):
     assert recall > 0.15, f"IVF recall collapsed: {recall}"
 
 
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Planted clustered embeddings: 20 tight clusters x 10 points
+    (within-cluster cosine >= ~0.95) — the regime real near-dup corpora
+    live in, vs the fixtures' RANDOM embeddings where top-k neighbors sit
+    barely above background."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + 0.15 * rng.standard_normal(64) / np.sqrt(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _strong_topk(spark, emb, sim_floor=0.8):
+    """Ground truth for the high-recall regime: exact top-5 entries whose
+    similarity marks a TRUE near neighbor (same planted cluster).  The
+    exact top-5 of the last ids in each cluster also contains
+    cross-cluster near-random pairs (the nbr > vec_id convention leaves
+    them nothing closer) — those are the random-embedding regime, covered
+    by the floor tests above, not the near-dup claim."""
+    return {(r.vec_id, r.nbr) for r in
+            similarity.cosine_topk(spark, emb, k=5).collect()
+            if r.sim >= sim_floor}
+
+
+def test_ann_lsh_high_recall_on_clustered_data(spark, clustered_emb):
+    """On clustered data the SAME default LSH parameters recall >99% of
+    true near neighbors — the regime the operator docstring claims; the
+    random-embedding floor test above covers the adversarial end."""
+    strong = _strong_topk(spark, clustered_emb)
+    assert strong, "planted clusters should produce strong pairs"
+    approx = {(r.vec_id, r.nbr) for r in
+              similarity.cosine_topk_lsh(spark, clustered_emb, k=5).collect()}
+    recall = len(approx & strong) / len(strong)
+    assert recall >= 0.99, f"LSH recall on planted near neighbors: {recall}"
+
+
+def test_ann_ivf_high_recall_on_clustered_data(spark, clustered_emb):
+    strong = _strong_topk(spark, clustered_emb)
+    approx = {(r.vec_id, r.nbr) for r in
+              similarity.cosine_topk_ivf(spark, clustered_emb, k=5).collect()}
+    recall = len(approx & strong) / len(strong)
+    assert recall >= 0.90, f"IVF recall on planted near neighbors: {recall}"
+
+
 def test_exact_dedup_idempotent(spark, sf_dir, docs):
     """dedup(dedup(x)) == dedup(x) (property test, SURVEY §5.3)."""
     once = dedup.exact_dedup_keys(docs.unionAll(docs))
@@ -141,8 +194,8 @@ def test_multimodal_resize_deterministic_and_ranged(spark, sf_dir, docs):
     np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
     grid = pooled / np.maximum(cnt, 1.0)
     got = next(r for r in a if r.doc_id == src.doc_id)
-    assert got.px_c00 == round(float(grid[0, 0]), 4)
-    assert got.px_mean == round(float(grid.mean()), 4)
+    assert got.px_c00 == multimodal._round_half_away(float(grid[0, 0]))
+    assert got.px_mean == multimodal._round_half_away(float(img.sum()) / img.size)
 
 
 def test_lang_id_deterministic_and_sane(spark):
@@ -157,9 +210,11 @@ def test_lang_id_deterministic_and_sane(spark):
 
 def test_fingerprint_matches_golden_and_is_order_sensitive(spark):
     def golden(text):
+        # token int = md5 last 8 bytes little-endian (== DuckDB
+        # md5_number_lower, the shared cross-engine definition)
         acc, power = 0, 1
         for tok in [t for t in text.split(" ") if t]:
-            ti = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            ti = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
             acc = (acc + ti * power) % ((1 << 61) - 1)
             power = (power * 1000003) % ((1 << 61) - 1)
         return acc
