@@ -46,8 +46,10 @@ def q_iter_sssp(spark, sf_dir):
 
 
 def q_iter_connected_components(spark, sf_dir):
-    """Min-label propagation, 8 fixed iterations, over edges_pp.
-    Golden-checked (python propagation replica)."""
+    """Min-label CC over edges_pp (pointer-doubling, fixpoint-stopped; the
+    8 rounds are a safety cap, so the result is the TRUE component
+    labeling).  Golden-checked (python propagation replica; see ORACLES
+    note for why the exact recursive-CTE oracle is not registered)."""
     load_tables(spark, sf_dir)
     return algorithms.connected_components(spark.table("edges_pp"), iters=CC_ITERS)
 
@@ -342,6 +344,11 @@ ORACLES = {
         "SELECT n.node, coalesce(m.agg, 0) AS walks3"
         " FROM nodes n LEFT JOIN m3 m ON m.node = n.node"
     ),
-    # golden-checked (numpy replicas): iter_pagerank,
-    # iter_connected_components, iter_kmeans, inc_iter_warmstart
+    # golden-checked (numpy replicas): iter_pagerank, iter_kmeans,
+    # inc_iter_warmstart.  iter_connected_components stays golden-checked
+    # too: a recursive-CTE label walk IS an exact oracle (the operator
+    # reaches the true fixpoint), but on edges_pp's one giant component
+    # the walk accumulates O(n^2) (node, origin) tuples — 24 s in DuckDB
+    # at sf0.01 even label-pruned, which would eat the driver's per-round
+    # check budget for one key.
 }

@@ -116,10 +116,13 @@ def q_text_tfidf_top_terms(spark, sf_dir):
     )
     tf = words.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar action; at scale: a broadcast single-row join
-    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    # corpus size as a broadcast single-row join — no driver action, the
+    # count stays inside the one job
+    nd = d.agg(F.count("*").cast("double").alias("n_docs"))
+    idf = F.log(F.col("n_docs") / F.col("df"))
     scored = (
         tf.join(df_, "w")
+        .crossJoin(F.broadcast(nd))
         .groupBy("lang", "w")
         .agg(F.sum(F.col("tf") * idf).alias("raw"))
     )
@@ -216,13 +219,17 @@ def q_multimodal_join(spark, sf_dir):
 
 def q_multimodal_extract(spark, sf_dir):
     """Binary payload -> feature vector plumbing (stubbed decoder, real
-    Spark stage shape). Rows-only; flattened to scalars for stability."""
+    Spark stage shape).  Hash-checked: the deterministic fake extractor
+    (mod-16 byte histogram, L2-normalized) is reconstructed in SQL."""
     load_tables(spark, sf_dir)
     wrapped = multimodal.attach_binary_payload(spark.table("documents"))
     feats = multimodal.extract_features(wrapped, dim=16, fake=True)
+    # feature values are already rounded 6dp in the kernel; re-rounding to
+    # 4dp here would double-round (the 6dp value can sit exactly on a 4dp
+    # tie, which engines break differently — observed at sf0.001)
     return feats.select(
         "doc_id", "byte_len",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.element_at("feature", 1).alias("f0"),
         F.size("feature").alias("dim"),
     )
 
@@ -250,6 +257,126 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize(wrapped, out_w=8, out_h=6, fake=True)
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Shingle-containment near-dup pairs: C(A,B) = |A∩B| / |A| >= 0.9 —
+    catches sub/superset duplication (a doc embedded in a longer one)
+    that symmetric Jaccard under-scores.  Same intersection machinery as
+    the Jaccard join; the denominator is the SMALLER side's shingle
+    count, emitted with d1 < d2 and both directions checked."""
+    load_tables(spark, sf_dir)
+    sh = dedup.shingles(spark.table("documents"), n=3)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    containment = F.col("i").cast("double") / F.least(F.col("na.n"), F.col("nb.n"))
+    return (
+        inter.join(cnt.alias("na"), F.col("d1") == F.col("na.doc_id"))
+        .join(cnt.alias("nb"), F.col("d2") == F.col("nb.doc_id"))
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", F.round(containment, 4).alias("containment"))
+    )
+
+
+def q_dedup_cluster_resolve(spark, sf_dir):
+    """End-to-end near-dup resolution: Jaccard >= 0.5 pairs form edges,
+    connected components form dup clusters, and the KEPT doc per cluster
+    is the longest one (max n_chars, tie -> min doc_id) — the canonical
+    'keep best representative' step a training-data pipeline runs after
+    candidate generation.  Composition of three engine primitives:
+    shingle join + iterative CC + argmax aggregation."""
+    from ..operators.algorithms import connected_components
+
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    sh = dedup.shingles(d, n=3)
+    pairs = dedup.jaccard_pairs(sh, JACCARD_THRESHOLD).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    comp = connected_components(edges, iters=12)
+    member = comp.join(d, comp.node == d.doc_id).select(
+        "label", "doc_id", "n_chars"
+    )
+    # scalar composite argmax key (n_chars major, lower doc_id breaks
+    # ties) — the same expression the oracle uses; doc ids stay far below
+    # the 1e8 scale factor
+    order_key = F.col("n_chars").cast("long") * 100000000 - F.col("doc_id")
+    return member.groupBy("label").agg(
+        F.count("*").alias("group_size"),
+        F.max_by(F.col("doc_id"), order_key).alias("keep_id"),
+    ).select(F.col("label").alias("cluster_min_id"), "keep_id", "group_size")
+
+
+def q_text_ttr(spark, sf_dir):
+    """Type-token ratio per doc (lexical diversity — a standard LM-data
+    quality signal): distinct tokens / tokens, 6dp.  Token counts are
+    <= 99 on the fixtures, so every terminating ratio has <= 6 decimals
+    and scale-6 rounding is tie-free (Appendix B rounding rule)."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    )
+
+
+def q_text_token_histogram(spark, sf_dir):
+    """Corpus token-count distribution in log2 buckets — the shape check
+    every dataset card reports.  floor(log2(n)) is exact at the bucket
+    boundaries (log2 of a power of two is exact in IEEE), so both engines
+    bucket identically."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bucket = F.floor(F.log2(n_tok.cast("double"))).cast("int")
+    return (
+        d.select(bucket.alias("log2_tokens"))
+        .groupBy("log2_tokens")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_sim_label_centroid(spark, sf_dir):
+    """Per-label centroid + each vector's cosine to its own label
+    centroid (cluster-coherence scoring, the building block of
+    centroid-based dataset pruning).  Centroids aggregate per (label,
+    dim) after posexplode — fully JVM-side, shuffle O(labels x dim)."""
+    load_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    j = dims.join(cent, ["label", "dim"]).groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("c")).alias("dot"),
+        F.sum(F.col("x") * F.col("x")).alias("nx"),
+        F.sum(F.col("c") * F.col("c")).alias("nc"),
+    )
+    return j.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("nx") * F.col("nc")), 4
+        ).alias("cos_centroid"),
+    )
+
+
 QUERIES = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_near_jaccard": q_dedup_near_jaccard,
@@ -272,6 +399,11 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "text_bigram_top": q_text_bigram_top,
     "text_scrub_pii": q_text_scrub_pii,
+    "dedup_containment": q_dedup_containment,
+    "dedup_cluster_resolve": q_dedup_cluster_resolve,
+    "text_ttr": q_text_ttr,
+    "text_token_histogram": q_text_token_histogram,
+    "sim_label_centroid": q_sim_label_centroid,
 }
 
 ORACLES = {
@@ -393,8 +525,89 @@ ORACLES = {
         "substring(text, CAST((n-1)*10+1 AS INT), 10) AS frame_s FROM idx"
     ),
     # rows-only: dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf (probabilistic
-    # scale paths), multimodal_extract (stubbed decoder)
+    # scale paths)
 }
+
+
+ORACLES["dedup_containment"] = (
+    f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT d1, d2, round(CAST(i AS DOUBLE) / least(na.n, nb.n), 4) AS containment "
+    "FROM inter JOIN cnt na ON d1 = na.doc_id JOIN cnt nb ON d2 = nb.doc_id "
+    f"WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}"
+)
+
+ORACLES["dedup_cluster_resolve"] = (
+    f"WITH RECURSIVE {_TOK_CTE}, {_SHINGLE_CTE}, "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT d1, d2 FROM inter "
+    "JOIN cnt na ON d1 = na.doc_id JOIN cnt nb ON d2 = nb.doc_id "
+    f"WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}), "
+    "edges AS (SELECT d1 AS src, d2 AS dst FROM pairs "
+    "UNION ALL SELECT d2, d1 FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "walk(node, label) AS (SELECT node, node FROM nodes "
+    "UNION SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node), "
+    "lab AS (SELECT node, min(label) AS label FROM walk GROUP BY node), "
+    "member AS (SELECT l.label, d.doc_id, d.n_chars "
+    "FROM lab l JOIN documents d ON d.doc_id = l.node) "
+    "SELECT label AS cluster_min_id, "
+    "max_by(doc_id, n_chars::BIGINT * 100000000 - doc_id) AS keep_id, "
+    "count(*) AS group_size FROM member GROUP BY label"
+)
+
+ORACLES["text_ttr"] = (
+    "WITH t AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents) "
+    "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+    "CAST(len(list_distinct(toks)) AS INT) AS n_types, "
+    "round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr "
+    "FROM t"
+)
+
+ORACLES["text_token_histogram"] = (
+    "WITH t AS (SELECT CAST(floor(log2(len(list_filter(string_split(text, ' '), "
+    "x -> x <> ''))::DOUBLE)) AS INT) AS log2_tokens FROM documents) "
+    "SELECT log2_tokens, count(*) AS n_docs FROM t GROUP BY log2_tokens"
+)
+
+ORACLES["sim_label_centroid"] = (
+    "WITH dims AS (SELECT vec_id, label, "
+    "generate_subscripts(embedding, 1) - 1 AS dim, "
+    "unnest(embedding)::DOUBLE AS x FROM embeddings), "
+    "cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim), "
+    "j AS (SELECT d.vec_id, d.label, sum(d.x * c.c) AS dot, "
+    "sum(d.x * d.x) AS nx, sum(c.c * c.c) AS nc "
+    "FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim "
+    "GROUP BY d.vec_id, d.label) "
+    "SELECT vec_id, label, round(dot / sqrt(nx * nc), 4) AS cos_centroid FROM j"
+)
+
+
+# flat surface of the fake feature extractor is SQL-reconstructable:
+# feature[b] = count of bytes with byte % 16 == b, L2-normalized; f0 is
+# bin 0 / norm (0, 1, or irrational — 6dp rounding is tie-free), rounded
+# 6dp in the kernel then 4dp in the query, replicated as a double round
+_EXTRACT_BINS = ", ".join(
+    f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS h{i}" for i in range(16)
+)
+_EXTRACT_NORM = " + ".join(f"h{i} * h{i}" for i in range(16))
+
+ORACLES["multimodal_extract"] = (
+    "WITH bytes AS (SELECT doc_id, ord(substr(text, t.i, 1)) % 16 AS b "
+    "FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t), "
+    f"h AS (SELECT doc_id, {_EXTRACT_BINS} FROM bytes GROUP BY doc_id), "
+    f"n AS (SELECT doc_id, h0, sqrt(({_EXTRACT_NORM})::DOUBLE) AS nrm FROM h) "
+    "SELECT d.doc_id, length(d.text)::INT AS byte_len, "
+    "round(n.h0 / n.nrm, 6) AS f0, 16 AS dim "
+    "FROM documents d JOIN n ON n.doc_id = d.doc_id"
+)
 
 
 def _lang_score_sql(markers: tuple) -> str:

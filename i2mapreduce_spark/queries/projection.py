@@ -94,15 +94,46 @@ def q_sample_hash_bucket(spark, sf_dir):
     )
 
 
+SAMPLE_PER_STRATUM = 10
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: the first 10 documents per
+    language under a content-hash order (md5(text), doc_id tiebreak) —
+    the per-stratum cap a training-data mixer applies per language or
+    source.  Hash-ordering makes the sample pseudo-random yet exactly
+    reproducible in any engine; one window shuffle keyed by the stratum.
+    """
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
 QUERIES = {
     "project_expr": q_project_expr,
     "filter_range_pred": q_filter_range_pred,
     "filter_in_like_null": q_filter_in_like_null,
     "case_coalesce_cast": q_case_coalesce_cast,
     "sample_hash_bucket": q_sample_hash_bucket,
+    "sample_stratified": q_sample_stratified,
 }
 
 ORACLES = {
+    "sample_stratified": (
+        "SELECT doc_id, lang, source, rn FROM ("
+        "SELECT doc_id, lang, source, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
+        f"FROM documents) t WHERE rn <= {SAMPLE_PER_STRATUM}"
+    ),
     "sample_hash_bucket": (
         "SELECT count(*) AS n_sampled, "
         "round(sum(o_totalprice), 2) AS sampled_price, "

@@ -36,7 +36,8 @@ def q_scan_filter_pushdown(spark, sf_dir):
 
 
 def q_sink_parquet_roundtrip(spark, sf_dir):
-    """Write a result to parquet, read it back (ref op A8). Rows-only check."""
+    """Write a result to parquet, read it back (ref op A8); hash-checked
+    against the un-roundtripped join — the sink must be value-preserving."""
     load_tables(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="i2mr_sink_") + "/nation_by_region"
     df = (
@@ -137,7 +138,12 @@ ORACLES = {
     "scan_full": "SELECT * FROM region",
     "scan_project_prune": "SELECT l_orderkey, l_quantity FROM lineitem",
     "scan_filter_pushdown": "SELECT * FROM orders WHERE o_totalprice > 400000",
-    # sink_parquet_roundtrip: rows-only (side-effecting sink)
+    # the sink is side-effecting but value-preserving: the read-back rows
+    # must equal the joined projection that was written
+    "sink_parquet_roundtrip": (
+        "SELECT n_nationkey, n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ),
     "source_csv_roundtrip": "SELECT * FROM nation",
     "source_jsonl_roundtrip": "SELECT * FROM region",
     "source_text_kv": (

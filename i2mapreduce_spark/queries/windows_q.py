@@ -134,8 +134,48 @@ def q_window_cume_dist(spark, sf_dir):
     )
 
 
+GAP_US = 1800 * 1_000_000  # 30-minute session gap, integer microseconds
+
+
+def q_window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands sessionization via plain windows (the batch twin
+    of stream_session_window's native stateful operator): break on >= 30
+    min silence, running-sum the breaks into session ids, then per-user
+    session stats.  avg_span_s divides an EXACT integer-microsecond sum
+    once, so the 2dp rounding is engine-stable."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) >= GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = brk.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_n"),
+        F.round(
+            F.sum("span_us").cast("double") / (F.count("*") * 1_000_000), 2
+        ).alias("avg_span_s"),
+    )
+
+
 # Driver grades in dict order: the 5 keys ungraded in round 1 lead.
 QUERIES = {
+    "window_gaps_islands": q_window_gaps_islands,
     "window_lag_lead": q_window_lag_lead,
     "window_running_frame": q_window_running_frame,
     "window_range_interval": q_window_range_interval,
@@ -146,6 +186,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_gaps_islands": (
+        "WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events), "
+        "brk AS (SELECT user_id, ts, event_id, us, "
+        "CASE WHEN lag(us) OVER w IS NULL "
+        f"OR us - lag(us) OVER w >= {GAP_US} THEN 1 ELSE 0 END AS new_sess "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM brk), "
+        "per AS (SELECT user_id, sid, count(*) AS n, "
+        "max(us) - min(us) AS span_us FROM sess GROUP BY 1, 2) "
+        "SELECT user_id, count(*) AS n_sessions, max(n) AS max_n, "
+        "round(sum(span_us)::DOUBLE / (count(*) * 1000000), 2) AS avg_span_s "
+        "FROM per GROUP BY user_id"
+    ),
     "window_topk_per_group": (
         "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn "
         "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "

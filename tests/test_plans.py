@@ -182,3 +182,36 @@ def test_salted_reduce_matches_plain(spark, sf_dir):
     got = {r.l_returnflag: (r.n, round(r.qty, 6), r.max_price) for r in salted.collect()}
     want = {r.l_returnflag: (r.n, round(r.qty, 6), r.max_price) for r in plain.collect()}
     assert got == want
+
+
+def test_lsh_rescore_is_candidate_restricted(spark, sf_dir):
+    """The MinHash-LSH exact re-score must compute Jaccard only for
+    candidate pairs: the plan may join shingle sets keyed by (doc, shingle)
+    but must NOT contain the full co-shingle self-join (a hash join whose
+    ONLY key is the shingle column) — that join is quadratic in hot
+    shingles and silently reintroduces the blowup LSH exists to avoid."""
+    import re
+
+    from i2mapreduce_spark.operators import dedup
+
+    load_tables(spark, sf_dir)
+    plan = _plan(dedup.minhash_lsh_pairs(spark.table("documents"), 0.5))
+    solo_shingle_keys = re.findall(r"keys \[1\]: \[shingle[#\w]*\]", plan)
+    assert not solo_shingle_keys, solo_shingle_keys
+
+
+def test_exact_cosine_is_distributed_cogroup(spark, sf_dir):
+    """The exact cosine kernel must be the block-pair cogroup — no driver
+    collect anywhere in its lineage (the r1 design broadcast a
+    driver-collected matrix, a guaranteed OOM at scale)."""
+    from i2mapreduce_spark.operators import similarity
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    for df in (
+        similarity.cosine_topk(spark, emb, k=5),
+        similarity.cosine_pairs(spark, emb, 0.3),
+    ):
+        plan = _plan(df)
+        assert "FlatMapCoGroupsInPandas" in plan, plan[:500]
+        assert "CollectLimit" not in plan
