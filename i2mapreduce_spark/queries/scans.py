@@ -122,6 +122,37 @@ def q_sink_partitioned_pruning(spark, sf_dir):
     )
 
 
+def q_sink_upsert_merge(spark, sf_dir):
+    """Lakehouse-style MERGE (upsert) without a table format: a delta
+    batch of updates (every 10th order, repriced) and inserts (new keys
+    offset by 10M) merged into the base by key, delta winning.  The
+    implementation is the format-agnostic core of MERGE INTO: union +
+    per-key precedence (max_by on a source-rank), one shuffle on the
+    merge key.  At 100 TB the same plan runs per partition of a bucketed
+    table, touching only buckets the delta hits."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 1).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    delta = updates.unionByName(inserts).withColumn("src", F.lit(1))
+    merged = (
+        o.withColumn("src", F.lit(0))
+        .unionByName(delta)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(F.col("o_custkey"), F.col("src")).alias("o_custkey"),
+            F.round(
+                F.max_by(F.col("o_totalprice"), F.col("src")), 2
+            ).alias("total_price"),
+        )
+    )
+    return merged
+
+
 QUERIES = {
     "scan_full": q_scan_full,
     "scan_project_prune": q_scan_project_prune,
@@ -132,6 +163,7 @@ QUERIES = {
     "source_text_kv": q_source_text_kv,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "sink_partitioned_pruning": q_sink_partitioned_pruning,
+    "sink_upsert_merge": q_sink_upsert_merge,
 }
 
 ORACLES = {
@@ -154,5 +186,19 @@ ORACLES = {
     "sink_partitioned_pruning": (
         "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, "
         "o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    "sink_upsert_merge": (
+        "WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src "
+        "FROM orders), "
+        "delta AS ("
+        "SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 1 FROM orders "
+        "WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 1 FROM orders "
+        "WHERE o_orderkey % 10 = 1), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM delta) "
+        "SELECT o_orderkey, max_by(o_custkey, src) AS o_custkey, "
+        "round(max_by(o_totalprice, src), 2) AS total_price "
+        "FROM u GROUP BY o_orderkey"
     ),
 }

@@ -34,12 +34,43 @@ def q_sort_multi_key(spark, sf_dir):
     return n.orderBy(F.col("n_regionkey"), F.col("n_name").desc())
 
 
+def q_sort_nulls_ordering(spark, sf_dir):
+    """Explicit NULLS FIRST placement under LIMIT — a dialect trap pinned
+    by content: Spark default is NULLS FIRST ASC, many engines default
+    NULLS LAST, and with a LIMIT the placement decides WHICH rows
+    survive, which the order-insensitive hash then verifies.  Nulls are
+    manufactured with nullif (status 'O' -> NULL)."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.select(
+            "o_orderkey",
+            status_or_null.alias("status_nullable"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("status_nullable").asc_nulls_first(),
+            F.col("total_price").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(50)
+    )
+
+
 QUERIES = {
     "sort_limit_topn": q_sort_limit_topn,
     "sort_multi_key": q_sort_multi_key,
+    "sort_nulls_ordering": q_sort_nulls_ordering,
 }
 
 ORACLES = {
+    "sort_nulls_ordering": (
+        "SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_nullable, "
+        "round(o_totalprice, 2) AS total_price FROM orders "
+        "ORDER BY nullif(o_orderstatus, 'O') ASC NULLS FIRST, "
+        "round(o_totalprice, 2) DESC, o_orderkey LIMIT 50"
+    ),
     "sort_limit_topn": (
         "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price "
         "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
