@@ -278,7 +278,23 @@ def q_agg_bool_bitwise(spark, sf_dir):
     )
 
 
+def q_agg_distinct_multi(spark, sf_dir):
+    """Several DISTINCT aggregates over DIFFERENT columns in one pass —
+    Catalyst plans this with an Expand (row replication per distinct
+    group), the engine-stressor shape a naive planner executes as N
+    separate scans."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.countDistinct("l_linestatus").alias("nd_status"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
+    "agg_distinct_multi": q_agg_distinct_multi,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
     "agg_distinct_count": q_agg_distinct_count,
@@ -300,6 +316,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_distinct_multi": (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts, "
+        "count(DISTINCT l_suppkey) AS nd_supps, "
+        "count(DISTINCT l_linestatus) AS nd_status, count(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     "agg_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "

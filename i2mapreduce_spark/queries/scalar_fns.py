@@ -292,7 +292,23 @@ def q_fn_array_setops(spark, sf_dir):
     )
 
 
+def q_fn_regexp_capture(spark, sf_dir):
+    """Regex capture-group extraction + global replace + count over the
+    raw props payload — the JVM-side text surgery a scrubbing/parsing
+    pipeline leans on.  Both engines return \'\' for a non-matching
+    capture (verified), so the key is tie-free."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"v":([0-9]+)', 1).alias("v_digits"),
+        F.regexp_extract("props", r"([a-z]+)_([a-z]+)", 2).alias("snake_tail"),
+        F.regexp_count("props", F.lit("[0-9]")).alias("n_digits"),
+    )
+
+
 QUERIES = {
+    "fn_regexp_capture": q_fn_regexp_capture,
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
     "fn_math": q_fn_math,
@@ -313,6 +329,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_regexp_capture": (
+        "SELECT event_id, "
+        "regexp_extract(props, '\"v\":([0-9]+)', 1) AS v_digits, "
+        "regexp_extract(props, '([a-z]+)_([a-z]+)', 2) AS snake_tail, "
+        "CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_digits "
+        "FROM events"
+    ),
     "fn_levenshtein": (
         "SELECT p_partkey, levenshtein(p_name, p_type) AS dist_name_type, "
         "levenshtein(p_brand, 'Brand#33') AS dist_brand FROM part"
