@@ -2,10 +2,11 @@
 differentiator: fixed-iteration runs of the reference's example workloads
 over fixture-derived graphs (FIXTURES.md §3).
 
-Check types: iter_sssp and iter_apriori_pairs are SQL-expressible and
-hash-checked; pagerank / connected-components / kmeans / warm-start are
-golden-checked against numpy replicas in tests/test_iterative.py (the
-driver records rows-only for them).
+Check types: pagerank, sssp (plain + weighted), apriori (batch, triples,
+incremental), gimv and triangle-count are hash-checked against DuckDB
+oracles; connected-components / kmeans / warm-start are golden-checked
+against numpy replicas in tests/test_iterative.py (the driver records
+rows-only for them).
 """
 
 from __future__ import annotations
@@ -27,7 +28,8 @@ APRIORI_MIN_SUPPORT = 3
 def q_iter_pagerank(spark, sf_dir):
     """PageRank, 10 fixed iterations, d=0.85, over the bipartite
     customer->part graph (edges_cp).  No dangling redistribution; nodes
-    without in-edges hold (1-d)/N.  Golden-checked (numpy replica)."""
+    without in-edges hold (1-d)/N.  Hash-checked against 10 unrolled CTE
+    iterations in DuckDB (and golden-checked vs a numpy replica)."""
     load_tables(spark, sf_dir)
     res = algorithms.pagerank(
         spark, spark.table("edges_cp"), iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
@@ -348,7 +350,11 @@ ORACLES = {
         "SELECT n.node, coalesce(m.agg, 0) AS walks3"
         " FROM nodes n LEFT JOIN m3 m ON m.node = n.node"
     ),
-    # golden-checked (numpy replicas): iter_pagerank, iter_kmeans,
+    # iter_pagerank is registered below via _pagerank_oracle_sql: 10
+    # unrolled iterations as chained CTEs — float sums differ between
+    # engines only in the last ulps (~1e-17 relative), far below the 6dp
+    # rounding, so the hash is stable.
+    # golden-checked (numpy replicas): iter_kmeans,
     # inc_iter_warmstart.  iter_connected_components stays golden-checked
     # too: a recursive-CTE label walk IS an exact oracle (the operator
     # reaches the true fixpoint), but on edges_pp's one giant component
@@ -356,3 +362,37 @@ ORACLES = {
     # at sf0.01 even label-pruned, which would eat the driver's per-round
     # check budget for one key.
 }
+
+
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled PageRank over edges_cp: r_{k+1}(v) = (1-d)/N +
+    d * sum_{u->v} r_k(u)/outdeg(u); nodes without in-edges keep the
+    base term (matching algorithms.pagerank's no-dangling-redistribution
+    semantics)."""
+    head = (
+        cte("edges_cp")
+        + ", nodes AS (SELECT src AS node FROM edges_cp"
+        " UNION SELECT dst FROM edges_cp), "
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
+        "od AS (SELECT src, count(*)::DOUBLE AS outdeg"
+        " FROM edges_cp GROUP BY src), "
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    )
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f", r{k} AS (SELECT nd.node, "
+            f"({1.0 - damping} / (SELECT n FROM nn))"
+            f" + {damping} * coalesce(m.mass, 0.0) AS rank "
+            "FROM nodes nd LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.rank / od.outdeg) AS mass "
+            f"FROM edges_cp e JOIN r{k - 1} r ON r.node = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.node = nd.node)"
+        )
+    return (
+        head + "".join(steps)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+ORACLES["iter_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING)
