@@ -153,6 +153,35 @@ def q_sink_upsert_merge(spark, sf_dir):
     return merged
 
 
+def q_sink_bucketed_join(spark, sf_dir):
+    """Bucketed sink + exchange-free co-located join (the storage-layout
+    form of the reference's Projector co-partitioning, A9): orders and
+    lineitem are saved bucketed by orderkey, then joined and aggregated —
+    Catalyst plans NO Exchange on either join side (plan-asserted in
+    tests/test_plans.py).  At 100 TB this is the ingest-once /
+    never-reshuffle fact-fact join."""
+    from ..sources.bucketing import bucketed_join, write_bucketed
+
+    load_tables(spark, sf_dir)
+    write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_bjq", 4, "o_orderkey",
+    )
+    write_bucketed(
+        spark.table("lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        "lineitem_bjq", 4, "o_orderkey",
+    )
+    j = bucketed_join(spark, "orders_bjq", "lineitem_bjq", ["o_orderkey"])
+    return j.groupBy("o_orderkey").agg(
+        F.max("o_custkey").alias("o_custkey"),
+        F.round(F.max("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
     "scan_project_prune": q_scan_project_prune,
@@ -164,6 +193,7 @@ QUERIES = {
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "sink_partitioned_pruning": q_sink_partitioned_pruning,
     "sink_upsert_merge": q_sink_upsert_merge,
+    "sink_bucketed_join": q_sink_bucketed_join,
 }
 
 ORACLES = {
@@ -200,5 +230,12 @@ ORACLES = {
         "SELECT o_orderkey, max_by(o_custkey, src) AS o_custkey, "
         "round(max_by(o_totalprice, src), 2) AS total_price "
         "FROM u GROUP BY o_orderkey"
+    ),
+    "sink_bucketed_join": (
+        "SELECT o_orderkey, max(o_custkey) AS o_custkey, "
+        "round(max(o_totalprice), 2) AS total_price, "
+        "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderkey"
     ),
 }

@@ -14,6 +14,9 @@ views over raw parquet cannot carry bucket metadata.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -23,7 +26,17 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int, *bucket_cols: str,
 
     Sorting within buckets lets sort-merge joins skip their Sort node
     too — the join becomes a pure zip of pre-sorted bucket files.
+
+    Robust against stale state: a managed-table LOCATION left by a
+    previous process is invisible to this session's in-memory catalog,
+    and saveAsTable refuses to reuse it — drop both the catalog entry
+    and the leftover directory first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir", "")))
+    if wh.scheme in ("", "file") and wh.path:
+        shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
