@@ -247,6 +247,27 @@ def q_stream_static_join(spark, sf_dir):
     )
 
 
+def q_stream_complete_totals(spark, sf_dir):
+    """A real Structured Streaming run in COMPLETE output mode: per-type
+    running totals re-emitted whole every micro-batch over 3 delta
+    chunks.  The memory sink holds exactly the final state after the last
+    batch, which must equal the from-scratch batch aggregate (the
+    oracle) — the stream-batch equivalence contract on the graded
+    surface, complementing stream_late_watermark's append-mode run."""
+    load_tables(spark, sf_dir)
+    chunks = chunk_events(spark, spark.table("events"), n=N_DELTA_BATCHES)
+
+    def transform(stream):
+        return stream.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    return stream_over_chunks(
+        spark, chunks, transform, "complete", "complete_totals_sink"
+    )
+
+
 def q_stream_late_watermark(spark, sf_dir):
     """A real Structured Streaming run: tumbling per-hour counts in append
     mode with a 10-min watermark, fed 3 delta chunks in which a slice of
@@ -299,9 +320,14 @@ QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
     "stream_late_watermark": q_stream_late_watermark,
+    "stream_complete_totals": q_stream_complete_totals,
 }
 
 ORACLES = {
+    "stream_complete_totals": (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "
+        "FROM events GROUP BY event_type"
+    ),
     "stream_static_join": (
         "WITH dim AS (SELECT user_id, min(ts) AS first_seen"
         " FROM events GROUP BY user_id) "
