@@ -293,8 +293,46 @@ def q_join_range_binned(spark, sf_dir):
     )
 
 
+SALT_BUCKETS = 8
+
+
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-resistant salted join (the manual form of AQE's skew split,
+    on the graded surface): the big probe side gets a deterministic salt,
+    the small build side is replicated across all SALT_BUCKETS salt
+    values, and the join key becomes (key, salt) — a single hot key now
+    spreads over SALT_BUCKETS reducers.  Must produce exactly the plain
+    join's answer (the oracle is the unsalted SQL)."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    salted = li.withColumn(
+        "salt",
+        F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(SALT_BUCKETS))
+        .cast("int"),
+    )
+    replicated = o.crossJoin(
+        F.broadcast(
+            spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    return (
+        salted.join(
+            replicated,
+            (salted.l_orderkey == replicated.o_orderkey)
+            & (salted.salt == replicated.salt),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
     "join_broadcast": q_join_broadcast,
+    "join_skew_salted": q_join_skew_salted,
     "join_shuffle_equi": q_join_shuffle_equi,
     "join_multiway": q_join_multiway,
     "join_left_outer": q_join_left_outer,
@@ -313,6 +351,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_salted": (
+        "SELECT o_custkey, count(*) AS n_lines, "
+        "round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_custkey"
+    ),
     "join_lateral": (
         "SELECT n_name, t.c_name AS top_customer, t.bal AS bal "
         "FROM nation, LATERAL ("

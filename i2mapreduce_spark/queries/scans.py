@@ -62,6 +62,28 @@ def q_source_csv_roundtrip(spark, sf_dir):
     return formats.read_csv(spark, out, nation.schema)
 
 
+def q_source_csv_quoted_roundtrip(spark, sf_dir):
+    """CSV roundtrip under adversarial content: document text contains
+    the delimiter and quote-worthy characters, so the writer must quote
+    and the reader must unquote losslessly (A7 delimited-format edge
+    semantics).  Hash-checks against the base table — any quoting bug
+    shows up as a value mismatch."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", "text", "lang")
+    spiked = d.withColumn(
+        "text",
+        F.concat(F.lit('a,"b" '), F.col("text"), F.lit(",\ttail")),
+    )
+    out = tempfile.mkdtemp(prefix="i2mr_csvq_") + "/docs"
+    spiked.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    back = (
+        spark.read.option("header", True).schema(spiked.schema).csv(out)
+    )
+    return back
+
+
 def q_source_jsonl_roundtrip(spark, sf_dir):
     """region -> JSON-lines sink -> schema'd source (the self-describing
     record format, A7/A8's SequenceFile analog)."""
@@ -188,6 +210,7 @@ QUERIES = {
     "scan_filter_pushdown": q_scan_filter_pushdown,
     "sink_parquet_roundtrip": q_sink_parquet_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_csv_quoted_roundtrip": q_source_csv_quoted_roundtrip,
     "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "source_text_kv": q_source_text_kv,
     "source_orc_roundtrip": q_source_orc_roundtrip,
@@ -207,6 +230,10 @@ ORACLES = {
         "JOIN region ON n_regionkey = r_regionkey"
     ),
     "source_csv_roundtrip": "SELECT * FROM nation",
+    "source_csv_quoted_roundtrip": (
+        "SELECT doc_id, 'a,\"b\" ' || text || ',' || chr(9) || 'tail' AS text, "
+        "lang FROM documents"
+    ),
     "source_jsonl_roundtrip": "SELECT * FROM region",
     "source_text_kv": (
         "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars,"
