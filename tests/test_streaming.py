@@ -267,3 +267,54 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     }
     covered = late_windows & set(got)
     assert covered, "no late window was finalized — test exercises nothing"
+
+
+def test_checkpoint_restart_preserves_state(spark, sf_dir):
+    """The persistence half of A11: a stateful aggregation is STOPPED
+    mid-stream and a NEW query restarts from the same checkpoint — the
+    preserved state store must carry chunk 1's counts into the restarted
+    run, so the final answer equals the batch recompute over everything.
+    This is the property that makes incremental processing survive
+    process death at 100 TB (state lives in the checkpoint, not the
+    query object)."""
+    import shutil
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    chunks = chunk_events(spark, ev, n=2)
+    src = tempfile.mkdtemp(prefix="i2mr-ckpt-src-")
+    ckpt = tempfile.mkdtemp(prefix="i2mr-ckpt-state-")
+    schema = chunks[0].schema
+
+    def start(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        chunks[0].write.mode("append").parquet(src)
+        q = start("ckpt_restart_a")
+        q.processAllAvailable()
+        q.stop()  # process "dies" here
+
+        chunks[1].write.mode("append").parquet(src)
+        q2 = start("ckpt_restart_b")  # fresh query, same checkpoint
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = {r.event_type: r.n for r in spark.table("ckpt_restart_b").collect()}
+        want = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
