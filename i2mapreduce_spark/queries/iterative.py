@@ -162,6 +162,53 @@ def q_iter_gimv(spark, sf_dir):
     return res.state.select("node", F.col("val").alias("walks3"))
 
 
+RULE_MIN_CONF = 0.1  # fixture baskets are sparse: max observed conf ~0.14
+
+
+def q_iter_apriori_rules(spark, sf_dir):
+    """Association rules from the frequent pairs — the canonical consumer
+    of APriori's output (the reference's 4th example app carried to its
+    use case): for each frequent pair {a,b}, rules a=>b and b=>a with
+    confidence = support(pair) / support(antecedent), kept at confidence
+    >= 0.1.  One extra broadcast-sized join against per-item supports;
+    the 4dp confidence round is engine-stable (exact small-int ratios;
+    Spark HALF_UP == DuckDB half-away for positive values)."""
+    load_tables(spark, sf_dir)
+    b = spark.table("baskets")
+    item_sup = b.groupBy("item").agg(F.count("*").alias("item_support"))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= APRIORI_MIN_SUPPORT)
+    )
+    fwd = pairs.select(
+        F.col("item1").alias("antecedent"),
+        F.col("item2").alias("consequent"),
+        "support",
+    )
+    rev = pairs.select(
+        F.col("item2").alias("antecedent"),
+        F.col("item1").alias("consequent"),
+        "support",
+    )
+    rules = fwd.unionByName(rev).join(
+        item_sup.withColumnRenamed("item", "antecedent"), "antecedent"
+    )
+    conf = F.col("support").cast("double") / F.col("item_support")
+    return rules.filter(conf >= RULE_MIN_CONF).select(
+        "antecedent",
+        "consequent",
+        "support",
+        F.round(conf, 4).alias("confidence"),
+    )
+
+
 N_APRIORI_DELTAS = 3
 
 
@@ -268,6 +315,7 @@ QUERIES = {
     "iter_kmeans": q_iter_kmeans,
     "iter_apriori_pairs": q_iter_apriori_pairs,
     "iter_apriori_triples": q_iter_apriori_triples,
+    "iter_apriori_rules": q_iter_apriori_rules,
     "iter_gimv": q_iter_gimv,
     "iter_sssp_weighted": q_iter_sssp_weighted,
     "inc_apriori_pairs": q_inc_apriori_pairs,
@@ -309,6 +357,23 @@ ORACLES = {
         "ON a.basket = b.basket AND a.item < b.item "
         "GROUP BY a.item, b.item "
         f"HAVING count(*) >= {APRIORI_MIN_SUPPORT}"
+    ),
+    "iter_apriori_rules": (
+        cte("baskets")
+        + ", item_sup AS (SELECT item, count(*) AS item_support"
+        " FROM baskets GROUP BY item), "
+        "pairs AS (SELECT a.item AS item1, b.item AS item2, count(*) AS support "
+        "FROM baskets a JOIN baskets b "
+        "ON a.basket = b.basket AND a.item < b.item "
+        "GROUP BY a.item, b.item "
+        f"HAVING count(*) >= {APRIORI_MIN_SUPPORT}), "
+        "rules AS (SELECT item1 AS antecedent, item2 AS consequent, support"
+        " FROM pairs UNION ALL"
+        " SELECT item2, item1, support FROM pairs) "
+        "SELECT antecedent, consequent, support, "
+        "round(CAST(support AS DOUBLE) / item_support, 4) AS confidence "
+        "FROM rules JOIN item_sup ON item_sup.item = rules.antecedent "
+        f"WHERE CAST(support AS DOUBLE) / item_support >= {RULE_MIN_CONF}"
     ),
     "iter_apriori_triples": (
         cte("baskets")

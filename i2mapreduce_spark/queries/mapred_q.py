@@ -100,7 +100,23 @@ def q_mr_salted_skew_agg(spark, sf_dir):
     )
 
 
+def q_mr_chain_jobs(spark, sf_dir):
+    """The reference's JobChain pattern (map->reduce->map->reduce, the
+    multi-stage MapReduce idiom) as ONE declarative pipeline with no
+    materialization between 'jobs': job 1 = per-(doc, word) term counts;
+    job 2 = per-word doc-frequency + max in-doc count, then the top-50
+    words by doc frequency under a total order.  In MapReduce this is
+    two full disk round trips; here Catalyst fuses it into one DAG."""
+    load_tables(spark, sf_dir)
+    tf = mapred.reduce_by_key(_words(spark), ["doc_id", "word"], tf=F.count("*"))
+    stats = mapred.reduce_by_key(
+        tf, ["word"], n_docs=F.count("*"), max_tf=F.max("tf")
+    )
+    return stats.orderBy(F.col("n_docs").desc(), F.col("word")).limit(50)
+
+
 QUERIES = {
+    "mr_chain_jobs": q_mr_chain_jobs,
     "mr_wordcount": q_mr_wordcount,
     "mr_flatmap_posexplode": q_mr_flatmap_posexplode,
     "mr_partition_custom": q_mr_partition_custom,
@@ -109,6 +125,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mr_chain_jobs": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2) "
+        "SELECT word, count(*) AS n_docs, max(tf) AS max_tf FROM tf "
+        "GROUP BY word ORDER BY n_docs DESC, word LIMIT 50"
+    ),
     "mr_wordcount": (
         "SELECT w AS word, count(*) AS cnt "
         "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t "
