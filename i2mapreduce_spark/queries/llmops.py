@@ -377,7 +377,43 @@ def q_sim_label_centroid(spark, sf_dir):
     )
 
 
+PIPELINE_MIN_QUALITY = 2.0
+PIPELINE_PER_LANG = 20
+
+
+def q_pipeline_curation(spark, sf_dir):
+    """The training-data curation pipeline END-TO-END in one declarative
+    DAG — quality scoring -> threshold filter -> exact dedup (keep min
+    doc_id per content hash) -> per-language stratified cap — the
+    composition a real corpus build runs nightly, here fused by Catalyst
+    into a single job (score and hash are computed in the same scan
+    pass).  Output: the surviving docs with their scores."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    scored = text_ops.quality_score(d).select("doc_id", "quality")
+    kept = (
+        d.join(scored, "doc_id")
+        .filter(F.col("quality") >= PIPELINE_MIN_QUALITY)
+        .withColumn("h", F.md5(F.col("text").cast("binary")))
+    )
+    w_dup = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_cap = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        deduped.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= PIPELINE_PER_LANG)
+        .select("doc_id", "lang", "quality", "rn")
+    )
+
+
 QUERIES = {
+    "pipeline_curation": q_pipeline_curation,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -528,6 +564,26 @@ ORACLES = {
     # scale paths)
 }
 
+
+ORACLES["pipeline_curation"] = (
+    "WITH t AS (SELECT doc_id, lang, text, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok, "
+    "len(list_filter(string_split(text, ' '), "
+    "x -> x IN ('a','the','row','value','table'))) AS n_stop, "
+    "length(text) AS n_chars FROM documents), "
+    "scored AS (SELECT doc_id, lang, text, "
+    "round(ln(1 + CAST(n_tok AS DOUBLE)) "
+    "* (1 - CAST(n_stop AS DOUBLE) / n_tok) "
+    "* least((CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok) / 6, 1.0), 4) "
+    "AS quality FROM t), "
+    f"kept AS (SELECT *, md5(text) AS h FROM scored WHERE quality >= {PIPELINE_MIN_QUALITY}), "
+    "deduped AS (SELECT * FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY h ORDER BY doc_id) AS drn FROM kept) "
+    "WHERE drn = 1) "
+    "SELECT doc_id, lang, quality, rn FROM (SELECT doc_id, lang, quality, "
+    "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn "
+    f"FROM deduped) WHERE rn <= {PIPELINE_PER_LANG}"
+)
 
 ORACLES["dedup_containment"] = (
     f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
