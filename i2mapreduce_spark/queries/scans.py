@@ -204,6 +204,30 @@ def q_sink_bucketed_join(spark, sf_dir):
     )
 
 
+def q_source_incremental_files(spark, sf_dir):
+    """Delta input at the STORAGE layer (ref op A12, batch form): events
+    land as 3 chronological chunk files; an incremental reader lists the
+    files added since its last high-water mark (here: chunks 2-3) and
+    reads ONLY those paths — no rescan of already-processed data.
+    Hash-checked against the deterministic chunk-membership
+    reconstruction (ntile over the (ts, event_id) total order)."""
+    from ..streaming.incremental import chunk_events
+
+    load_tables(spark, sf_dir)
+    chunks = chunk_events(spark, spark.table("events"), n=3)
+    base = tempfile.mkdtemp(prefix="i2mr_incr_")
+    for i, c in enumerate(chunks):
+        c.write.mode("overwrite").parquet(f"{base}/chunk-{i}")
+    new_files = [f"{base}/chunk-1", f"{base}/chunk-2"]  # past the watermark
+    back = spark.read.parquet(*new_files)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
     "scan_project_prune": q_scan_project_prune,
@@ -217,6 +241,7 @@ QUERIES = {
     "sink_partitioned_pruning": q_sink_partitioned_pruning,
     "sink_upsert_merge": q_sink_upsert_merge,
     "sink_bucketed_join": q_sink_bucketed_join,
+    "source_incremental_files": q_source_incremental_files,
 }
 
 ORACLES = {
@@ -257,6 +282,11 @@ ORACLES = {
         "SELECT o_orderkey, max_by(o_custkey, src) AS o_custkey, "
         "round(max_by(o_totalprice, src), 2) AS total_price "
         "FROM u GROUP BY o_orderkey"
+    ),
+    "source_incremental_files": (
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us "
+        "FROM (SELECT *, ntile(3) OVER (ORDER BY ts, event_id) AS c "
+        "FROM events) t WHERE c >= 2"
     ),
     "sink_bucketed_join": (
         "SELECT o_orderkey, max(o_custkey) AS o_custkey, "
