@@ -187,17 +187,25 @@ def q_iter_apriori_rules(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= APRIORI_MIN_SUPPORT)
     )
-    fwd = pairs.select(
-        F.col("item1").alias("antecedent"),
-        F.col("item2").alias("consequent"),
-        "support",
-    )
-    rev = pairs.select(
-        F.col("item2").alias("antecedent"),
-        F.col("item1").alias("consequent"),
-        "support",
-    )
-    rules = fwd.unionByName(rev).join(
+    # both rule directions from ONE pass over pairs (a union of two
+    # selects would compute the self-join + aggregation subtree twice)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item1").alias("antecedent"),
+                    F.col("item2").alias("consequent"),
+                    F.col("support").alias("support"),
+                ),
+                F.struct(
+                    F.col("item2").alias("antecedent"),
+                    F.col("item1").alias("consequent"),
+                    F.col("support").alias("support"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    rules = both.join(
         item_sup.withColumnRenamed("item", "antecedent"), "antecedent"
     )
     conf = F.col("support").cast("double") / F.col("item_support")
