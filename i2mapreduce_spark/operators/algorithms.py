@@ -36,7 +36,7 @@ def pagerank(
     damping: float = 0.85,
     init_ranks: DataFrame | None = None,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int | None = None,
 ) -> IterationResult:
     """PageRank without dangling-mass redistribution:
     r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u); nodes with no
@@ -49,10 +49,20 @@ def pagerank(
     partially aggregate map-side.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = edges.repartition(n_part, "src").cache()
     nodes = _nodes(edges).repartition(n_part, "node").cache()
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    # fold 1/outdeg into the static structure ONCE (the Projector holds
+    # derived structure, not just raw edges): each iteration is then a
+    # single state ⋈ edges join + one aggregate instead of three joins.
+    # Only this derived structure (and nodes) is cached — raw edges are
+    # scanned once to build it and never touched again.
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_inv = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
+        .repartition(n_part, "src")
+        .cache()
+    )
 
     if init_ranks is None:
         state0 = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -67,18 +77,13 @@ def pagerank(
     def step(state: DataFrame, _i: int) -> DataFrame:
         # explicit aliases throughout: state/nodes derive from edges, so
         # attribute references would be ambiguous in these self-join shapes
-        rates = (
-            state.alias("s")
-            .join(outdeg.alias("o"), F.col("s.node") == F.col("o.src"))
-            .select(
-                F.col("s.node").alias("u"),
-                (F.col("s.rank") / F.col("o.outdeg")).alias("rate"),
-            )
-        )
         contribs = (
-            rates.alias("r")
-            .join(edges.alias("e"), F.col("r.u") == F.col("e.src"))
-            .select(F.col("e.dst").alias("node"), F.col("r.rate").alias("rate"))
+            state.alias("s")
+            .join(edges_inv.alias("e"), F.col("s.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("s.rank") * F.col("e.inv")).alias("rate"),
+            )
             .groupBy("node")
             .agg(F.sum("rate").alias("mass"))
         )
@@ -112,9 +117,8 @@ def pagerank(
         # the returned state is eagerly checkpointed, so the structure
         # caches can be dropped — repeated calls (warm-start scenarios)
         # would otherwise pile cached copies up
-        edges.unpersist()
         nodes.unpersist()
-        outdeg.unpersist()
+        edges_inv.unpersist()
 
 
 def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
@@ -148,7 +152,7 @@ def gimv(
     assign,
     iters: int,
     weight_col: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int | None = None,
 ) -> IterationResult:
     """GIM-V — generalized iterated matrix-vector multiply (the
     reference's second example app, from the PEGASUS model [PAPER §7]):
@@ -234,18 +238,21 @@ def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
             )
         )
 
-    def changed(old: DataFrame, new: DataFrame) -> float:
-        return float(
-            old.alias("o")
-            .join(new.alias("n"), "node")
-            .filter(F.col("o.val") != F.col("n.val"))
-            .count()
-        )
+    # Convergence via the monotone invariant instead of an old ⋈ new diff:
+    # min-label propagation only ever DECREASES labels, so sum(label) is
+    # strictly decreasing until the fixpoint and equal sums <=> no change.
+    # One aggregate scan of the just-checkpointed state per round — no
+    # join, and exact (labels are longs; F.sum over long stays integral).
+    last_sum = [None]
+
+    def changed(_old: DataFrame, new: DataFrame) -> float:
+        s = new.agg(F.sum("val")).collect()[0][0]
+        d = 1.0 if last_sum[0] is None else float(last_sum[0] - s)
+        last_sum[0] = s
+        return d
 
     try:
-        res = iterate(
-            labels, step, iters, delta_fn=changed, tol=0.5, checkpoint_every=2
-        )
+        res = iterate(labels, step, iters, delta_fn=changed, tol=0.5)
     finally:
         edges.unpersist()
     return res.state.select("node", F.col("val").alias("label"))

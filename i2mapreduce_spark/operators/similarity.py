@@ -202,7 +202,14 @@ def embedding_dedup_groups(spark: SparkSession, emb_df: DataFrame,
     the CC iterative operator (two of this engine's primitives)."""
     from .algorithms import connected_components
 
-    pairs = cosine_pairs(spark, emb_df, threshold).select("a", "b")
+    # materialize the kernel output ONCE: the symmetric union below and
+    # CC's node derivation + cache fill would otherwise re-run the
+    # block-pair cogroup (the expensive part) several times over
+    pairs = (
+        cosine_pairs(spark, emb_df, threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

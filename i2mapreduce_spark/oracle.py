@@ -35,11 +35,10 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
-        # queries already round floats per the determinism contract;
-        # normalize representation only (0.30000000000000004 never appears
-        # post-round, but -0.0 vs 0.0 and int-valued floats do).
-        if v == 0:
-            return "0"
+        # queries already round floats per the determinism contract; the
+        # driver's value-hash is STRICT about the sign of zero (-0.0 != 0.0,
+        # proven by the fn_trig r2 fail), so keep the sign here too and fix
+        # divergences at the query/oracle source with `+ 0.0`.
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(v)

@@ -43,37 +43,48 @@ def iterate(
     max_iters: int,
     delta_fn: Callable[[DataFrame, DataFrame], float] | None = None,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int | None = None,
 ) -> IterationResult:
     """Run `state = step(state, i)` until max_iters or delta < tol.
 
     `delta_fn(old, new) -> float` triggers one Spark action per iteration
     (the reference's global fixpoint barrier, SURVEY §3.2); without it the
     loop is fully lazy between checkpoints.
+
+    `checkpoint_every=None` (the default) picks the cadence automatically:
+    1 when a delta_fn is set (actions on uncheckpointed plans re-execute
+    the chain since the last checkpoint — quadratic work in the interval),
+    else 2 (shallow plans keep per-stage scheduling overhead linear in
+    iterations).  An explicit value is always respected; with a delta_fn
+    the fixpoint check then fires only on checkpoint boundaries, against
+    the PREVIOUS CHECKPOINTED state (so the delta job never recomputes a
+    lazy chain) — the measured delta spans `checkpoint_every` steps, a
+    conservative stop for any contracting iteration.
     """
     state = state0
     deltas: list[float] = []
     converged = False
     i = 0
-    # With a delta_fn the loop takes an action EVERY iteration; leaving
-    # the plan uncheckpointed would make each action re-execute the whole
-    # chain since the last checkpoint (quadratic work in the checkpoint
-    # interval).  Materializing per iteration is then effectively free.
-    if delta_fn is not None and tol is not None:
-        checkpoint_every = 1
+    if checkpoint_every is None:
+        checkpoint_every = 1 if (delta_fn is not None and tol is not None) else 2
+    fresh = False  # is `state` already materialized by a checkpoint?
+    check_state = state0  # last state a delta was measured against
     for i in range(1, max_iters + 1):
         new_state = step(state, i)
-        if i % checkpoint_every == 0:
+        fresh = i % checkpoint_every == 0
+        if fresh:
             new_state = new_state.localCheckpoint(eager=True)
-        if delta_fn is not None and tol is not None:
-            d = delta_fn(state, new_state)
+        state = new_state
+        if delta_fn is not None and tol is not None and fresh:
+            d = delta_fn(check_state, new_state)
             deltas.append(d)
-            state = new_state
+            check_state = new_state
             if d < tol:
                 converged = True
                 break
-        else:
-            state = new_state
-    # final checkpoint so callers get a bounded plan
-    state = state.localCheckpoint(eager=True)
+    if not fresh:
+        # final checkpoint so callers get a bounded plan (skipped when the
+        # last loop step already materialized — re-checkpointing an
+        # in-memory state would burn one extra job per call)
+        state = state.localCheckpoint(eager=True)
     return IterationResult(state=state, iterations=i, converged=converged, deltas=deltas)

@@ -3,10 +3,10 @@ differentiator: fixed-iteration runs of the reference's example workloads
 over fixture-derived graphs (FIXTURES.md §3).
 
 Check types: pagerank, sssp (plain + weighted), apriori (batch, triples,
-incremental), gimv and triangle-count are hash-checked against DuckDB
-oracles; connected-components / kmeans / warm-start are golden-checked
-against numpy replicas in tests/test_iterative.py (the driver records
-rows-only for them).
+incremental), gimv, triangle-count and connected-components are
+hash-checked against DuckDB oracles; kmeans / warm-start are
+golden-checked against numpy replicas in tests/test_iterative.py (the
+driver records rows-only for them).
 """
 
 from __future__ import annotations
@@ -42,9 +42,10 @@ def q_iter_sssp(spark, sf_dir):
     the co-purchase graph (edges_pp).  Hash-checked: DuckDB recursive CTE
     with UNION (distinct) recursion computes the same fixpoint."""
     load_tables(spark, sf_dir)
-    # cache BEFORE the scalar min action so the derived self-join view is
-    # computed once and the hop loop reuses it
-    edges = spark.table("edges_pp").cache()
+    # checkpoint BEFORE the scalar min action so the derived self-join
+    # view is computed once and the hop loop reuses it; unlike .cache()
+    # this leaves nothing persisted behind in the shared session
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
     source = edges.agg(F.min("src")).collect()[0][0]
     return algorithms.sssp(edges, int(source), max_hops=SSSP_MAX_HOPS)
 
@@ -52,8 +53,8 @@ def q_iter_sssp(spark, sf_dir):
 def q_iter_connected_components(spark, sf_dir):
     """Min-label CC over edges_pp (pointer-doubling, fixpoint-stopped; the
     8 rounds are a safety cap, so the result is the TRUE component
-    labeling).  Golden-checked (python propagation replica; see ORACLES
-    note for why the exact recursive-CTE oracle is not registered)."""
+    labeling).  Hash-checked against unrolled pointer-doubling CTEs in
+    DuckDB (_cc_oracle_sql) plus a python propagation golden in tests."""
     load_tables(spark, sf_dir)
     return algorithms.connected_components(spark.table("edges_pp"), iters=CC_ITERS)
 
@@ -119,7 +120,8 @@ def q_iter_sssp_weighted(spark, sf_dir):
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").withColumn(
         "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("int")
-    ).cache()  # one compute of the self-join view for min-action + rounds
+    ).localCheckpoint(eager=True)  # one compute of the self-join view for
+    # min-action + rounds; no cache left behind in the shared session
     source = int(edges.agg(F.min("src")).collect()[0][0])
     state0 = algorithms._nodes(edges).withColumn(
         "val",
@@ -133,6 +135,7 @@ def q_iter_sssp_weighted(spark, sf_dir):
         assign=lambda old, agg: F.least(old, agg),
         iters=SSSP_MAX_HOPS,
         weight_col="w",
+        checkpoint_every=1,  # 2k-row state: shallow jobs beat one 12-join plan
     )
     return (
         res.state.filter(F.col("val").isNotNull())
@@ -253,7 +256,10 @@ def q_inc_apriori_pairs(spark, sf_dir):
 
 
 WARMSTART_DAMPING = 0.5  # delta decays ~d^k; 0.5 keeps the two converge
-WARMSTART_TOL = 1e-9     # runs short without weakening the fixpoint
+# Stopping when sum|Δrank| < 1e-7 bounds every node's distance to the true
+# fixpoint by tol*d/(1-d) = 1e-7 — far inside the 6dp output rounding; the
+# tighter 1e-9 bought nothing but ~6 extra delta-action iterations per run.
+WARMSTART_TOL = 1e-7
 
 
 def _perturbed_edges(spark, edges):
@@ -281,8 +287,13 @@ def q_inc_iter_warmstart(spark, sf_dir):
     # materialize the self-join view once: two converged PageRank runs and
     # the perturbation's min-action all start from the same checkpoint
     edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    # checkpoint_every=2: the fixpoint barrier fires every 2nd iteration
+    # (vs the last checkpointed state), halving the per-iteration actions
+    # for the same converged answer — the reference's "check the fixpoint
+    # less often than you iterate" knob
     cold = algorithms.pagerank(
-        spark, edges, iters=60, damping=WARMSTART_DAMPING, tol=WARMSTART_TOL
+        spark, edges, iters=60, damping=WARMSTART_DAMPING, tol=WARMSTART_TOL,
+        checkpoint_every=2,
     )
     warm = algorithms.pagerank(
         spark,
@@ -291,6 +302,7 @@ def q_inc_iter_warmstart(spark, sf_dir):
         damping=WARMSTART_DAMPING,
         tol=WARMSTART_TOL,
         init_ranks=cold.state,
+        checkpoint_every=2,
     )
     return warm.state.select("node", F.round("rank", 6).alias("rank"))
 
@@ -423,18 +435,47 @@ ORACLES = {
         "SELECT n.node, coalesce(m.agg, 0) AS walks3"
         " FROM nodes n LEFT JOIN m3 m ON m.node = n.node"
     ),
-    # iter_pagerank is registered below via _pagerank_oracle_sql: 10
-    # unrolled iterations as chained CTEs — float sums differ between
-    # engines only in the last ulps (~1e-17 relative), far below the 6dp
-    # rounding, so the hash is stable.
-    # golden-checked (numpy replicas): iter_kmeans,
-    # inc_iter_warmstart.  iter_connected_components stays golden-checked
-    # too: a recursive-CTE label walk IS an exact oracle (the operator
-    # reaches the true fixpoint), but on edges_pp's one giant component
-    # the walk accumulates O(n^2) (node, origin) tuples — 24 s in DuckDB
-    # at sf0.01 even label-pruned, which would eat the driver's per-round
-    # check budget for one key.
+    # iter_pagerank / iter_connected_components are registered below via
+    # their SQL generators (unrolled chained CTEs).  golden-checked
+    # (numpy replicas) remain: iter_kmeans (float argmin assignments
+    # aren't SQL-stable) and inc_iter_warmstart (converged floats).
 }
+
+
+def _cc_oracle_sql(rounds: int) -> str:
+    """Connected components over edges_pp as unrolled pointer-doubling:
+    each round takes the min label over in-neighbors then shortcuts
+    label <- label-of-label — the same O(E x rounds) scheme the Spark
+    operator runs, so ~log2(diameter) rounds reach the fixpoint (the
+    earlier recursive-CTE label walk enumerated O(n^2) (node, origin)
+    tuples on the giant component: 24 s at sf0.01; this runs in
+    milliseconds).  Both converge to the unique min-label-per-component
+    fixpoint, so any round count past convergence hashes identically —
+    the local harness run proves `rounds` suffices at the tested SF."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and p{k}/l{k-1} are each referenced twice per round — inlining would
+    # double the plan every round (2^rounds copies of the lineitem
+    # self-join; observed as a hang + fd exhaustion at 10 rounds).
+    head = (
+        cte("edges_pp").replace("edges_pp AS (", "edges_pp AS MATERIALIZED (", 1)
+        + ", nodes AS MATERIALIZED (SELECT src AS node FROM edges_pp"
+        " UNION SELECT dst FROM edges_pp), "
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"
+    )
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f", m{k} AS MATERIALIZED (SELECT e.dst AS node, min(l.label) AS nl"
+            f" FROM edges_pp e JOIN l{k - 1} l ON l.node = e.src"
+            " GROUP BY e.dst)"
+            f", p{k} AS MATERIALIZED (SELECT l.node,"
+            " least(l.label, coalesce(m.nl, l.label)) AS label"
+            f" FROM l{k - 1} l LEFT JOIN m{k} m ON m.node = l.node)"
+            f", l{k} AS MATERIALIZED (SELECT p.node,"
+            " coalesce(q.label, p.label) AS label"
+            f" FROM p{k} p LEFT JOIN p{k} q ON q.node = p.label)"
+        )
+    return head + "".join(steps) + f" SELECT node, label FROM l{rounds}"
 
 
 def _pagerank_oracle_sql(iters: int, damping: float) -> str:
@@ -443,7 +484,7 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     base term (matching algorithms.pagerank's no-dangling-redistribution
     semantics)."""
     head = (
-        cte("edges_cp")
+        cte("edges_cp").replace("edges_cp AS (", "edges_cp AS MATERIALIZED (", 1)
         + ", nodes AS (SELECT src AS node FROM edges_cp"
         " UNION SELECT dst FROM edges_cp), "
         "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
@@ -469,3 +510,4 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
 
 
 ORACLES["iter_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING)
+ORACLES["iter_connected_components"] = _cc_oracle_sql(10)

@@ -300,7 +300,13 @@ def q_dedup_cluster_resolve(spark, sf_dir):
     load_tables(spark, sf_dir)
     d = spark.table("documents")
     sh = dedup.shingles(d, n=3)
-    pairs = dedup.jaccard_pairs(sh, JACCARD_THRESHOLD).select("d1", "d2")
+    # materialize the shingle-join output once — the symmetric union and
+    # CC's node derivation would otherwise recompute it several times
+    pairs = (
+        dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )

@@ -171,13 +171,17 @@ def q_fn_trig(spark, sf_dir):
     load_tables(spark, sf_dir)
     o = spark.table("orders")
     x = F.col("o_totalprice") / F.lit(100000.0)
+    # `+ 0.0` normalizes the sign of rounded zero (IEEE: -0.0 + 0.0 = +0.0);
+    # DuckDB's round() preserves -0.0 where Spark yields 0.0, and the
+    # driver's value-hash distinguishes them (r2 fn_trig fail).
+    z = F.lit(0.0)
     return o.select(
         "o_orderkey",
-        F.round(F.sin(x), 4).alias("sin_x"),
-        F.round(F.cos(x), 4).alias("cos_x"),
-        F.round(F.atan2(x, F.lit(2.0)), 4).alias("atan2_x2"),
-        F.round(F.degrees(x), 4).alias("deg_x"),
-        F.round(F.radians(x), 4).alias("rad_x"),
+        (F.round(F.sin(x), 4) + z).alias("sin_x"),
+        (F.round(F.cos(x), 4) + z).alias("cos_x"),
+        (F.round(F.atan2(x, F.lit(2.0)), 4) + z).alias("atan2_x2"),
+        (F.round(F.degrees(x), 4) + z).alias("deg_x"),
+        (F.round(F.radians(x), 4) + z).alias("rad_x"),
     )
 
 
@@ -395,12 +399,13 @@ ORACLES = {
         "FROM nation"
     ),
     "fn_trig": (
+        # + 0.0 canonicalizes -0.0 -> +0.0 (matches the Spark side's guard)
         "SELECT o_orderkey, "
-        "round(sin(o_totalprice / 100000.0), 4) AS sin_x, "
-        "round(cos(o_totalprice / 100000.0), 4) AS cos_x, "
-        "round(atan2(o_totalprice / 100000.0, 2.0), 4) AS atan2_x2, "
-        "round(degrees(o_totalprice / 100000.0), 4) AS deg_x, "
-        "round(radians(o_totalprice / 100000.0), 4) AS rad_x "
+        "round(sin(o_totalprice / 100000.0), 4) + 0.0 AS sin_x, "
+        "round(cos(o_totalprice / 100000.0), 4) + 0.0 AS cos_x, "
+        "round(atan2(o_totalprice / 100000.0, 2.0), 4) + 0.0 AS atan2_x2, "
+        "round(degrees(o_totalprice / 100000.0), 4) + 0.0 AS deg_x, "
+        "round(radians(o_totalprice / 100000.0), 4) + 0.0 AS rad_x "
         "FROM orders"
     ),
     "fn_bitwise_conditional": (

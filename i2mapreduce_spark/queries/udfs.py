@@ -60,8 +60,9 @@ def q_udf_grouped_map(spark, sf_dir):
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
         z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
+        # + 0.0 canonicalizes the sign of rounded zero (same class as fn_trig)
         return pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z.round(4)}
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z.round(4) + 0.0}
         )
 
     return d.groupBy("lang").applyInPandas(zscore, schema="doc_id long, lang string, z double")
@@ -139,7 +140,7 @@ ORACLES = {
     "udf_grouped_map": (
         "SELECT doc_id, lang, "
         "round((n_chars - avg(n_chars) OVER (PARTITION BY lang)) "
-        "/ stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z "
+        "/ stddev_samp(n_chars) OVER (PARTITION BY lang), 4) + 0.0 AS z "
         "FROM documents"
     ),
     "udaf_weighted_avg": (
