@@ -99,7 +99,12 @@ def jaccard_for_candidates(cand: DataFrame, shingle_df: DataFrame,
     the aggregation's key set is the candidate pairs, so hot shingles
     shared by thousands of docs cost nothing beyond the bucket join that
     already produced the candidates.
+
+    `cand` is deduplicated here — a repeated (d1, d2) row would otherwise
+    double-count intersections — so callers may pass raw bucket-join
+    output directly.
     """
+    cand = cand.select("d1", "d2").dropDuplicates(["d1", "d2"])
     pair_sh = cand.join(
         shingle_df.select(F.col(id_col).alias("d1"), "shingle"), "d1"
     ).select("d1", "d2", "shingle")
@@ -187,9 +192,9 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("d1"), F.col(f"r.{id_col}").alias("d2"))
-        .distinct()
     )
-    # exact re-score restricted to candidates (never the full shingle join)
+    # exact re-score restricted to candidates (never the full shingle
+    # join); the helper deduplicates the multi-band candidate pairs
     return jaccard_for_candidates(cand, sh, threshold, id_col=id_col)
 
 

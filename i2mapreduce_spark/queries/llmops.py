@@ -145,8 +145,12 @@ def q_text_lang_stats(spark, sf_dir):
 
 
 def q_text_quality_score(spark, sf_dir):
+    # n_tokens > 0 guard: a whitespace-only doc would divide by zero, and
+    # the engines disagree on the result (Spark NULL vs DuckDB inf/error)
     load_tables(spark, sf_dir)
-    return text_ops.quality_score(spark.table("documents"))
+    return text_ops.quality_score(spark.table("documents")).filter(
+        F.col("n_tokens") > 0
+    )
 
 
 def q_text_token_count(spark, sf_dir):
@@ -332,6 +336,8 @@ def q_text_ttr(spark, sf_dir):
     load_tables(spark, sf_dir)
     d = spark.table("documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # n_tokens > 0 guard: empty docs would give NULL (Spark) vs inf/error
+    # (DuckDB) on the ratio — exclude them on both engines
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -339,7 +345,7 @@ def q_text_ttr(spark, sf_dir):
         F.round(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("ttr"),
-    )
+    ).filter(F.col("n_tokens") > 0)
 
 
 def q_text_token_histogram(spark, sf_dir):
@@ -351,8 +357,10 @@ def q_text_token_histogram(spark, sf_dir):
     d = spark.table("documents")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     bucket = F.floor(F.log2(n_tok.cast("double"))).cast("int")
+    # n_tok > 0 guard: log2(0) diverges between engines (NULL vs -inf)
     return (
-        d.select(bucket.alias("log2_tokens"))
+        d.select(n_tok.alias("_n"), bucket.alias("log2_tokens"))
+        .filter(F.col("_n") > 0)
         .groupBy("log2_tokens")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -542,7 +550,7 @@ ORACLES = {
         "round(ln(1 + CAST(n_tok AS DOUBLE)) "
         "* (1 - CAST(n_stop AS DOUBLE) / n_tok) "
         "* least((CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok) / 6, 1.0), 4) "
-        "AS quality FROM t"
+        "AS quality FROM t WHERE n_tok > 0"
     ),
     "text_token_count": (
         "SELECT doc_id, "
@@ -581,7 +589,7 @@ ORACLES["pipeline_curation"] = (
     "round(ln(1 + CAST(n_tok AS DOUBLE)) "
     "* (1 - CAST(n_stop AS DOUBLE) / n_tok) "
     "* least((CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok) / 6, 1.0), 4) "
-    "AS quality FROM t), "
+    "AS quality FROM t WHERE n_tok > 0), "
     f"kept AS (SELECT *, md5(text) AS h FROM scored WHERE quality >= {PIPELINE_MIN_QUALITY}), "
     "deduped AS (SELECT * FROM (SELECT *, "
     "row_number() OVER (PARTITION BY h ORDER BY doc_id) AS drn FROM kept) "
@@ -630,12 +638,14 @@ ORACLES["text_ttr"] = (
     "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
     "CAST(len(list_distinct(toks)) AS INT) AS n_types, "
     "round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr "
-    "FROM t"
+    "FROM t WHERE len(toks) > 0"
 )
 
 ORACLES["text_token_histogram"] = (
-    "WITH t AS (SELECT CAST(floor(log2(len(list_filter(string_split(text, ' '), "
-    "x -> x <> ''))::DOUBLE)) AS INT) AS log2_tokens FROM documents) "
+    "WITH n AS (SELECT len(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS n_tok FROM documents), "
+    "t AS (SELECT CAST(floor(log2(n_tok::DOUBLE)) AS INT) AS log2_tokens "
+    "FROM n WHERE n_tok > 0) "
     "SELECT log2_tokens, count(*) AS n_docs FROM t GROUP BY log2_tokens"
 )
 

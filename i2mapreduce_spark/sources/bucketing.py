@@ -14,6 +14,7 @@ views over raw parquet cannot carry bucket metadata.
 
 from __future__ import annotations
 
+import os
 import shutil
 from urllib.parse import urlparse
 
@@ -36,7 +37,15 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int, *bucket_cols: str,
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir", "")))
     if wh.scheme in ("", "file") and wh.path:
-        shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+        stale = f"{wh.path}/{table.lower()}"
+        # only delete what is recognizably a stale managed-table dir
+        # (parquet parts / _SUCCESS marker), never an arbitrary directory
+        # that happens to share the path in a shared warehouse
+        if os.path.isdir(stale) and any(
+            f == "_SUCCESS" or f.endswith(".parquet")
+            for f in os.listdir(stale)
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
