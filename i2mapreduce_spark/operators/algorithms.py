@@ -258,6 +258,44 @@ def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
     return res.state.select("node", F.col("val").alias("label"))
 
 
+def label_propagation(edges: DataFrame, labels0: DataFrame, iters: int = 3,
+                      max_label: int = 1000) -> DataFrame:
+    """Synchronous majority label propagation (community detection /
+    semi-supervised label spreading): each round every node adopts the
+    most frequent label among its in-neighbors, ties broken toward the
+    SMALLEST label; a node with no in-edges keeps its label.
+
+    Deterministic argmax via one scalar key — max_by(label, c*max_label -
+    label) picks the (count DESC, label ASC) winner; requires labels in
+    [0, max_label).  labels0: (node, label int).
+
+    100TB: per round one shuffle keyed by edge dst for the (node, label)
+    count and one keyed by node for the argmax — state shuffles O(nodes x
+    distinct-neighbor-labels), never O(edges); the step is the PageRank
+    plan with max_by in place of sum, so the same co-partitioning holds.
+    """
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        s, e = state.alias("s"), edges.alias("e")
+        cnt = (
+            s.join(e, F.col("s.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"), F.col("s.label").alias("msg"))
+            .agg(F.count("*").alias("c"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.max_by("msg", F.col("c") * max_label - F.col("msg")).alias("blab")
+        )
+        return (
+            state.alias("p")
+            .join(best.alias("b"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("b.blab"), F.col("p.label")).alias("label"),
+            )
+        )
+
+    return iterate(labels0, step, iters, checkpoint_every=1).state
+
+
 def apriori_levels(
     baskets: DataFrame,
     min_support: int,

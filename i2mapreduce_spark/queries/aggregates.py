@@ -293,8 +293,36 @@ def q_agg_distinct_multi(spark, sf_dir):
     )
 
 
+def q_agg_decimal_exact(spark, sf_dir):
+    """Exact-decimal revenue accounting: prices accumulate as
+    DECIMAL(12,2) (no float drift — the sum of 600k 2-decimal values is
+    exact in both engines by construction), then the totals cast to
+    double for the cross-engine hash.  Decimal sums shuffle as unscaled
+    longs with map-side partial aggregation — same plan as the double
+    version, exactness is free at this precision."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("_sp"),
+            F.sum(price + tax).alias("_spt"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_sp").cast("double").alias("sum_price"),
+            F.col("_spt").cast("double").alias("sum_price_tax"),
+            "n_rows",
+        )
+    )
+
+
 QUERIES = {
     "agg_distinct_multi": q_agg_distinct_multi,
+    "agg_decimal_exact": q_agg_decimal_exact,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
     "agg_distinct_count": q_agg_distinct_count,
@@ -316,6 +344,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_decimal_exact": (
+        "SELECT l_returnflag, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "+ CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_price_tax, "
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+    ),
     "agg_distinct_multi": (
         "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts, "
         "count(DISTINCT l_suppkey) AS nd_supps, "

@@ -328,7 +328,27 @@ def q_iter_triangle_count(spark, sf_dir):
 
 _EDGES_PP = cte("edges_pp")
 
+LPA_ITERS = 3
+LPA_SEED_MOD = 5
+
+
+def q_iter_label_propagation(spark, sf_dir):
+    """3 synchronous rounds of majority label propagation over the
+    co-purchase graph, seeded with label = node % 5 — the community-
+    detection workload in the reference's iterative model (same
+    structure/state split as PageRank, with argmax in place of sum).
+    Deterministic ties -> smallest label; hash-checked against 3
+    unrolled rounds in DuckDB."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    labels0 = algorithms._nodes(edges).withColumn(
+        "label", (F.col("node") % LPA_SEED_MOD).cast("long")
+    )
+    return algorithms.label_propagation(edges, labels0, iters=LPA_ITERS)
+
+
 QUERIES = {
+    "iter_label_propagation": q_iter_label_propagation,
     "iter_pagerank": q_iter_pagerank,
     "iter_sssp": q_iter_sssp,
     "iter_connected_components": q_iter_connected_components,
@@ -508,6 +528,34 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
         + f" SELECT node, round(rank, 6) AS rank FROM r{iters}"
     )
 
+
+def _lpa_oracle_sql(iters: int, seed_mod: int, max_label: int = 1000) -> str:
+    """Unrolled majority label propagation: per round, count neighbor
+    labels arriving at each dst and take max_by(label, c*max_label -
+    label) — the same (count DESC, label ASC) argmax as the operator."""
+    head = (
+        cte("edges_pp").replace("edges_pp AS (", "edges_pp AS MATERIALIZED (", 1)
+        + ", nodes AS (SELECT DISTINCT src AS node FROM edges_pp), "
+        f"l0 AS (SELECT node, node % {seed_mod} AS label FROM nodes)"
+    )
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f", l{k} AS (SELECT p.node, coalesce(b.blab, p.label) AS label "
+            f"FROM l{k - 1} p LEFT JOIN ("
+            f"SELECT dst, max_by(msg, c * {max_label} - msg) AS blab FROM ("
+            "SELECT e2.dst AS dst, l.label AS msg, count(*) AS c "
+            f"FROM edges_pp e2 JOIN l{k - 1} l ON l.node = e2.src "
+            "GROUP BY 1, 2) cnt "
+            "GROUP BY dst) b ON b.dst = p.node)"
+        )
+    return (
+        head + "".join(steps)
+        + f" SELECT node, label FROM l{iters}"
+    )
+
+
+ORACLES["iter_label_propagation"] = _lpa_oracle_sql(LPA_ITERS, LPA_SEED_MOD)
 
 ORACLES["iter_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING)
 ORACLES["iter_connected_components"] = _cc_oracle_sql(10)

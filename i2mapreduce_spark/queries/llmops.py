@@ -366,6 +366,74 @@ def q_text_token_histogram(spark, sf_dir):
     )
 
 
+def q_text_entropy(spark, sf_dir):
+    """Unigram Shannon entropy per document — the repetition /
+    template-detection signal corpus filters threshold on (boilerplate
+    and spam sit far below natural text).  H = -sum p*log2(p) over the
+    doc's token distribution; entropy values are transcendental, so 4dp
+    rounding never lands on a cross-engine tie.
+
+    Plan: explode -> per-(doc, token) count -> per-doc window total ->
+    one aggregation.  Shuffles are keyed by doc_id (and doc_id+token),
+    so at 100 TB this is embarrassingly parallel over documents."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    cnt = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.withColumn("tot", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c").cast("double") / F.col("tot")
+    return tot.groupBy("doc_id").agg(
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
+        F.max("tot").cast("int").alias("n_tokens"),
+    )
+
+
+def q_text_bigram_lm_score(spark, sf_dir):
+    """Corpus-bigram language-model score per document: train bigram
+    conditional probabilities p(w2|w1) = c(w1,w2)/c(w1,·) on the whole
+    corpus, then score each doc by the mean log2-probability of its
+    bigram stream — the cheap LM-perplexity proxy used to rank documents
+    for training-data selection (low score = unusual token transitions).
+
+    Plan: one explode produces the bigram stream; corpus counts are two
+    aggregations over it; the scoring join is keyed by the bigram, and
+    the model tables are DataFrames (broadcast when small, shuffle-join
+    when the vocabulary outgrows that) — no driver-side model object."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    big = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, F.size("tk") - 1).alias("w1"),
+                    F.slice("tk", 2, F.size("tk") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    logp = F.log2(F.col("c2").cast("double") / F.col("c1"))
+    return (
+        big.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(logp), 4).alias("lm_score"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def q_sim_label_centroid(spark, sf_dir):
     """Per-label centroid + each vector's cosine to its own label
     centroid (cluster-coherence scoring, the building block of
@@ -453,6 +521,8 @@ QUERIES = {
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
     "text_ttr": q_text_ttr,
     "text_token_histogram": q_text_token_histogram,
+    "text_entropy": q_text_entropy,
+    "text_bigram_lm_score": q_text_bigram_lm_score,
     "sim_label_centroid": q_sim_label_centroid,
 }
 
@@ -647,6 +717,28 @@ ORACLES["text_token_histogram"] = (
     "t AS (SELECT CAST(floor(log2(n_tok::DOUBLE)) AS INT) AS log2_tokens "
     "FROM n WHERE n_tok > 0) "
     "SELECT log2_tokens, count(*) AS n_docs FROM t GROUP BY log2_tokens"
+)
+
+ORACLES["text_entropy"] = (
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "u AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+    "cnt AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2), "
+    "tot AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS tot FROM cnt) "
+    "SELECT doc_id, round(-sum((c::DOUBLE / tot) * log2(c::DOUBLE / tot)), 4) "
+    "AS entropy, CAST(max(tot) AS INT) AS n_tokens FROM tot GROUP BY doc_id"
+)
+
+ORACLES["text_bigram_lm_score"] = (
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 "
+    "FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1) "
+    "SELECT doc_id, round(avg(log2(c2::DOUBLE / c1)), 4) AS lm_score, "
+    "count(*) AS n_bigrams FROM big "
+    "JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id"
 )
 
 ORACLES["sim_label_centroid"] = (

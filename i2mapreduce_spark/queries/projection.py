@@ -118,8 +118,32 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+RESERVOIR_K = 200
+
+
+def q_sample_reservoir(spark, sf_dir):
+    """Deterministic fixed-size uniform sample: the 200 orders with the
+    smallest md5(key) — a bottom-k (KMV) sketch, the reproducible stand-in
+    for reservoir sampling (same marginal distribution, no RNG state).
+
+    100TB note: Spark plans this as TakeOrderedAndProject — each partition
+    keeps its local bottom-k and only k rows per partition reach the
+    driver-side merge, so the global sort never materializes.  The same
+    primitive gives fixed-size corpus samples for eval-set carving.
+    """
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    h = F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", h)
+        .orderBy("h")
+        .limit(RESERVOIR_K)
+    )
+
+
 QUERIES = {
     "project_expr": q_project_expr,
+    "sample_reservoir": q_sample_reservoir,
     "filter_range_pred": q_filter_range_pred,
     "filter_in_like_null": q_filter_in_like_null,
     "case_coalesce_cast": q_case_coalesce_cast,
@@ -128,6 +152,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_reservoir": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders "
+        f"ORDER BY h LIMIT {RESERVOIR_K}"
+    ),
     "sample_stratified": (
         "SELECT doc_id, lang, source, rn FROM ("
         "SELECT doc_id, lang, source, row_number() OVER ("

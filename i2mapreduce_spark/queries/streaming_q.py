@@ -309,7 +309,51 @@ _SESSIONIZE = (
     " FROM brk) "
 )
 
+def q_stream_scd2_compact(spark, sf_dir):
+    """CDC change feed -> slowly-changing-dimension type-2 history: each
+    user's event_type stream is run-length compacted into validity
+    intervals (valid_from = first ts of a run of equal values, valid_to =
+    start of the next run, NULL while current) — the standard sink shape
+    for upserting dimension tables from a change stream (the batch twin
+    of A12 delta folding: the same intervals fall out of replaying the
+    deltas in order).
+
+    Plan: one window partition per user (lag -> change flag -> running
+    sum segments), one per-segment aggregation, one lead for valid_to —
+    three stages co-keyed on user_id, nothing global."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("val"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("val").over(w).isNull() | (F.lag("val").over(w) != F.col("val")),
+            1,
+        ).otherwise(0),
+    ).withColumn("seg", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = seg.groupBy("user_id", "seg").agg(
+        F.min("val").alias("val"),  # all equal within a run; min = deterministic
+        F.min("us").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "val",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
+    "stream_scd2_compact": q_stream_scd2_compact,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
@@ -324,6 +368,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_scd2_compact": (
+        "WITH e AS (SELECT user_id, event_id, event_type AS val, "
+        "epoch_us(ts) AS us FROM events), "
+        "seg0 AS (SELECT *, CASE WHEN lag(val) OVER w IS NULL "
+        "OR lag(val) OVER w <> val THEN 1 ELSE 0 END AS chg FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "seg AS (SELECT *, sum(chg) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS seg FROM seg0), "
+        "runs AS (SELECT user_id, seg, min(val) AS val, min(us) AS valid_from, "
+        "count(*) AS n_events FROM seg GROUP BY 1, 2) "
+        "SELECT user_id, val, valid_from, "
+        "lead(valid_from) OVER w2 AS valid_to, n_events, "
+        "lead(valid_from) OVER w2 IS NULL AS is_current FROM runs "
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)"
+    ),
     "stream_complete_totals": (
         "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "
         "FROM events GROUP BY event_type"
