@@ -330,7 +330,72 @@ def q_join_skew_salted(spark, sf_dir):
     )
 
 
+OVERLAP_GAP_US = 30 * 60 * 1_000_000       # session break: >= 30 min silence
+OVERLAP_WIN_US = 5 * 60 * 1_000_000        # error window: +/- 5 min
+OVERLAP_BIN_US = 10 * 60 * 1_000_000       # alignment bin for the equi-join
+
+
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: user sessions (gaps-and-islands, 30-min
+    break) x global error-incident windows (error ts +/- 5 min) -> per
+    session, how many incident windows it overlapped (incident
+    attribution).  Only overlapping sessions are emitted.
+
+    Scale shape: both interval sets explode into aligned 10-min bins and
+    equi-join ON THE BIN, with the exact overlap predicate applied as a
+    residual and pair-level dedup after — the standard trick that turns
+    an all-pairs temporal theta join into a shuffle join whose key is
+    time locality.  Bins per interval are bounded (sessions break at 30
+    min, windows are 10 min wide), so the explode factor is a small
+    constant; the DuckDB oracle states the same semantics as the naive
+    theta join."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) >= OVERLAP_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = brk.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_start"), F.max("us").alias("s_end")
+    )
+    win = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("w_id"),
+        (F.col("us") - OVERLAP_WIN_US).alias("w_start"),
+        (F.col("us") + OVERLAP_WIN_US).alias("w_end"),
+    )
+    bins = lambda lo, hi: F.sequence(  # noqa: E731
+        F.floor(F.col(lo) / OVERLAP_BIN_US), F.floor(F.col(hi) / OVERLAP_BIN_US)
+    )
+    s_b = sess.withColumn("bin", F.explode(bins("s_start", "s_end")))
+    w_b = win.withColumn("bin", F.explode(bins("w_start", "w_end")))
+    pairs = (
+        s_b.join(w_b, "bin")
+        .filter(
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end"))
+        )
+        .select("user_id", "sid", "w_id")
+        .distinct()
+    )
+    return pairs.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_incidents")
+    )
+
+
 QUERIES = {
+    "join_interval_overlap": q_join_interval_overlap,
     "join_broadcast": q_join_broadcast,
     "join_skew_salted": q_join_skew_salted,
     "join_shuffle_equi": q_join_shuffle_equi,
@@ -351,6 +416,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_interval_overlap": (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+        "FROM events), "
+        "brk AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL "
+        f"OR us - lag(us) OVER w >= {OVERLAP_GAP_US} THEN 1 ELSE 0 END AS new_sess "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "seg AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM brk), "
+        "sess AS (SELECT user_id, CAST(sid AS BIGINT) AS sid, "
+        "min(us) AS s_start, max(us) AS s_end "
+        "FROM seg GROUP BY 1, 2), "
+        "win AS (SELECT event_id AS w_id, "
+        f"us - {OVERLAP_WIN_US} AS w_start, us + {OVERLAP_WIN_US} AS w_end "
+        "FROM e WHERE event_type = 'error') "
+        "SELECT user_id, sid, count(*) AS n_incidents "
+        "FROM sess JOIN win ON s_start <= w_end AND w_start <= s_end "
+        "GROUP BY 1, 2"
+    ),
     "join_skew_salted": (
         "SELECT o_custkey, count(*) AS n_lines, "
         "round(sum(l_quantity), 2) AS sum_qty "

@@ -434,6 +434,36 @@ def q_text_bigram_lm_score(spark, sf_dir):
     )
 
 
+BOILERPLATE_MIN_DF = 10
+
+
+def q_text_boilerplate_ratio(spark, sf_dir):
+    """Per-doc boilerplate ratio: the fraction of a document's distinct
+    3-token shingles that are corpus-common (appearing in >= 10 docs) —
+    the CCNet-style signal for stripping navigation chrome, license
+    headers and template text before training.
+
+    Plan: one shingle explode feeds both the per-shingle document
+    frequency and the per-doc rollup; the df table joins back keyed by
+    shingle.  At 100 TB the df table is the corpus-wide hot set — tiny
+    relative to the corpus (high-df strings concentrate), so the join
+    broadcasts; nothing is quadratic in documents."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    sh = dedup.shingles(d, n=3)
+    docfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    j = sh.join(docfreq, "shingle")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("df") >= BOILERPLATE_MIN_DF).cast("int")).alias("n_common"),
+        F.round(
+            F.sum((F.col("df") >= BOILERPLATE_MIN_DF).cast("int"))
+            .cast("double") / F.count("*"),
+            4,
+        ).alias("boilerplate_ratio"),
+    )
+
+
 def q_sim_label_centroid(spark, sf_dir):
     """Per-label centroid + each vector's cosine to its own label
     centroid (cluster-coherence scoring, the building block of
@@ -523,6 +553,7 @@ QUERIES = {
     "text_token_histogram": q_text_token_histogram,
     "text_entropy": q_text_entropy,
     "text_bigram_lm_score": q_text_bigram_lm_score,
+    "text_boilerplate_ratio": q_text_boilerplate_ratio,
     "sim_label_centroid": q_sim_label_centroid,
 }
 
@@ -739,6 +770,17 @@ ORACLES["text_bigram_lm_score"] = (
     "SELECT doc_id, round(avg(log2(c2::DOUBLE / c1)), 4) AS lm_score, "
     "count(*) AS n_bigrams FROM big "
     "JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id"
+)
+
+ORACLES["text_boilerplate_ratio"] = (
+    f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
+    "df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) "
+    "SELECT doc_id, count(*) AS n_shingles, "
+    f"CAST(sum(CASE WHEN df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_common, "
+    f"round(sum(CASE WHEN df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END)::DOUBLE "
+    "/ count(*), 4) AS boilerplate_ratio "
+    "FROM sh JOIN df USING (shingle) GROUP BY doc_id"
 )
 
 ORACLES["sim_label_centroid"] = (

@@ -228,8 +228,35 @@ def q_source_incremental_files(spark, sf_dir):
     )
 
 
+def q_source_schema_evolution(spark, sf_dir):
+    """Schema evolution at the storage layer (A7 for long-lived tables):
+    batch 1 writes (key, name); batch 2 adds two columns; one
+    mergeSchema read returns the union schema with batch-1 rows
+    NULL-filled — how a 100 TB table absorbs new columns without
+    rewriting old files.  The batch= directory doubles as a hive
+    partition column, so per-batch predicates still prune at the
+    directory level."""
+    load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="i2mr_evo_") + "/nation_evo"
+    spark.table("nation").select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(base + "/batch=1")
+    spark.table("nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("int").alias("name_len"),
+    ).write.mode("overwrite").parquet(base + "/batch=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(base)
+        .select("n_nationkey", "n_name", "n_regionkey", "name_len", "batch")
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
+    "source_schema_evolution": q_source_schema_evolution,
     "scan_project_prune": q_scan_project_prune,
     "scan_filter_pushdown": q_scan_filter_pushdown,
     "sink_parquet_roundtrip": q_sink_parquet_roundtrip,
@@ -245,6 +272,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_schema_evolution": (
+        "SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey, "
+        "CAST(NULL AS INT) AS name_len, 1 AS batch FROM nation "
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey, "
+        "CAST(length(n_name) AS INT), 2 FROM nation"
+    ),
     "scan_full": "SELECT * FROM region",
     "scan_project_prune": "SELECT l_orderkey, l_quantity FROM lineitem",
     "scan_filter_pushdown": "SELECT * FROM orders WHERE o_totalprice > 400000",
