@@ -18,6 +18,7 @@ _GROUP_MODULES = [
     "mapred_q",     # I  — MapReduce-core surface
     "udfs",         # V  — UDF / UDAF / UDTF surface
     "llmops",       # L  — LLM-data-pipeline operators
+    "pipelines",    # L  — corpus-construction pipeline operators (r3)
     "iterative",    # J  — iterative algorithms
     "streaming_q",  # K  — incremental / streaming
     "scans",        # S  — scans / sources / sinks

@@ -1,0 +1,259 @@
+"""Group L (cont.) — corpus-construction pipeline operators (round 3):
+benchmark decontamination, leakage-safe train/val/test splitting, domain
+mixture weighting, and Gopher-style repetition signals.
+
+These are the controls a production training-data build runs between
+"raw corpus" and "training mix": remove eval-set contamination, split at
+the near-duplicate-cluster level so no eval document has a train-set
+twin, compute per-domain sampling weights toward a target mixture, and
+flag template/spam repetition.  All are hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..catalog import load_tables
+from ..operators import algorithms, dedup
+
+#: benchmark membership: ~6% of docs, deterministic (doc_id % 17 == 0)
+DECON_BENCH_MOD = 17
+#: n-gram size for contamination overlap (5-grams: only true near-dups
+#: of benchmark docs collide; 3-grams over this vocab hit 80% of docs)
+DECON_NGRAM = 5
+#: near-dup threshold reused for cluster-level splitting
+SPLIT_JACCARD = 0.5
+#: split fractions out of 100 hash buckets: train <96, val 96-97, test 98-99
+SPLIT_VAL_LO = 96
+SPLIT_TEST_LO = 98
+
+_TOK5_CTE = (
+    "tok AS (SELECT doc_id, lang, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
+    "generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p "
+    "FROM documents)"
+)
+_SHINGLE5_CTE = (
+    "sh AS (SELECT DISTINCT a.doc_id, "
+    "a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS shingle "
+    "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 "
+    "JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2 "
+    "JOIN tok d ON a.doc_id = d.doc_id AND d.p = a.p + 3 "
+    "JOIN tok e ON a.doc_id = e.doc_id AND e.p = a.p + 4)"
+)
+
+
+def q_pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a training document is CONTAMINATED if
+    it shares any 5-token shingle with the benchmark set (docs with
+    doc_id % 17 == 0 stand in for the eval suite).  Output: per-language
+    audit — total docs, benchmark docs, contaminated, clean survivors.
+
+    Plan: one shingle explode feeds both sides; the benchmark side is a
+    filter of it (computed once, tiny — 6% of docs), so the overlap join
+    broadcasts the benchmark shingle set.  At 100 TB the eval suite is
+    KBs–MBs of shingles against TBs of corpus: the canonical broadcast
+    semi-join; nothing quadratic, nothing driver-side."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    sh = dedup.shingles(d, n=DECON_NGRAM)
+    bench_sh = sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = d.join(contaminated.withColumn("bad", F.lit(1)), "doc_id", "left")
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD == 0).cast("int")
+    is_contam = ((F.col("doc_id") % DECON_BENCH_MOD != 0) & F.col("bad").isNotNull()).cast("int")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(is_bench).alias("n_benchmark"),
+        F.sum(is_contam).alias("n_contaminated"),
+        F.sum(1 - is_bench - is_contam).alias("n_clean"),
+    )
+
+
+def q_pipeline_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: split assignment is made per
+    NEAR-DUPLICATE CLUSTER, not per document, so a val/test doc can never
+    have a train-set near-twin (the classic eval-leak).  Clusters =
+    connected components over exact-Jaccard >= 0.5 pairs; singletons are
+    their own cluster.  Bucket = 16-bit slice of md5(cluster_rep) mod 100
+    -> train < 96, val 96-97, test 98-99.  Output: (split, lang, n_docs).
+
+    Plan: the pair graph is sparse (near-dups are rare), so the CC runs
+    on a tiny edge set; the split hash is a pure expression; everything
+    else is one broadcast join back to documents."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    pairs = dedup.jaccard_pairs(dedup.shingles(d, n=3), SPLIT_JACCARD)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = algorithms.connected_components(edges, iters=8)  # (node, label)
+    with_cluster = d.join(
+        F.broadcast(labels.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    ).withColumn("cluster", F.coalesce(F.col("label"), F.col("doc_id")))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 29, 4), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    return (
+        with_cluster.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_pipeline_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling weights: given the corpus's actual
+    language shares, the per-language sampling weight that would produce
+    a UNIFORM language mixture (weight = target_share / actual_share).
+    The exact computation behind "upsample low-resource languages to X%"
+    in a training-mix config.  Output: (lang, n_docs, share, weight).
+
+    Plan: one aggregation, then two global-window scalars over the
+    5-row aggregate (post-agg, so the single-partition window is free)."""
+    load_tables(spark, sf_dir)
+    counts = spark.table("documents").groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return counts.select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(target / share, 6).alias("weight"),
+    )
+
+
+def q_text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signals per document: top-word fraction
+    (count of the most frequent word / total tokens) and duplicate-
+    trigram fraction (trigram positions whose trigram occurs more than
+    once in the doc / total trigram positions).  High values mark
+    template/spam/keyword-stuffed docs that repetition filters drop.
+
+    Plan: one token explode feeds the word counts; the trigram stream is
+    two leads over the same explode (no self-join); both aggregate per
+    doc_id — shuffle is O(tokens), all JVM-side."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "w"))
+    wc = pos.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    top = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tokens")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("p")
+    tri = pos.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(wseq), F.lead("w", 2).over(wseq)
+        ).alias("tg"),
+        F.lead("w", 2).over(wseq).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull())
+    tc = tri.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    dup = tc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup"),
+        F.sum("c").alias("n_tri"),
+    )
+    return (
+        top.join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(F.col("n_dup").cast("double") / F.col("n_tri"), 4).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "pipeline_decontaminate": q_pipeline_decontaminate,
+    "pipeline_split_leakage_safe": q_pipeline_split_leakage_safe,
+    "pipeline_mixture_weights": q_pipeline_mixture_weights,
+    "text_repetition_ratio": q_text_repetition_ratio,
+}
+
+ORACLES = {
+    "pipeline_decontaminate": (
+        f"WITH {_TOK5_CTE}, {_SHINGLE5_CTE}, "
+        f"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        f"contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle "
+        f"WHERE s.doc_id % {DECON_BENCH_MOD} <> 0) "
+        "SELECT d.lang, count(*) AS n_total, "
+        f"CAST(sum(CASE WHEN d.doc_id % {DECON_BENCH_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_benchmark, "
+        "CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, "
+        f"CAST(sum(CASE WHEN d.doc_id % {DECON_BENCH_MOD} <> 0 AND c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean "
+        "FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id GROUP BY d.lang"
+    ),
+    "pipeline_split_leakage_safe": (
+        "WITH RECURSIVE "
+        "tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
+        "generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p "
+        "FROM documents), "
+        "sh3 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 "
+        "JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+        "FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "pairs AS (SELECT d1, d2 FROM inter "
+        "JOIN cnt na ON d1 = na.doc_id JOIN cnt nb ON d2 = nb.doc_id "
+        f"WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {SPLIT_JACCARD}), "
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM pairs "
+        "UNION ALL SELECT d2, d1 FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "walk(node, label) AS (SELECT node, node FROM nodes "
+        "UNION SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node), "
+        "lab AS (SELECT node, min(label) AS label FROM walk GROUP BY node), "
+        "assign AS (SELECT d.doc_id, d.lang, "
+        "coalesce(l.label, d.doc_id) AS cluster FROM documents d "
+        "LEFT JOIN lab l ON d.doc_id = l.node), "
+        "bucketed AS (SELECT lang, "
+        "('0x' || substr(md5(cluster::VARCHAR), 29, 4))::BIGINT % 100 AS b FROM assign) "
+        f"SELECT CASE WHEN b < {SPLIT_VAL_LO} THEN 'train' "
+        f"WHEN b < {SPLIT_TEST_LO} THEN 'val' ELSE 'test' END AS split, "
+        "lang, count(*) AS n_docs FROM bucketed GROUP BY 1, 2"
+    ),
+    "pipeline_mixture_weights": (
+        "WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), "
+        "tot AS (SELECT sum(n_docs) AS t, count(*) AS k FROM counts) "
+        "SELECT lang, n_docs, "
+        "round(CAST(n_docs AS DOUBLE) / t, 6) AS share, "
+        "round((1.0 / k) / (CAST(n_docs AS DOUBLE) / t), 6) AS weight "
+        "FROM counts, tot"
+    ),
+    "text_repetition_ratio": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
+        "generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p "
+        "FROM documents), "
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w), "
+        "top AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tokens FROM wc GROUP BY doc_id), "
+        "tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 "
+        "JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2), "
+        "tc AS (SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY doc_id, tg), "
+        "dup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup, "
+        "sum(c) AS n_tri FROM tc GROUP BY doc_id) "
+        "SELECT t.doc_id, t.n_tokens, "
+        "round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_word_frac, "
+        "round(CAST(d.n_dup AS DOUBLE) / d.n_tri, 4) AS dup_trigram_frac "
+        "FROM top t JOIN dup d ON t.doc_id = d.doc_id"
+    ),
+}
