@@ -320,7 +320,104 @@ def q_agg_decimal_exact(spark, sf_dir):
     )
 
 
+def q_agg_mode(spark, sf_dir):
+    """Deterministic mode (most frequent value, smallest-value tie-break)
+    of o_orderpriority per o_orderstatus — count + rank, no `mode()`
+    builtin so the tie-break is explicit and portable.
+
+    100TB: the candidate table after the first agg is |statuses x
+    priorities| rows — the rank window runs on a micro-table."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    cnt = (
+        spark.table("orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+def q_agg_skew_kurt(spark, sf_dir):
+    """Standardized 3rd/4th moments (skewness, kurtosis) of
+    l_extendedprice per l_returnflag, computed from explicit two-pass
+    standardized residuals — identical arithmetic in both engines, which
+    sidesteps the sample-vs-population bias-correction dialect split
+    between Spark's skewness()/kurtosis() and DuckDB's.
+
+    100TB: pass 1 is a tiny per-group stats agg broadcast back; pass 2
+    re-aggregates the scan — two scans, zero wide shuffles beyond the
+    group keyspace."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_pop("l_extendedprice").alias("sd"),
+    )
+    z = (F.col("l_extendedprice") - F.col("mu")) / F.col("sd")
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg(F.pow(z, 3)), 6).alias("skew"),
+            F.round(F.avg(F.pow(z, 4)), 6).alias("kurt"),
+        )
+    )
+
+
+def q_agg_weighted_median(spark, sf_dir):
+    """Weighted median: smallest l_extendedprice whose running
+    l_quantity weight reaches half the group total, per l_returnflag —
+    the cumulative-weight window formulation (quantity-weighted price
+    median, the robust price statistic).
+
+    100TB: the cumulative window sorts within each group — at scale this
+    is the one truly rank-based statistic here; the group count is tiny
+    so the sort parallelizes across groups, and integer weights keep the
+    half-total threshold exact (no float ties)."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = li.withColumn("cw", F.sum("wt").over(w_cum)).withColumn(
+        "tot", F.sum("wt").over(w_tot)
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_mode": q_agg_mode,
+    "agg_skew_kurt": q_agg_skew_kurt,
+    "agg_weighted_median": q_agg_weighted_median,
     "agg_distinct_multi": q_agg_distinct_multi,
     "agg_decimal_exact": q_agg_decimal_exact,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -344,6 +441,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_mode": (
+        "WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c "
+        "FROM orders GROUP BY 1, 2), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY c DESC, o_orderpriority) AS rn FROM cnt) "
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_count "
+        "FROM rk WHERE rn = 1"
+    ),
+    "agg_skew_kurt": (
+        "WITH stats AS (SELECT l_returnflag, avg(l_extendedprice) AS mu, "
+        "stddev_pop(l_extendedprice) AS sd FROM lineitem GROUP BY 1) "
+        "SELECT l.l_returnflag, count(*) AS n_rows, "
+        "round(avg(pow((l_extendedprice - mu) / sd, 3)), 6) AS skew, "
+        "round(avg(pow((l_extendedprice - mu) / sd, 4)), 6) AS kurt "
+        "FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag "
+        "GROUP BY l.l_returnflag"
+    ),
+    "agg_weighted_median": (
+        "WITH w AS (SELECT l_returnflag, l_extendedprice, "
+        "CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+        "cum AS (SELECT l_returnflag, l_extendedprice, "
+        "sum(wt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+        "sum(wt) OVER (PARTITION BY l_returnflag) AS tot FROM w) "
+        "SELECT l_returnflag, min(l_extendedprice) AS weighted_median, "
+        "CAST(max(tot) AS BIGINT) AS total_weight "
+        "FROM cum WHERE cw * 2 >= tot GROUP BY l_returnflag"
+    ),
     "agg_decimal_exact": (
         "SELECT l_returnflag, "
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, "

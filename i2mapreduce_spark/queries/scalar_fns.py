@@ -311,7 +311,27 @@ def q_fn_regexp_capture(spark, sf_dir):
     )
 
 
+def q_fn_base64_hex(spark, sf_dir):
+    """Binary-encoding surface: base64 / hex encode and the decode
+    roundtrips (the primitives under content-addressed storage keys and
+    wire-format debugging).  All JVM expressions."""
+    load_tables(spark, sf_dir)
+    n = spark.table("nation")
+    return n.select(
+        "n_nationkey",
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.hex(F.col("n_name").cast("binary")).alias("hx"),
+        F.decode(F.unbase64(F.base64(F.col("n_name").cast("binary"))), "UTF-8").alias(
+            "b64_roundtrip"
+        ),
+        F.decode(F.unhex(F.hex(F.col("n_name").cast("binary"))), "UTF-8").alias(
+            "hex_roundtrip"
+        ),
+    )
+
+
 QUERIES = {
+    "fn_base64_hex": q_fn_base64_hex,
     "fn_regexp_capture": q_fn_regexp_capture,
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -333,6 +353,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_base64_hex": (
+        "SELECT n_nationkey, to_base64(n_name::BLOB) AS b64, "
+        "hex(n_name) AS hx, "
+        "decode(from_base64(to_base64(n_name::BLOB))) AS b64_roundtrip, "
+        "decode(unhex(hex(n_name))) AS hex_roundtrip FROM nation"
+    ),
     "fn_regexp_capture": (
         "SELECT event_id, "
         "regexp_extract(props, '\"v\":([0-9]+)', 1) AS v_digits, "

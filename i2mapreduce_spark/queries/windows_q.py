@@ -227,7 +227,77 @@ def q_window_funnel_stages(spark, sf_dir):
     )
 
 
+EWMA_ALPHA = 0.3
+EWMA_LAST_N = 64
+
+
+def q_window_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of `value` per user over the
+    user's LAST 64 events (ts order, event_id tie-break): the standard
+    recursive ema_i = a*x_i + (1-a)*ema_(i-1) unrolled into its closed
+    form sum(x_j * w_j) with w_1 = (1-a)^(n-1), w_j = a*(1-a)^(n-j) —
+    one window pass + one aggregation, no recursion and no Python.
+
+    The 64-event truncation is the scale guard: it bounds the pow()
+    exponent (closed-form weights underflow/overflow past ~1000 rows)
+    and caps per-user work no matter how hot the key.  Output: one row
+    per user (user_id, n_used, ema)."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = e.withColumn("rd", F.row_number().over(w_desc)).filter(
+        F.col("rd") <= EWMA_LAST_N
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    j = F.row_number().over(w_asc)
+    ranked = last.select(
+        "user_id", "value", j.alias("j"), F.count("*").over(w_all).alias("n")
+    )
+    q = 1.0 - EWMA_ALPHA
+    weight = F.when(
+        F.col("j") == 1, F.pow(F.lit(q), F.col("n") - 1)
+    ).otherwise(EWMA_ALPHA * F.pow(F.lit(q), F.col("n") - F.col("j")))
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("int").alias("n_used"),
+        F.round(F.sum(F.col("value") * weight), 6).alias("ema"),
+    )
+
+
+def q_window_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted as retained in each subsequent week they appear —
+    the (cohort_week, week_offset) -> distinct-user matrix every growth
+    dashboard computes.  Two windowless aggregations: per-user first
+    week, then distinct users per cell.
+
+    100TB: the per-user min is a partial-aggregated groupBy on user_id;
+    the matrix agg's keyspace is weeks x offsets — tiny."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    joined = e.join(first, "user_id").withColumn(
+        "week_offset", (F.datediff("wk", "cohort_week") / 7).cast("int")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            # ISO string: DATE columns stringify differently across engines
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
 QUERIES = {
+    "window_ewma": q_window_ewma,
+    "window_retention_cohort": q_window_retention_cohort,
     "window_funnel_stages": q_window_funnel_stages,
     "window_gaps_islands": q_window_gaps_islands,
     "window_lag_lead": q_window_lag_lead,
@@ -240,6 +310,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_ewma": (
+        "WITH last AS (SELECT user_id, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd "
+        "FROM events QUALIFY rd <= 64), "
+        "rk AS (SELECT user_id, value, "
+        "count(*) OVER (PARTITION BY user_id) AS n, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY rd DESC) AS j FROM last) "
+        "SELECT user_id, CAST(max(n) AS INT) AS n_used, "
+        "round(sum(value * CASE WHEN j = 1 THEN pow(0.7, n - 1) "
+        "ELSE 0.3 * pow(0.7, n - j) END), 6) AS ema "
+        "FROM rk GROUP BY user_id"
+    ),
+    "window_retention_cohort": (
+        "WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk "
+        "FROM events), "
+        "first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id) "
+        "SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, "
+        "CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset, "
+        "count(DISTINCT e.user_id) AS n_users "
+        "FROM e JOIN first ON e.user_id = first.user_id "
+        "GROUP BY 1, 2"
+    ),
     "window_funnel_stages": (
         "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), "
         "v AS (SELECT user_id, min(us) AS t_view FROM e "

@@ -96,3 +96,77 @@ def test_entropy_uniform_doc(spark):
     )
     assert math.isclose(ent[1], 2.0)   # 4 distinct tokens -> log2(4)
     assert ent[2] == 0.0               # constant doc -> zero entropy
+
+
+def test_ewma_matches_recursive_replica(spark, sf_dir):
+    """The closed-form window EWMA equals the textbook recursion
+    ema_i = a*x_i + (1-a)*ema_(i-1), computed in python per user."""
+    from i2mapreduce_spark.queries.windows_q import (
+        EWMA_ALPHA,
+        EWMA_LAST_N,
+        q_window_ewma,
+    )
+    from i2mapreduce_spark.catalog import load_tables
+
+    got = {r.user_id: (r.n_used, r.ema) for r in q_window_ewma(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir)
+    rows = (
+        spark.table("events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, evs in by_user.items():
+        evs.sort()
+        last = evs[-EWMA_LAST_N:]
+        ema = last[0][2]
+        for _, _, x in last[1:]:
+            ema = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * ema
+        n_used, got_ema = got[uid]
+        assert n_used == len(last)
+        assert math.isclose(got_ema, ema, abs_tol=1e-5), uid
+
+
+def test_weighted_median_handmade(spark):
+    """weights 1,1,10 on values 1,2,3 -> half-total 6 first reached at 3;
+    symmetric weights -> middle value."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 10),
+         ("h", 1.0, 2), ("h", 2.0, 2), ("h", 3.0, 2)],
+        "k string, v double, wt long",
+    )
+    w_cum = (
+        Window.partitionBy("k").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("cw", F.sum("wt").over(w_cum)).withColumn(
+        "tot", F.sum("wt").over(Window.partitionBy("k"))
+    )
+    med = dict(
+        cum.filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("k").agg(F.min("v"))
+        .collect()
+    )
+    assert med["g"] == 3.0
+    assert med["h"] == 2.0
+
+
+def test_retention_cohort_week_zero_covers_cohort(spark, sf_dir):
+    """Offset-0 count per cohort == cohort size (everyone is active in
+    their own first week), and offsets are non-negative."""
+    from i2mapreduce_spark.queries.windows_q import q_window_retention_cohort
+
+    rows = q_window_retention_cohort(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    later = {}
+    for r in rows:
+        later.setdefault(r.cohort_week, 0)
+        later[r.cohort_week] = max(later[r.cohort_week], r.n_users)
+    # week 0 is the cohort's maximum retention cell
+    for ck, n in later.items():
+        assert week0[ck] == n
