@@ -121,6 +121,68 @@ def pagerank(
         edges_inv.unpersist()
 
 
+def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
+    """HITS hubs-and-authorities with L1 normalization, fixed iterations:
+    auth_k(p) = Σ_{c→p} hub_{k-1}(c) then /Σauth;
+    hub_k(c)  = Σ_{c→p} auth_k(p)   then /Σhub.
+    State is the hub vector only — auth is derived inside each step, so
+    the loop matches the generic iterate() driver; the final auth is
+    recomputed from the converged hubs for output.
+
+    Output: (side 'hub'|'auth', node, score) with score rounded 6dp.
+
+    100TB notes: edges are repartitioned by src once and cached (Projector
+    co-partitioning, ref A9); per-iteration shuffles carry O(nodes) after
+    map-side partial sums.  Normalization totals are single-row aggregates
+    joined back by broadcast — no driver-side collect in the loop.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select("src", "dst").repartition(n_part, "src").cache()
+    srcs = e.select(F.col("src").alias("node")).distinct()
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return df.join(F.broadcast(tot)).select(
+            "node", (F.col(col) / F.col("_tot")).alias(col)
+        )
+
+    def _auth_from_hub(hub: DataFrame) -> DataFrame:
+        raw = (
+            hub.alias("h")
+            .join(e.alias("e"), F.col("h.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.sum("h.hub").alias("auth"))
+        )
+        return _l1_normalize(raw, "auth")
+
+    def step(hub: DataFrame, _i: int) -> DataFrame:
+        auth = _auth_from_hub(hub)
+        raw = (
+            auth.alias("a")
+            .join(e.alias("e"), F.col("a.node") == F.col("e.dst"))
+            .groupBy(F.col("e.src").alias("node"))
+            .agg(F.sum("a.auth").alias("hub"))
+        )
+        return _l1_normalize(raw, "hub")
+
+    # init 1.0 (not 1/N): L1 normalization is scale-invariant, so the
+    # constant cancels after the first step — saves the count() action
+    hub0 = srcs.withColumn("hub", F.lit(1.0))
+    try:
+        res = iterate(hub0, step, iters)
+        hub_fin = res.state
+        auth_fin = _auth_from_hub(hub_fin).localCheckpoint(eager=True)
+        return hub_fin.select(
+            F.lit("hub").alias("side"), "node", F.round("hub", 6).alias("score")
+        ).unionAll(
+            auth_fin.select(
+                F.lit("auth").alias("side"), "node", F.round("auth", 6).alias("score")
+            )
+        )
+    finally:
+        e.unpersist()
+
+
 def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     """Hop-limited BFS min-distance from `source` (GIM-V / iMapReduce
     shortest-path shape): per hop, frontier ⋈ edges -> min-dist fold.

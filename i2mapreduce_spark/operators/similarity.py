@@ -23,11 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: default block count for the exact all-pairs kernel (fixtures: 500-2000
-#: vectors -> blocks of 80-330 rows; raise with corpus size so one block
-#: fits in an executor core's memory budget).  6 measured best at sf0.1
-#: (min-of-3 warm: 1.16s vs 1.26s at 8, 1.21s at 4 — the r2 bench drift
-#: was run variance, not the block count).
-N_BLOCKS = 6
+#: vectors -> blocks of 125-500 rows; raise with corpus size so one block
+#: fits in an executor core's memory budget).  Swept {1,2,3,4,6} at sf0.1
+#: min-of-3 warm: 1.72/1.48/1.36/1.23/1.29 s — 4 wins; below that the
+#: task count starves local[32], above it replication overhead dominates.
+N_BLOCKS = 4
 
 
 def _block_pair_frames(spark: SparkSession, emb_df: DataFrame, id_col: str,

@@ -146,6 +146,54 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST-asof join: each purchase matches the closest same-user
+    view in TIME — backward or forward, whichever is nearer (ties break
+    backward; strictly-equal timestamps count as backward).  The
+    two-sided variant of q_join_asof, still computed as ONE window pass
+    over the interleaved event stream: last-view-before and
+    first-view-after via framed last()/first() with ignorenulls, then an
+    arithmetic pick — no pair join, shuffle O(events) on user_id.
+    """
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    # purchases sort before views at equal ts: an equal-ts view counts as
+    # "after" (forward candidate), keeping before/after disjoint
+    ev = ev.withColumn(
+        "rk", F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "rk", "event_id")
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    prev_us = F.last(view_us, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_us = F.first(view_us, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    nearest = F.when(
+        next_us.isNull()
+        | (prev_us.isNotNull() & (F.col("us") - prev_us <= next_us - F.col("us"))),
+        prev_us,
+    ).otherwise(next_us)
+    return (
+        ev.withColumn("near_us", nearest)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "near_us",
+            (F.col("near_us") - F.col("us")).alias("signed_gap_us"),
+        )
+    )
+
+
 def q_join_full_outer(spark, sf_dir):
     """FULL OUTER: every nation key seen on either side of a
     customer/supplier split, with per-side distinct counts and NULL-safe
@@ -406,6 +454,7 @@ QUERIES = {
     "join_cross": q_join_cross,
     "join_range_theta": q_join_range_theta,
     "join_asof": q_join_asof,
+    "join_asof_nearest": q_join_asof_nearest,
     "join_scalar_subquery": q_join_scalar_subquery,
     "join_full_outer": q_join_full_outer,
     "join_null_safe": q_join_null_safe,
@@ -416,6 +465,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_asof_nearest": (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
+        "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS rk FROM events "
+        "WHERE event_type IN ('view', 'purchase')), "
+        "marked AS (SELECT *, "
+        "last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY us, rk, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us, "
+        "first_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY us, rk, event_id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us "
+        "FROM e) "
+        "SELECT event_id AS purchase_id, user_id, "
+        "CASE WHEN next_us IS NULL OR (prev_us IS NOT NULL "
+        "AND us - prev_us <= next_us - us) THEN prev_us ELSE next_us END AS near_us, "
+        "CASE WHEN next_us IS NULL OR (prev_us IS NOT NULL "
+        "AND us - prev_us <= next_us - us) THEN prev_us ELSE next_us END - us "
+        "AS signed_gap_us "
+        "FROM marked WHERE event_type = 'purchase'"
+    ),
     "join_interval_overlap": (
         "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
         "FROM events), "

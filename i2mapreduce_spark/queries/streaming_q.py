@@ -352,7 +352,67 @@ def q_stream_scd2_compact(spark, sf_dir):
     )
 
 
+def q_stream_foreachbatch_upsert(spark, sf_dir):
+    """Streaming MERGE into a keyed sink via a REAL foreachBatch query —
+    the lakehouse upsert loop (ref A11's preserve/merge at the SINK
+    layer): events arrive in 3 chronological delta micro-batches through
+    a file-source stream; each batch folds "latest event per user" into
+    a versioned parquet state table (read state_v{i-1}, union, per-key
+    argmax, write state_v{i} — versioned writes keep every file
+    immutable, no read-overwrite races).  The final state must equal the
+    batch argmax over ALL events — replay independence, hash-checked.
+
+    100TB: per-batch work is O(delta + touched keys) after the per-key
+    window; the state table is keyed/compactable; versioned dirs are the
+    poor-man's transaction log (a real deployment swaps in Delta/Iceberg
+    MERGE inside the same foreachBatch hook)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_over_chunks_foreach
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts",  # chunk_events ranges on (ts, event_id); dropped in merge
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_us"),
+    )
+    chunks = chunk_events(spark, ev, n=N_DELTA_BATCHES)
+    root = tempfile.mkdtemp(prefix="i2mr-upsert-")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_us").desc(), F.col("event_id").desc()
+    )
+    versions: list[str] = []
+
+    def merge(batch_df, batch_id):
+        delta = batch_df.drop("ts")  # ts only ordered the chunking
+        merged = (
+            delta
+            if not versions
+            else batch_df.sparkSession.read.parquet(versions[-1]).unionByName(delta)
+        )
+        state = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        path = f"{root}/state_v{batch_id}"
+        state.write.parquet(path)
+        versions.append(path)
+
+    try:
+        stream_over_chunks_foreach(spark, chunks, merge, "foreachbatch_upsert")
+        # final state, materialized off the temp dir before cleanup
+        return spark.read.parquet(versions[-1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
+    "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,
     "stream_scd2_compact": q_stream_scd2_compact,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_sliding_window": q_stream_sliding_window,
@@ -368,6 +428,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_foreachbatch_upsert": (
+        "SELECT user_id, event_id, event_type AS last_type, "
+        "round(value, 2) AS last_value, epoch_us(ts) AS last_us "
+        "FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+    ),
     "stream_scd2_compact": (
         "WITH e AS (SELECT user_id, event_id, event_type AS val, "
         "epoch_us(ts) AS us FROM events), "

@@ -155,6 +155,45 @@ def stream_over_chunks(
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def stream_over_chunks_foreach(
+    spark: SparkSession,
+    chunks: list[DataFrame],
+    merge_fn: Callable[[DataFrame, int], None],
+    query_name: str,
+) -> None:
+    """foreachBatch variant of stream_over_chunks: each arriving chunk is
+    handed to `merge_fn(batch_df, batch_id)` — the Structured Streaming
+    hook for sinks Spark has no native writer for (keyed MERGE/upsert
+    into a lakehouse table being the canonical one).  The caller owns all
+    sink state; this helper only drives the deterministic replay."""
+    src_dir = tempfile.mkdtemp(prefix=f"i2mr-feb-{query_name}-")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"i2mr-febckpt-{query_name}-")
+    try:
+        stream = spark.readStream.schema(chunks[0].schema).parquet(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(merge_fn)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            for i, chunk in enumerate(chunks):
+                stage = os.path.join(src_dir, f"_stage_{i}")
+                chunk.write.parquet(stage)
+                for j, f in enumerate(sorted(os.listdir(stage))):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(stage, f),
+                            os.path.join(src_dir, f"chunk-{i}-{j}.parquet"),
+                        )
+                shutil.rmtree(stage, ignore_errors=True)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
 def stream_over_two_sources(
     spark: SparkSession,
     left_chunks: list[DataFrame],

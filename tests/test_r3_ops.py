@@ -170,3 +170,96 @@ def test_retention_cohort_week_zero_covers_cohort(spark, sf_dir):
     # week 0 is the cohort's maximum retention cell
     for ck, n in later.items():
         assert week0[ck] == n
+
+
+def test_hits_matches_numpy_replica(spark):
+    """4-iteration L1-normalized HITS on a handmade bipartite graph vs a
+    numpy power-iteration replica."""
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (3, 103), (3, 101)], "src long, dst long"
+    )
+    got = {
+        (r.side, r.node): r.score
+        for r in algorithms.hits(spark, edges, iters=4).collect()
+    }
+    import numpy as np
+
+    srcs, dsts = [1, 2, 3], [101, 102, 103]
+    A = np.zeros((3, 3))
+    for s, d in [(1, 101), (1, 102), (2, 101), (3, 103), (3, 101)]:
+        A[srcs.index(s), dsts.index(d)] = 1.0
+    h = np.ones(3)
+    for _ in range(4):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    a = A.T @ h
+    a /= a.sum()
+    for i, s in enumerate(srcs):
+        assert math.isclose(got[("hub", s)], h[i], abs_tol=1e-5)
+    for i, d in enumerate(dsts):
+        assert math.isclose(got[("auth", d)], a[i], abs_tol=1e-5)
+
+
+def test_foreachbatch_upsert_chunk_invariance(spark, sf_dir):
+    """The upsert fold must be replay-independent: final state equals the
+    one-shot batch argmax regardless of how the stream was chunked."""
+    from i2mapreduce_spark.catalog import load_tables
+    from i2mapreduce_spark.queries.streaming_q import q_stream_foreachbatch_upsert
+
+    got = {
+        r.user_id: (r.event_id, r.last_us)
+        for r in q_stream_foreachbatch_upsert(spark, sf_dir).collect()
+    }
+    load_tables(spark, sf_dir)
+    rows = spark.table("events").collect()
+    want = {}
+    for r in rows:
+        key = r.user_id
+        cand = (r.ts, r.event_id)
+        if key not in want or cand > want[key]:
+            want[key] = cand
+    assert set(got) == set(want)
+    for uid, (eid, _us) in got.items():
+        assert eid == want[uid][1]
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Forward view closer -> forward; exact tie -> backward; no views
+    -> NULL."""
+    from pyspark.sql import Window
+
+    rows = [
+        # user 1: view @100, purchase @180, view @200 -> forward (200) closer
+        (1, 1, "view", 100), (1, 2, "purchase", 180), (1, 3, "view", 200),
+        # user 2: view @100, purchase @150, view @200 -> tie -> backward
+        (2, 4, "view", 100), (2, 5, "purchase", 150), (2, 6, "view", 200),
+        # user 3: purchase only -> NULL
+        (3, 7, "purchase", 500),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    ).withColumn("rk", F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+    base = Window.partitionBy("user_id").orderBy("us", "rk", "event_id")
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    prev_us = F.last(view_us, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_us = F.first(view_us, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    nearest = F.when(
+        next_us.isNull()
+        | (prev_us.isNotNull() & (F.col("us") - prev_us <= next_us - F.col("us"))),
+        prev_us,
+    ).otherwise(next_us)
+    got = dict(
+        ev.withColumn("near", nearest)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "near")
+        .collect()
+    )
+    assert got[2] == 200   # forward closer (20 vs 80)
+    assert got[5] == 100   # tie -> backward
+    assert got[7] is None
