@@ -183,6 +183,43 @@ def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
         e.unpersist()
 
 
+def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node with
+    degree < k (and its edges), repeat to fixpoint.  Returns the
+    surviving nodes with their in-core degree (node, core_degree).
+
+    Fixpoint contract: peeling is monotone, so stopping early at a true
+    fixpoint equals running the full `max_rounds` — which is what makes
+    the result hash-comparable to an oracle that unrolls exactly
+    `max_rounds` rounds regardless of where the fixpoint lands.
+
+    100TB: each round is one degree aggregation + two semi-joins, all
+    keyed on the node id; the edge set only shrinks.  The fixpoint
+    barrier is a count delta (one cheap action per round, ref A10)."""
+    def step(e: DataFrame, _i: int) -> DataFrame:
+        keep = (
+            e.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        return (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return float(old.count() - new.count())
+
+    res = iterate(
+        edges.select("src", "dst"), step, max_rounds,
+        delta_fn=delta, tol=0.5, checkpoint_every=1,
+    )
+    return res.state.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
 def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     """Hop-limited BFS min-distance from `source` (GIM-V / iMapReduce
     shortest-path shape): per hop, frontier ⋈ edges -> min-dist fold.

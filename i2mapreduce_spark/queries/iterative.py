@@ -120,6 +120,36 @@ def q_iter_apriori_triples(spark, sf_dir):
     )
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 12          # cap == oracle unroll count (see kcore docstring)
+KCORE_MIN_COPURCHASE = 2   # edge = parts co-purchased in >= 2 orders
+
+
+def q_iter_kcore(spark, sf_dir):
+    """k-core (k=2) of the THRESHOLDED co-purchase graph (parts appearing
+    together in >= 2 orders — the raw edges_pp is too dense to peel).
+    Iterative peeling to fixpoint with a 12-round cap; hash-checked
+    against 12 unrolled peel rounds in DuckDB (equal by monotonicity
+    wherever the fixpoint lands)."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= KCORE_MIN_COPURCHASE)
+        .select("src", "dst")
+    )
+    return algorithms.kcore(pairs, k=KCORE_K, max_rounds=KCORE_ROUNDS)
+
+
 HITS_ITERS = 4
 
 
@@ -379,6 +409,7 @@ def q_iter_label_propagation(spark, sf_dir):
 QUERIES = {
     "iter_label_propagation": q_iter_label_propagation,
     "iter_hits": q_iter_hits,
+    "iter_kcore": q_iter_kcore,
     "iter_pagerank": q_iter_pagerank,
     "iter_sssp": q_iter_sssp,
     "iter_connected_components": q_iter_connected_components,
@@ -620,6 +651,32 @@ def _hits_oracle_sql(iters: int) -> str:
     )
     return head + "".join(steps) + fin
 
+
+def _kcore_oracle_sql(k: int, rounds: int, min_c: int) -> str:
+    """Unrolled k-core peeling over the thresholded co-purchase graph.
+    Every CTE MATERIALIZED (each is referenced twice per round)."""
+    head = (
+        "WITH e0 AS MATERIALIZED ("
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_c})"
+    )
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f", k{r} AS MATERIALIZED (SELECT src AS node FROM e{r - 1} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+            f", e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e "
+            f"JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node)"
+        )
+    return (
+        head + "".join(steps)
+        + f" SELECT src AS node, count(*) AS core_degree FROM e{rounds} GROUP BY src"
+    )
+
+
+ORACLES["iter_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS, KCORE_MIN_COPURCHASE)
 
 ORACLES["iter_hits"] = _hits_oracle_sql(HITS_ITERS)
 

@@ -254,8 +254,80 @@ def q_source_schema_evolution(spark, sf_dir):
     )
 
 
+def q_source_json_nested(spark, sf_dir):
+    """NESTED-JSON roundtrip: orders are reshaped into one JSON document
+    per customer ({custkey, orders: [{okey, price}...]}), written as
+    JSON-lines, read back with an explicit nested schema, then
+    re-normalized by exploding the array — the denormalize/normalize
+    cycle every document-store ingestion runs.  The final aggregate must
+    equal computing it straight from the relational table (lossless
+    cycle); DECIMAL(12,2) accumulation keeps the sum exact across
+    engines.
+
+    100TB: the nested build is one groupBy(custkey) with collect_list —
+    bounded by orders-per-customer; reading back streams line-wise."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    nested = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").alias("price"),
+                )
+            )
+        ).alias("orders")
+    )
+    out = tempfile.mkdtemp(prefix="i2mr_jnest_") + "/cust_orders"
+    nested.select(F.to_json(F.struct("custkey", "orders")).alias("value")) \
+        .write.mode("overwrite").text(out)
+    schema = (
+        "custkey long, orders array<struct<okey: long, price: double>>"
+    )
+    back = spark.read.schema(schema).json(out)
+    ex = back.select("custkey", F.explode("orders").alias("ord"))
+    return ex.groupBy("custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("ord.price").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_filter_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: events land in an event_type-partitioned
+    table; the probe joins a tiny dim whose FILTER decides which
+    partitions matter — Catalyst injects the dim's keys as a runtime
+    partition filter, so only the matching directories are read (the
+    plan's PartitionFilters carries `dynamicpruning`, asserted in
+    tests/test_plans.py).  At 100 TB this is the difference between
+    scanning 2 partitions and scanning all of them when the selective
+    predicate lives on the dimension, not the fact."""
+    load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="i2mr_dpp_") + "/events_by_type"
+    ev = spark.table("events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "scan_full": q_scan_full,
+    "source_json_nested": q_source_json_nested,
+    "filter_dynamic_partition_pruning": q_filter_dynamic_partition_pruning,
     "source_schema_evolution": q_source_schema_evolution,
     "scan_project_prune": q_scan_project_prune,
     "scan_filter_pushdown": q_scan_filter_pushdown,
@@ -272,6 +344,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_json_nested": (
+        "SELECT o_custkey AS custkey, count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price "
+        "FROM orders GROUP BY o_custkey"
+    ),
+    "filter_dynamic_partition_pruning": (
+        "SELECT event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM events WHERE event_type IN ('view', 'purchase') "
+        "GROUP BY event_type"
+    ),
     "source_schema_evolution": (
         "SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey, "
         "CAST(NULL AS INT) AS name_len, 1 AS batch FROM nation "

@@ -215,3 +215,14 @@ def test_exact_cosine_is_distributed_cogroup(spark, sf_dir):
         plan = _plan(df)
         assert "FlatMapCoGroupsInPandas" in plan, plan[:500]
         assert "CollectLimit" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """filter_dynamic_partition_pruning must carry a runtime
+    `dynamicpruning` subquery in the fact scan's PartitionFilters —
+    without it the key silently degrades to a full scan + join."""
+    from i2mapreduce_spark.queries.scans import q_filter_dynamic_partition_pruning
+
+    df = q_filter_dynamic_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:800]

@@ -263,3 +263,14 @@ def test_asof_nearest_picks_closer_side(spark):
     assert got[2] == 200   # forward closer (20 vs 80)
     assert got[5] == 100   # tie -> backward
     assert got[7] is None
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle (the
+    chain peels away over two rounds — one round would NOT suffice)."""
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = dict(algorithms.kcore(edges, k=2, max_rounds=12).collect())
+    assert got == {1: 2, 2: 2, 3: 2}
