@@ -37,11 +37,17 @@ def pagerank(
     init_ranks: DataFrame | None = None,
     tol: float | None = None,
     checkpoint_every: int | None = None,
+    teleport_to: int | None = None,
 ) -> IterationResult:
     """PageRank without dangling-mass redistribution:
     r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u); nodes with no
     in-edges hold (1-d)/N.  Uniform 1/N init unless `init_ranks` is given
     (the warm start, ref op A13).
+
+    With `teleport_to` set this becomes PERSONALIZED PageRank: the
+    teleport mass (1-d) lands only on that node (base = (1-d)·1[v=s]),
+    and the walk starts there (init = 1[v=s]) — the random-walk-with-
+    restart proximity score used for seed-based recommendation.
 
     100TB notes: edges are repartitioned by src once and cached (the
     Projector co-partitioning); per-iteration state is (node, rank) only —
@@ -64,7 +70,15 @@ def pagerank(
         .cache()
     )
 
-    if init_ranks is None:
+    if teleport_to is not None:
+        state0 = nodes.withColumn(
+            "rank",
+            F.when(F.col("node") == teleport_to, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        base_expr = F.when(
+            F.col("n.node") == teleport_to, F.lit(1.0 - damping)
+        ).otherwise(F.lit(0.0))
+    elif init_ranks is None:
         state0 = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
         # warm start: keep prior ranks, default new nodes to 1/N
@@ -72,7 +86,8 @@ def pagerank(
             "node", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
         )
 
-    base = (1.0 - damping) / n
+    if teleport_to is None:
+        base_expr = F.lit((1.0 - damping) / n)
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         # explicit aliases throughout: state/nodes derive from edges, so
@@ -92,7 +107,7 @@ def pagerank(
             .join(contribs.alias("c"), F.col("n.node") == F.col("c.node"), "left")
             .select(
                 F.col("n.node").alias("node"),
-                (F.lit(base) + damping * F.coalesce(F.col("c.mass"), F.lit(0.0))).alias("rank"),
+                (base_expr + damping * F.coalesce(F.col("c.mass"), F.lit(0.0))).alias("rank"),
             )
         )
 

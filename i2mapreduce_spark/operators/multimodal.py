@@ -143,6 +143,50 @@ def resize(df: DataFrame, out_w: int = 8, out_h: int = 6,
     )
 
 
+def phash(df: DataFrame, out_w: int = 8, out_h: int = 6,
+          fake: bool = True, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual-hash stage shape: payload -> decode (stubbed) -> pool to
+    an out_h x out_w grid -> one bit per cell (cell above the global
+    pixel mean) packed into a 48-bit integer — the aHash family used for
+    near-duplicate image detection at corpus scale (hamming distance on
+    the hash replaces pixel comparison).
+
+    Exactness: the bit test is the integer cross-multiplication
+    cell_sum * total_count > total_sum * cell_count — no float division
+    anywhere, so the hash is bit-identical in any engine/partitioning.
+    Output: (doc_id, phash, n_bits)."""
+    def _hash(batches):
+        for pdf in batches:
+            ids, hs, nb = [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                arr = decode_stub(bytes(payload), meta["modality"], fake=fake)
+                h, w = int(meta["height"]), int(meta["width"])
+                img = np.resize(arr, (h, w)).astype(np.int64)
+                ys = (np.arange(h) * out_h) // h
+                xs = (np.arange(w) * out_w) // w
+                sums = np.zeros((out_h, out_w), dtype=np.int64)
+                cnts = np.zeros((out_h, out_w), dtype=np.int64)
+                np.add.at(sums, (ys[:, None], xs[None, :]), img)
+                np.add.at(cnts, (ys[:, None], xs[None, :]), 1)
+                tot_s, tot_c = int(img.sum()), int(img.size)
+                bits = (sums * tot_c) > (tot_s * cnts)
+                val = 0
+                for by in range(out_h):
+                    for bx in range(out_w):
+                        if bits[by, bx]:
+                            val |= 1 << (by * out_w + bx)
+                ids.append(did)
+                hs.append(val)
+                nb.append(int(bits.sum()))
+            yield pd.DataFrame({id_col: ids, "phash": hs, "n_bits": nb})
+
+    return df.mapInPandas(
+        _hash, schema=f"{id_col} long, phash long, n_bits int"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling stage shape: one payload -> N frame rows (1->N
     explode through mapInPandas, like video frame extraction)."""

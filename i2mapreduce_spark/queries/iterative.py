@@ -120,6 +120,25 @@ def q_iter_apriori_triples(spark, sf_dir):
     )
 
 
+PPR_ITERS = 6
+
+
+def q_iter_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from the smallest
+    part node over the co-purchase graph edges_pp: teleport mass (1-d)
+    lands only on the seed, ranks measure proximity to it — the
+    seed-based recommendation score.  6 fixed iterations, d=0.85;
+    hash-checked against unrolled CTEs."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    res = algorithms.pagerank(
+        spark, edges, iters=PPR_ITERS, damping=PAGERANK_DAMPING,
+        teleport_to=source,
+    )
+    return res.state.select("node", F.round("rank", 6).alias("rank"))
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 12          # cap == oracle unroll count (see kcore docstring)
 KCORE_MIN_COPURCHASE = 2   # edge = parts co-purchased in >= 2 orders
@@ -410,6 +429,7 @@ QUERIES = {
     "iter_label_propagation": q_iter_label_propagation,
     "iter_hits": q_iter_hits,
     "iter_kcore": q_iter_kcore,
+    "iter_pagerank_personalized": q_iter_pagerank_personalized,
     "iter_pagerank": q_iter_pagerank,
     "iter_sssp": q_iter_sssp,
     "iter_connected_components": q_iter_connected_components,
@@ -675,6 +695,38 @@ def _kcore_oracle_sql(k: int, rounds: int, min_c: int) -> str:
         + f" SELECT src AS node, count(*) AS core_degree FROM e{rounds} GROUP BY src"
     )
 
+
+def _ppr_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled personalized PageRank over edges_pp: teleport/init mass
+    concentrated on the smallest src node."""
+    head = (
+        cte("edges_pp").replace("edges_pp AS (", "edges_pp AS MATERIALIZED (", 1)
+        + ", nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges_pp), "
+        "seed AS (SELECT min(src) AS s FROM edges_pp), "
+        "od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg "
+        "FROM edges_pp GROUP BY src), "
+        "r0 AS (SELECT node, CASE WHEN node = (SELECT s FROM seed) "
+        "THEN 1.0 ELSE 0.0 END AS rank FROM nodes)"
+    )
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f", r{k} AS MATERIALIZED (SELECT nd.node, "
+            f"(CASE WHEN nd.node = (SELECT s FROM seed) "
+            f"THEN {1.0 - damping} ELSE 0.0 END)"
+            f" + {damping} * coalesce(m.mass, 0.0) AS rank "
+            "FROM nodes nd LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.rank / od.outdeg) AS mass "
+            f"FROM edges_pp e JOIN r{k - 1} r ON r.node = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.node = nd.node)"
+        )
+    return (
+        head + "".join(steps)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+ORACLES["iter_pagerank_personalized"] = _ppr_oracle_sql(PPR_ITERS, PAGERANK_DAMPING)
 
 ORACLES["iter_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS, KCORE_MIN_COPURCHASE)
 

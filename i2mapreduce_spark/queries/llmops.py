@@ -261,6 +261,18 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize(wrapped, out_w=8, out_h=6, fake=True)
 
 
+
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual hash over the binary payloads (stubbed decoder, real
+    integer pooling kernel): 48-bit aHash + popcount per doc.  The bit
+    test is integer cross-multiplication — exactly reproducible, so this
+    multimodal kernel hash-checks against a grid-reconstruction oracle
+    like multimodal_resize."""
+    load_tables(spark, sf_dir)
+    wrapped = multimodal.attach_binary_payload(spark.table("documents"))
+    return multimodal.phash(wrapped, out_w=8, out_h=6, fake=True)
+
+
 CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -545,6 +557,7 @@ QUERIES = {
     "multimodal_extract": q_multimodal_extract,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_phash": q_multimodal_phash,
     "text_bigram_top": q_text_bigram_top,
     "text_scrub_pii": q_text_scrub_pii,
     "dedup_containment": q_dedup_containment,
@@ -884,6 +897,26 @@ ORACLES["dedup_simhash"] = (
 # reconstructs the fake decoder exactly: image = text bytes tiled to
 # h x w (np.resize), integer-bucket area pooling to 6 x 8, empty buckets
 # 0; ASCII payloads make ord(substr()) == byte value
+
+ORACLES["multimodal_phash"] = (
+    "WITH d AS (SELECT doc_id, text, length(text) AS L, "
+    "length(text) % 48 + 1 AS h, length(text) % 64 + 1 AS w FROM documents), "
+    "cells AS (SELECT doc_id, "
+    "(ty.yy * 6) // h AS by, (tx.xx * 8) // w AS bx, "
+    "ord(substr(text, ((ty.yy * w + tx.xx) % L) + 1, 1)) AS px "
+    "FROM d, LATERAL (SELECT unnest(range(0, h)) AS yy) ty, "
+    "LATERAL (SELECT unnest(range(0, w)) AS xx) tx), "
+    "bsum AS (SELECT doc_id, by, bx, sum(px)::BIGINT AS s, count(*)::BIGINT AS c "
+    "FROM cells GROUP BY 1, 2, 3), "
+    "tot AS (SELECT doc_id, sum(px)::BIGINT AS ts, count(*)::BIGINT AS tc "
+    "FROM cells GROUP BY doc_id) "
+    "SELECT b.doc_id, "
+    "CAST(sum(CASE WHEN b.s * t.tc > t.ts * b.c "
+    "THEN 1::BIGINT << (b.by * 8 + b.bx) ELSE 0 END) AS BIGINT) AS phash, "
+    "CAST(sum(CASE WHEN b.s * t.tc > t.ts * b.c THEN 1 ELSE 0 END) AS INT) AS n_bits "
+    "FROM bsum b JOIN tot t ON b.doc_id = t.doc_id GROUP BY b.doc_id"
+)
+
 ORACLES["multimodal_resize"] = (
     "WITH d AS (SELECT doc_id, text, length(text) AS L, "
     "length(text) % 48 + 1 AS h, length(text) % 64 + 1 AS w FROM documents), "

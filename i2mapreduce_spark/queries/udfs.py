@@ -119,7 +119,54 @@ def q_udtf_python_native(spark, sf_dir):
     )
 
 
+KMV_K = 64
+KMV_BITS = 60  # 15 md5 hex chars -> fits signed BIGINT in both engines
+
+
+def q_udaf_kmv_distinct(spark, sf_dir):
+    """Custom SKETCH UDAF: KMV (k-minimum-values) distinct-count estimate
+    of l_partkey per l_returnflag — a true pandas grouped-agg UDAF over a
+    JVM-computed 60-bit md5 hash.  Unlike HLL, KMV with a fixed hash is
+    fully DETERMINISTIC, so a sketch — normally rows-only territory —
+    hash-checks exactly against DuckDB replaying the same algebra.
+    est = (k-1) / (kth_min / 2^60); groups with < k distinct values fall
+    back to the exact count (the standard KMV rule).
+
+    100TB: the hash is computed map-side; the UDAF's per-group input is
+    the hashed column only.  (Production note: k-min-values admits a
+    partial-aggregate merge — union the k-min sets — which Spark's
+    grouped-agg pandas UDAF cannot express; at cluster scale the same
+    estimator runs as the window/rank formulation in the oracle.)"""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 18, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    @pandas_udf("double")
+    def kmv_est(h: pd.Series) -> float:
+        u = np.unique(h.values)
+        if len(u) < KMV_K:
+            return float(len(u))
+        kth = float(np.sort(u)[KMV_K - 1])
+        return (KMV_K - 1) * float(2 ** KMV_BITS) / kth
+
+    # a pandas grouped-agg UDAF cannot mix with native aggregates in one
+    # agg() — the exact count is a second (trivial) sketch UDAF
+    @pandas_udf("long")
+    def exact_distinct(h: pd.Series) -> int:
+        return int(np.unique(h.values).size)
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(kmv_est("h"), 2).alias("kmv_estimate"),
+        exact_distinct("h").alias("exact_distinct"),
+    )
+
+
 QUERIES = {
+    "udaf_kmv_distinct": q_udaf_kmv_distinct,
     "udf_python_scalar": q_udf_python_scalar,
     "udf_pandas_vectorized": q_udf_pandas_vectorized,
     "udf_grouped_map": q_udf_grouped_map,
@@ -129,6 +176,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udaf_kmv_distinct": (
+        "WITH h AS (SELECT DISTINCT l_returnflag, "
+        "('0x' || substr(md5(l_partkey::VARCHAR), 18, 15))::BIGINT AS h "
+        "FROM lineitem), "
+        "rk AS (SELECT l_returnflag, h, "
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn, "
+        "count(*) OVER (PARTITION BY l_returnflag) AS nd FROM h) "
+        f"SELECT l_returnflag, round(CASE WHEN nd < {KMV_K} THEN nd::DOUBLE "
+        f"ELSE {KMV_K - 1} * CAST(pow(2, {KMV_BITS}) AS DOUBLE) / h::DOUBLE END, 2) "
+        "AS kmv_estimate, CAST(max(nd) OVER (PARTITION BY l_returnflag) AS BIGINT) "
+        "AS exact_distinct "
+        f"FROM rk WHERE rn = (CASE WHEN nd < {KMV_K} THEN 1 ELSE {KMV_K} END)"
+    ),
     "udf_python_scalar": (
         "SELECT o_orderkey, lower(split_part(o_orderpriority, '-', 2)) AS prio_code "
         "FROM orders"

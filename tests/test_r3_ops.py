@@ -274,3 +274,42 @@ def test_kcore_peels_to_fixpoint(spark):
     )
     got = dict(algorithms.kcore(edges, k=2, max_rounds=12).collect())
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_personalized_pagerank_numpy_replica(spark):
+    """PPR on a 3-cycle with seed 1 vs dense numpy replica."""
+    und = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    res = algorithms.pagerank(spark, edges, iters=6, damping=0.85, teleport_to=1)
+    got = dict(res.state.collect())
+    import numpy as np
+
+    nodes = [1, 2, 3]
+    A = np.zeros((3, 3))
+    for s, d in und + [(b, a) for a, b in und]:
+        A[nodes.index(d), nodes.index(s)] = 1.0
+    outdeg = A.sum(axis=0)
+    P = A / outdeg
+    r = np.array([1.0, 0.0, 0.0])
+    e = np.array([0.15, 0.0, 0.0])
+    for _ in range(6):
+        r = e + 0.85 * (P @ r)
+    for i, n in enumerate(nodes):
+        assert math.isclose(got[n], r[i], abs_tol=1e-9)
+    # seed holds the most proximity mass
+    assert got[1] == max(got.values())
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    """The KMV estimate must land within 25% of the exact distinct count
+    whenever the group has >= k distinct values (standard error ~1/sqrt(k)
+    = 12.5% at k=64; 2 sigma bound)."""
+    from i2mapreduce_spark.queries.udfs import KMV_K, q_udaf_kmv_distinct
+
+    for r in q_udaf_kmv_distinct(spark, sf_dir).collect():
+        if r.exact_distinct >= KMV_K:
+            assert abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct < 0.25
+        else:
+            assert r.kmv_estimate == float(r.exact_distinct)
