@@ -25,6 +25,8 @@ _GROUP_MODULES = [
     "projection",   # P  — projection / filter / predicates
     "joins",        # C  — join shapes
     "aggregates",   # D  — aggregation
+    "quality",      # Q  — data-quality audits (r3)
+    "timeseries",   # T  — time-series analytics (r3)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

@@ -414,7 +414,27 @@ def q_agg_weighted_median(spark, sf_dir):
     )
 
 
+def q_agg_linreg(spark, sf_dir):
+    """Per-group ordinary-least-squares via the SQL regr_* aggregate
+    family (slope / intercept / r² / n of extendedprice on quantity per
+    returnflag) — single-pass distributed moments, no iteration.
+
+    The intercept straddles zero across groups, so it carries the ±0.0
+    normalization (`+ 0.0`) on both engines."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
 QUERIES = {
+    "agg_linreg": q_agg_linreg,
     "agg_mode": q_agg_mode,
     "agg_skew_kurt": q_agg_skew_kurt,
     "agg_weighted_median": q_agg_weighted_median,
@@ -441,6 +461,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_linreg": (
+        "SELECT l_returnflag, "
+        "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+        "round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept, "
+        "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+        "regr_count(l_extendedprice, l_quantity) AS n FROM lineitem "
+        "GROUP BY l_returnflag"
+    ),
     "agg_mode": (
         "WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c "
         "FROM orders GROUP BY 1, 2), "

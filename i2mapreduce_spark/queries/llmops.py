@@ -536,7 +536,76 @@ def q_pipeline_curation(spark, sf_dir):
     )
 
 
+#: int8 symmetric quantization range
+QUANT_MAX = 127
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the storage/serving compression step of an embedding pipeline:
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).  The rounding is
+    written as floor(x + 0.5) explicitly so both engines share EXACT
+    half-up semantics (Spark round() and DuckDB round() disagree on
+    ties).  Output: per-vector scale and integer summaries of the
+    quantized vector (sum / min / max / saturated count) — integer
+    arithmetic, so the hash check is exact.
+
+    Plan: all array HOFs (transform/aggregate/filter) — JVM-side
+    whole-stage codegen, zero Python, no shuffle at all (map-only)."""
+    load_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = (amax / QUANT_MAX).alias("scale")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    qd = e.select("vec_id", scale).filter(F.col("scale") > 0)
+    qd = qd.join(e, "vec_id").select("vec_id", "scale", q.alias("q"))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.size(F.filter("q", lambda x: F.abs(x) >= QUANT_MAX)).alias("n_saturated"),
+    )
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document with a vowel-group syllable
+    approximation (standard when no dictionary is available):
+    syllables = count of [aeiouy]+ runs, sentences = max(1, terminal
+    punctuation marks), score = 206.835 - 1.015·(words/sentences)
+    - 84.6·(syllables/words).  Pure regexp + arithmetic — JVM-side,
+    map-only; the quotients divide two exact integers so the 4 dp
+    rounding is stable across engines."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    syll = F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), 0))
+    sents = F.greatest(F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)))
+    out = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        syll.alias("n_syllables"),
+        sents.alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        (F.round(score, 4) + F.lit(0.0)).alias("flesch"),
+    )
+
+
 QUERIES = {
+    "embedding_quantize": q_embedding_quantize,
+    "text_readability": q_text_readability,
     "pipeline_curation": q_pipeline_curation,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_near_jaccard": q_dedup_near_jaccard,
@@ -571,6 +640,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_quantize": (
+        "WITH s AS (SELECT vec_id, embedding, "
+        "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) "
+        f"/ {QUANT_MAX} AS scale "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id, scale, "
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv "
+        "FROM s WHERE scale > 0) "
+        "SELECT vec_id, round(scale, 8) AS scale_r, "
+        "CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+        "list_min(qv) AS q_min, list_max(qv) AS q_max, "
+        f"len(list_filter(qv, x -> abs(x) >= {QUANT_MAX})) AS n_saturated FROM q"
+    ),
+    "text_readability": (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+        "len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables, "
+        "greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS n_sentences "
+        "FROM documents) "
+        "SELECT doc_id, n_words, n_syllables, "
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) + 0.0 AS flesch "
+        "FROM t WHERE n_words > 0"
+    ),
     "text_bigram_top": (
         "WITH toks AS (SELECT doc_id, w, p FROM ("
         "SELECT doc_id, unnest(string_split(text, ' ')) AS w, "

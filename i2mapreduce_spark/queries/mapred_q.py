@@ -115,7 +115,68 @@ def q_mr_chain_jobs(spark, sf_dir):
     return stats.orderBy(F.col("n_docs").desc(), F.col("word")).limit(50)
 
 
+#: heavy-hitter support: report words with count*HH_SUPPORT > total tokens
+HH_SUPPORT = 100
+#: Misra-Gries counters per partition; k+1 > HH_SUPPORT gives the
+#: no-false-negative guarantee (see docstring)
+HH_MG_K = 199
+
+
+def q_mr_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters WITHOUT shuffling the full token stream: a
+    two-phase candidate-pruned count, the canonical map-side-sketch
+    pattern for 100 TB frequency queries.
+
+    Phase 1 runs Misra-Gries(k=199) inside each partition (mapInPandas,
+    one dict of ≤199 counters per task — constant memory).  Pigeonhole
+    guarantee: any word with global count > N/(k+1) must exceed
+    n_p/(k+1) in at least one partition and therefore survives that
+    partition's sketch, so with support N/100 < N/(k+1)·2 the candidate
+    set provably contains every true heavy hitter.  Phase 2 exactly
+    recounts ONLY the candidates (broadcast semi-join, a few hundred
+    words) and filters count·100 > N in integer arithmetic.  The full
+    word shuffle — the wordcount bottleneck at scale — never happens;
+    what crosses the wire is ≤ k rows per partition."""
+    load_tables(spark, sf_dir)
+    words = _words(spark).select("word")
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < HH_MG_K:
+                    counters[w] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    cands = words.mapInPandas(mg_partition, "word string").distinct()
+    total = words.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") * HH_SUPPORT > F.col("n_total"))
+        .select("word", "n_occ")
+    )
+
+
 QUERIES = {
+    "mr_heavy_hitters": q_mr_heavy_hitters,
     "mr_chain_jobs": q_mr_chain_jobs,
     "mr_wordcount": q_mr_wordcount,
     "mr_flatmap_posexplode": q_mr_flatmap_posexplode,
@@ -125,6 +186,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mr_heavy_hitters": (
+        "WITH tok AS (SELECT "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word "
+        "FROM documents), "
+        "tot AS (SELECT count(*) AS n FROM tok) "
+        f"SELECT word, count(*) AS n_occ FROM tok, tot "
+        f"GROUP BY word, n HAVING count(*) * {HH_SUPPORT} > n"
+    ),
     "mr_chain_jobs": (
         "WITH tok AS (SELECT doc_id, "
         "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word "

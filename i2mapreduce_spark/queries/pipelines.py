@@ -180,7 +180,46 @@ def q_text_repetition_ratio(spark, sf_dir):
     )
 
 
+#: context-window token budget for sequence packing
+PACK_BUDGET = 512
+
+
+def q_pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: per source, documents are concatenated
+    in doc_id order into one token stream and split into fixed
+    512-token context windows; each document is assigned to the bin
+    where its first token lands.  Output: per (source, bin) — docs
+    packed, tokens packed, and the doc_id span.  This is the exact
+    "concat-and-chunk" packing a pretraining tokenizer shard runs.
+
+    Plan: token counts are a native expression; the running offset is a
+    cumulative window PER SOURCE (hash-partitioned — each source packs
+    independently and in parallel, which is also how shards pack at
+    100 TB: the stream is only ordered within a shard).  Integer
+    arithmetic end-to-end, so the hash check is exact."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("source", "doc_id", n_tok.alias("n_tok"))
+    binned = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET).cast("bigint"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_decontaminate": q_pipeline_decontaminate,
     "pipeline_split_leakage_safe": q_pipeline_split_leakage_safe,
     "pipeline_mixture_weights": q_pipeline_mixture_weights,
@@ -188,6 +227,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_pack_sequences": (
+        "WITH t AS (SELECT source, doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "
+        "FROM documents), "
+        "b AS (SELECT source, doc_id, n_tok, "
+        "CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_BUDGET}.0) "
+        "AS BIGINT) AS bin FROM t) "
+        "SELECT source, bin, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+        "FROM b GROUP BY source, bin"
+    ),
     "pipeline_decontaminate": (
         f"WITH {_TOK5_CTE}, {_SHINGLE5_CTE}, "
         f"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0), "

@@ -330,7 +330,35 @@ def q_fn_base64_hex(spark, sf_dir):
     )
 
 
+def q_fn_url_parse(spark, sf_dir):
+    """URL component extraction with Spark's native parse_url (JVM-side
+    java.net.URI semantics): host, path, one query parameter, and the
+    fragment.  URLs are synthesized deterministically per document so
+    every component varies.  The oracle reproduces the components with
+    plain regexes — safe because the synthesized URLs are well-formed."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    url = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"), F.col("source"),
+        F.lit("/p"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("?q=t"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("&lang="), F.col("lang"),
+        F.lit("#s"), (F.col("doc_id") % 5).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
 QUERIES = {
+    "fn_url_parse": q_fn_url_parse,
     "fn_base64_hex": q_fn_base64_hex,
     "fn_regexp_capture": q_fn_regexp_capture,
     "fn_string": q_fn_string,
@@ -353,6 +381,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_url_parse": (
+        "WITH u AS (SELECT doc_id, "
+        "'https://w' || (doc_id % 7) || '.example.com/' || source || "
+        "'/p' || (doc_id % 13) || '?q=t' || (doc_id % 13) || "
+        "'&lang=' || lang || '#s' || (doc_id % 5) AS url FROM documents) "
+        "SELECT doc_id, url, "
+        "regexp_extract(url, '^https://([^/]+)', 1) AS host, "
+        "regexp_extract(url, '^https://[^/]+([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param, "
+        "regexp_extract(url, '#(.*)$', 1) AS fragment FROM u"
+    ),
     "fn_base64_hex": (
         "SELECT n_nationkey, to_base64(n_name::BLOB) AS b64, "
         "hex(n_name) AS hx, "

@@ -411,7 +411,97 @@ def q_stream_foreachbatch_upsert(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: delta membership: orders with o_orderkey % 10 == 0 / lineitem with
+#: l_orderkey % 7 == 0 arrive as the increment; the rest are the base
+DELTA_A_MOD = 10
+DELTA_B_MOD = 7
+
+
+def q_inc_join_delta(spark, sf_dir):
+    """One-step incremental JOIN maintenance (the i2MapReduce core move
+    applied to a binary operator): given base relations A, B with a
+    preserved prior result R_old = A⋈B, and deltas ΔA, ΔB, the new
+    result is R_old ⊎ ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB — the full join is never
+    recomputed.  Here A = orders, B = lineitem (split deterministically
+    into base + delta), the join key is the orderkey, and the maintained
+    result is revenue per order priority.  The returned state is the
+    MERGED partial aggregates of the four contributions; the oracle is
+    the from-scratch join over the combined relations.
+
+    Plan: each contribution aggregates down to (priority, n, rev)
+    partials BEFORE the merge, so the combine step shuffles a handful of
+    rows regardless of data size.  At 100 TB, R_old's partials are the
+    preserved MRBG state (a few KB) and only the delta joins touch new
+    data — the whole update costs O(Δ), not O(|A|+|B|)."""
+    load_tables(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    a_old = o.filter(F.col("o_orderkey") % DELTA_A_MOD != 0)
+    a_new = o.filter(F.col("o_orderkey") % DELTA_A_MOD == 0)
+    b_old = li.filter(F.col("l_orderkey") % DELTA_B_MOD != 0)
+    b_new = li.filter(F.col("l_orderkey") % DELTA_B_MOD == 0)
+
+    def contrib(a, b):
+        return (
+            a.join(b, a["o_orderkey"] == b["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+        )
+
+    # preserved prior state (in production: read back from the MRBG store)
+    r_old = contrib(a_old, b_old).localCheckpoint(eager=True)
+    delta = (
+        contrib(a_new, b_old)
+        .unionByName(contrib(a_old, b_new))
+        .unionByName(contrib(a_new, b_new))
+    )
+    return (
+        r_old.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_rows"), F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+
+
+def q_stream_cdc_apply(spark, sf_dir):
+    """Change-data-capture apply: the events stream is read as an ops log
+    (signup→INSERT, error→DELETE, anything else→UPDATE, ordered by ts
+    with event_id as tiebreak) and folded onto a keyed snapshot — the
+    final state keeps, per user, the payload of the LAST op unless that
+    op is a DELETE, in which case the key is absent.  Output:
+    (user_id, op count, last op type, last value).
+
+    Plan: a per-key ordered window (hash partition by user_id) picks the
+    last op; no state larger than one row per key survives — the exact
+    shape `applyInPandasWithState` holds on a live stream, expressed
+    relationally for the batch-equivalence check."""
+    load_tables(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    log = spark.table("events").select(
+        "user_id", "event_id", "ts", "value", op.alias("op")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            "n_ops",
+            F.col("op").alias("last_op"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
 QUERIES = {
+    "inc_join_delta": q_inc_join_delta,
+    "stream_cdc_apply": q_stream_cdc_apply,
     "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,
     "stream_scd2_compact": q_stream_scd2_compact,
     "stream_tumbling_window": q_stream_tumbling_window,
@@ -428,6 +518,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inc_join_delta": (
+        "SELECT o_orderpriority, count(*) AS n_rows, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+    "stream_cdc_apply": (
+        "WITH log AS (SELECT user_id, event_id, ts, value, "
+        "CASE WHEN event_type = 'signup' THEN 'I' "
+        "WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM events), "
+        "last AS (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, "
+        "count(*) OVER (PARTITION BY user_id) AS n_ops FROM log) "
+        "SELECT user_id, n_ops, op AS last_op, round(value, 2) AS last_value "
+        "FROM last WHERE rn = 1 AND op <> 'D'"
+    ),
     "stream_foreachbatch_upsert": (
         "SELECT user_id, event_id, event_type AS last_type, "
         "round(value, 2) AS last_value, epoch_us(ts) AS last_us "

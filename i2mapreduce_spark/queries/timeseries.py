@@ -1,0 +1,194 @@
+"""Group T — time-series analytics over the events stream: gap-filling
+resample with linear interpolation, rolling z-score anomaly detection,
+and a moving median.
+
+These are the standard observability / sensor-pipeline primitives the
+reference's windowed aggregates feed into.  All three hash-check
+against DuckDB (the z-score and median at 4 dp with the ±0.0 guard).
+
+Scale notes: the per-user rolling windows partition by user_id (fully
+parallel); the interpolation's ordered pass runs over the *daily
+aggregate* (one row per day — thousands of rows even for years of
+data), so its single-partition window costs nothing while the heavy
+per-event aggregation underneath is a normal distributed groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..catalog import load_tables
+
+#: rolling frame length for the z-score (full windows only — stable stats)
+ZS_LOOKBACK = 10
+#: |z| above which a point is flagged
+ZS_THRESH = 2.0
+#: moving-median frame: current row + 4 preceding
+MED_FRAME = 4
+#: drop days where day-of-month % 3 == 0 to manufacture resample gaps
+GAP_MOD = 3
+
+
+def q_window_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags: for each event, z = (value - mean)
+    / stddev over the user's previous 10 events (current row EXCLUDED —
+    the detector may not see the point it scores).  Only full lookback
+    windows are scored.  Output: one row per scored event with z at 4 dp
+    (±0.0-normalized) and the |z| > 2 flag.
+
+    Plan: one hash-partitioned sort per user (Window.partitionBy), all
+    JVM expressions; no self-join — the frame is a running aggregate."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    mean, sd = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    # explicit sd > 0 guard: constant history means an undefined z-score,
+    # and under ANSI mode (Spark 4 default) a bare division would THROW
+    # at runtime on such a window rather than yield NULL
+    z_raw = F.when(sd > 0, (F.col("value") - mean) / sd)
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.count("value").over(w).alias("_n"),
+        z_raw.alias("_z"),
+    ).filter((F.col("_n") == ZS_LOOKBACK) & F.col("_z").isNotNull())
+    z = F.round("_z", 4) + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0
+    return scored.select(
+        "user_id",
+        "event_id",
+        "value",
+        z.alias("zscore"),
+        (F.abs("_z") > ZS_THRESH).alias("is_anomaly"),
+    )
+
+
+def q_window_moving_median(spark, sf_dir):
+    """Moving median of event value over each user's last 5 events
+    (4 preceding + current), interpolated for even frame sizes exactly
+    as DuckDB's windowed median: mean of the two middle order statistics.
+
+    Spark has no percentile-over-frame, so the frame is materialized as
+    a sorted array (bounded: ≤5 elements) and the median read from it —
+    constant memory per row, no shuffle beyond the per-user sort."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MED_FRAME, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round((lo + hi) / 2.0, 4).alias("moving_median"),
+    )
+
+
+def q_ts_resample_interpolate(spark, sf_dir):
+    """Resample events to a daily grid and linearly interpolate gaps:
+    the daily mean value is computed from events EXCLUDING days where
+    day-of-month % 3 == 0 (manufactured sensor outages), then a complete
+    day spine from the true min to max day is generated and missing days
+    filled by linear interpolation between the nearest known neighbors
+    (forward/back-fill at the edges).  Output: (day, value, is_gap).
+
+    Plan: the heavy part — per-day mean over all events — is a normal
+    distributed agg; the spine + interpolation run on the one-row-per-
+    day aggregate, where last/first IGNORE NULLS over an ordered window
+    do the neighbor search in one pass (no self-join, no explode of the
+    gap ranges)."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.col("ts").cast("date").alias("d"), "value"
+    )
+    daily = (
+        ev.filter(F.dayofmonth("d") % GAP_MOD != 0)
+        .groupBy("d")
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    g = spine.join(daily, "d", "left")
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(wp)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("d")), True).over(wp)
+    next_v = F.first("v", ignorenulls=True).over(wn)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("d")), True).over(wn)
+    span = F.datediff(next_d, prev_d)
+    frac = F.datediff(F.col("d"), prev_d) / span
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        ).otherwise(F.coalesce(prev_v, next_v))
+    )
+    return g.select(
+        F.col("d").cast("string").alias("day"),
+        F.round(interp, 4).alias("value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+QUERIES = {
+    "window_anomaly_zscore": q_window_anomaly_zscore,
+    "window_moving_median": q_window_moving_median,
+    "ts_resample_interpolate": q_ts_resample_interpolate,
+}
+
+ORACLES = {
+    "window_anomaly_zscore": (
+        f"WITH s AS (SELECT user_id, event_id, value, "
+        f"count(value) OVER w AS n, "
+        f"CASE WHEN stddev_samp(value) OVER w > 0 THEN "
+        f"(value - avg(value) OVER w) / (stddev_samp(value) OVER w) END AS z "
+        f"FROM events "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)) "
+        f"SELECT user_id, event_id, round(value, 4) AS value, "
+        f"round(z, 4) + 0.0 AS zscore, abs(z) > {ZS_THRESH} AS is_anomaly "
+        f"FROM s WHERE n = {ZS_LOOKBACK} AND z IS NOT NULL"
+    ),
+    "window_moving_median": (
+        f"SELECT user_id, event_id, round(value, 4) AS value, "
+        f"round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {MED_FRAME} PRECEDING AND CURRENT ROW), 4) AS moving_median "
+        f"FROM events"
+    ),
+    "ts_resample_interpolate": (
+        f"WITH ev AS (SELECT CAST(ts AS DATE) AS d, value FROM events), "
+        f"daily AS (SELECT d, avg(value) AS v FROM ev "
+        f"WHERE day(d) % {GAP_MOD} <> 0 GROUP BY d), "
+        f"spine AS (SELECT unnest(generate_series(CAST((SELECT min(d) FROM ev) AS DATE), "
+        f"CAST((SELECT max(d) FROM ev) AS DATE), INTERVAL 1 DAY))::DATE AS d), "
+        f"g AS (SELECT s.d, daily.v, "
+        f"last_value(daily.v IGNORE NULLS) OVER "
+        f"(ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v, "
+        f"last_value(CASE WHEN daily.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER "
+        f"(ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d, "
+        f"first_value(daily.v IGNORE NULLS) OVER "
+        f"(ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v, "
+        f"first_value(CASE WHEN daily.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER "
+        f"(ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d "
+        f"FROM spine s LEFT JOIN daily ON s.d = daily.d) "
+        f"SELECT CAST(d AS VARCHAR) AS day, "
+        f"round(CASE WHEN v IS NOT NULL THEN v "
+        f"WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN "
+        f"prev_v + (next_v - prev_v) * (date_diff('day', prev_d, d) * 1.0 / "
+        f"date_diff('day', prev_d, next_d)) "
+        f"ELSE coalesce(prev_v, next_v) END, 4) AS value, "
+        f"v IS NULL AS is_gap FROM g"
+    ),
+}
