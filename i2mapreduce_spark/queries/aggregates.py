@@ -433,7 +433,25 @@ def q_agg_linreg(spark, sf_dir):
     )
 
 
+def q_agg_approx_percentile(spark, sf_dir):
+    """Sketch-based quantiles: percentile_approx (Greenwald-Khanna in
+    Spark) for p50/p95/p99 of extendedprice per returnflag at accuracy
+    10000 — the single-pass mergeable alternative to exact percentiles
+    when a 100 TB column can't be sorted.  Approx output is rows-only by
+    design (sketch internals differ across engines); the error bound vs
+    the exact quantile is asserted in tests/test_r3c_ops.py."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias("p50"),
+        F.round(F.percentile_approx("l_extendedprice", 0.95, 10000), 2).alias("p95"),
+        F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
+    "agg_approx_percentile": q_agg_approx_percentile,
     "agg_linreg": q_agg_linreg,
     "agg_mode": q_agg_mode,
     "agg_skew_kurt": q_agg_skew_kurt,

@@ -442,7 +442,165 @@ def q_join_interval_overlap(spark, sf_dir):
     )
 
 
+#: bucket count for the semi-join hash prefilter (1-hash blocked Bloom)
+BLOOM_BUCKETS = 4096
+#: geo-radius join parameters: search radius and the grid cell sizes that
+#: make a 1-cell neighborhood sufficient (see q_join_geo_radius)
+GEO_RADIUS_KM = 75.0
+GEO_EARTH_KM = 6371.0
+GEO_LAT_CELL = 1.0   # 1° lat ≈ 111 km > 75
+GEO_LON_CELL = 2.0   # 2° lon ≥ 111 km for |lat| ≤ 60 (cos ≥ 0.5)
+
+
+def q_join_prefilter_bitmap(spark, sf_dir):
+    """Bloom-style semi-join prefilter: before shuffling the fact table
+    into an equi-join, rows are pre-dropped by a 1-hash bucket filter
+    built from the small side (bucket = xxhash64(key) mod 4096 — a
+    blocked Bloom filter with one probe, expressed relationally so it
+    broadcasts like any dim).  Survivors then take the EXACT semi-join,
+    so false positives cost only wasted shuffle, never wrong answers —
+    the result is identical to a plain semi-join, which is the oracle.
+
+    At 100 TB this is the manual form of Spark's runtime bloom-filter
+    pushdown: the 4096-bucket set is bytes, the fact scan drops ~
+    (1 - |S|/4096) of rows before the exchange."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    small = spark.table("supplier").filter(F.col("s_nationkey") < 5)
+    buckets = small.select(
+        F.pmod(F.xxhash64("s_suppkey"), F.lit(BLOOM_BUCKETS)).alias("b")
+    ).distinct()
+    prefiltered = li.withColumn(
+        "b", F.pmod(F.xxhash64("l_suppkey"), F.lit(BLOOM_BUCKETS))
+    ).join(F.broadcast(buckets), "b", "left_semi")
+    exact = prefiltered.join(
+        F.broadcast(small.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _geo_points(spark):
+    """Deterministic synthetic coordinates per customer: md5-uniform
+    0.1°-grid points in a 12° × 36° region around the equator — dense
+    enough that 75 km neighborhoods are populated at every fixture
+    scale, and |lat| ≤ 6 keeps 1° of longitude ≈ 111 km, which the cell
+    geometry below relies on.  (A multiplicative k·37 mod grid was a
+    lattice with no close pairs; hashing spreads points uniformly.)"""
+    c = spark.table("customer")
+    h1 = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4), 16, 10)
+    h2 = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 5, 4), 16, 10)
+    return c.select(
+        "c_custkey",
+        ((h1.cast("long") % 120) / 10.0 - 6.0).alias("lat"),
+        ((h2.cast("long") % 360) / 10.0 - 18.0).alias("lon"),
+    )
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2 * GEO_EARTH_KM * F.asin(F.sqrt(a))
+
+
+def q_join_geo_radius(spark, sf_dir):
+    """Spatial self-join: all customer pairs within 75 km (haversine) of
+    each other, via GRID BINNING — each point lands in a (1° lat × 2°
+    lon) cell; one side explodes to its 3×3 cell neighborhood, the join
+    is a plain equi-join on cell id, and the exact haversine predicate
+    re-checks candidates.  Cell geometry guarantees no missed pair:
+    75 km < 111 km (1° lat) and < 2°·55.5 km/° of longitude for
+    |lat| ≤ 60.  The oracle is the brute-force O(n²) cross join —
+    correct and fine at fixture scale, impossible at 100 TB, which is
+    exactly why the binned plan is the production path."""
+    load_tables(spark, sf_dir)
+    pts = _geo_points(spark)
+    cell_lat = F.floor(F.col("lat") / GEO_LAT_CELL).cast("long")
+    cell_lon = F.floor(F.col("lon") / GEO_LON_CELL).cast("long")
+    binned = pts.withColumn("cla", cell_lat).withColumn("clo", cell_lon)
+    offs = F.expr("explode(flatten(transform(sequence(-1,1), i -> "
+                  "transform(sequence(-1,1), j -> struct(i, j)))))")
+    probe = binned.select(
+        F.col("c_custkey").alias("c1"), F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"), "cla", "clo", offs.alias("o"),
+    ).select(
+        "c1", "lat1", "lon1",
+        (F.col("cla") + F.col("o.i")).alias("cla"),
+        (F.col("clo") + F.col("o.j")).alias("clo"),
+    )
+    build = binned.select(
+        F.col("c_custkey").alias("c2"), F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"), "cla", "clo",
+    )
+    dist = _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    return (
+        probe.join(build, ["cla", "clo"])
+        .filter(F.col("c1") < F.col("c2"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .select("c1", "c2", F.round("dist_km", 2).alias("dist_km"))
+    )
+
+
+#: kNN within the geo-radius candidate neighborhood
+GEO_KNN = 3
+
+
+def q_join_spatial_knn(spark, sf_dir):
+    """Spatial k-nearest-neighbors (k=3) within a 75 km radius: the same
+    3×3-cell grid candidate generation as q_join_geo_radius, then a
+    per-probe window keeps the 3 closest candidates under the total
+    order (distance, neighbor id).  Bounded-radius kNN is the form that
+    stays exact under grid binning — unbounded kNN would need
+    ring-expansion, radius-bounded kNN is one candidate join.
+
+    Output: (c1, rank, c2, dist_km) for probes with ≥1 neighbor."""
+    load_tables(spark, sf_dir)
+    pts = _geo_points(spark)
+    cell_lat = F.floor(F.col("lat") / GEO_LAT_CELL).cast("long")
+    cell_lon = F.floor(F.col("lon") / GEO_LON_CELL).cast("long")
+    binned = pts.withColumn("cla", cell_lat).withColumn("clo", cell_lon)
+    offs = F.expr("explode(flatten(transform(sequence(-1,1), i -> "
+                  "transform(sequence(-1,1), j -> struct(i, j)))))")
+    probe = binned.select(
+        F.col("c_custkey").alias("c1"), F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"), "cla", "clo", offs.alias("o"),
+    ).select(
+        "c1", "lat1", "lon1",
+        (F.col("cla") + F.col("o.i")).alias("cla"),
+        (F.col("clo") + F.col("o.j")).alias("clo"),
+    )
+    build = binned.select(
+        F.col("c_custkey").alias("c2"), F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"), "cla", "clo",
+    )
+    dist = _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    cands = (
+        probe.join(build, ["cla", "clo"])
+        .filter(F.col("c1") != F.col("c2"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+    )
+    w = Window.partitionBy("c1").orderBy("dist_km", "c2")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GEO_KNN)
+        .select("c1", "rank", "c2", F.round("dist_km", 2).alias("dist_km"))
+    )
+
+
 QUERIES = {
+    "join_prefilter_bitmap": q_join_prefilter_bitmap,
+    "join_geo_radius": q_join_geo_radius,
+    "join_spatial_knn": q_join_spatial_knn,
     "join_interval_overlap": q_join_interval_overlap,
     "join_broadcast": q_join_broadcast,
     "join_skew_salted": q_join_skew_salted,
@@ -465,6 +623,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_prefilter_bitmap": (
+        "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem WHERE l_suppkey IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) "
+        "GROUP BY l_returnflag"
+    ),
+    "join_geo_radius": (
+        "WITH p AS (SELECT c_custkey, "
+        "(('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 120) / 10.0 - 6.0 AS lat, "
+        "(('0x' || substr(md5(c_custkey::VARCHAR), 5, 4))::BIGINT % 360) / 10.0 - 18.0 AS lon "
+        "FROM customer) "
+        "SELECT a.c_custkey AS c1, b.c_custkey AS c2, "
+        f"round(2 * {GEO_EARTH_KM} * asin(sqrt("
+        "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "sin(radians(b.lon - a.lon) / 2) ^ 2)), 2) AS dist_km "
+        "FROM p a JOIN p b ON a.c_custkey < b.c_custkey "
+        f"WHERE 2 * {GEO_EARTH_KM} * asin(sqrt("
+        "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "sin(radians(b.lon - a.lon) / 2) ^ 2)) <= "
+        f"{GEO_RADIUS_KM}"
+    ),
+    "join_spatial_knn": (
+        "WITH p AS (SELECT c_custkey, "
+        "(('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 120) / 10.0 - 6.0 AS lat, "
+        "(('0x' || substr(md5(c_custkey::VARCHAR), 5, 4))::BIGINT % 360) / 10.0 - 18.0 AS lon "
+        "FROM customer), "
+        "d AS (SELECT a.c_custkey AS c1, b.c_custkey AS c2, "
+        f"2 * {GEO_EARTH_KM} * asin(sqrt("
+        "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "sin(radians(b.lon - a.lon) / 2) ^ 2)) AS dist "
+        "FROM p a JOIN p b ON a.c_custkey <> b.c_custkey), "
+        f"r AS (SELECT c1, c2, dist, row_number() OVER "
+        "(PARTITION BY c1 ORDER BY dist, c2) AS rank FROM d "
+        f"WHERE dist <= {GEO_RADIUS_KM}) "
+        f"SELECT c1, rank, c2, round(dist, 2) AS dist_km FROM r WHERE rank <= {GEO_KNN}"
+    ),
     "join_asof_nearest": (
         "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
         "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS rk FROM events "

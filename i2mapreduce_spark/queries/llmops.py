@@ -603,7 +603,62 @@ def q_text_readability(spark, sf_dir):
     )
 
 
+#: collocation candidates need at least this many corpus occurrences
+PMI_MIN_COUNT = 20
+
+
+def q_text_collocations_pmi(spark, sf_dir):
+    """Collocation mining by pointwise mutual information: for every
+    adjacent word bigram occurring ≥ 20 times corpus-wide,
+    PMI = log2( p(ab) / (p(a)·p(b)) ) with p() from exact unigram /
+    bigram counts.  High-PMI bigrams are the corpus's fixed phrases —
+    the standard phrase-vocabulary step before tokenizer training.
+
+    Plan: ONE posexplode feeds both the unigram counts and (via lead
+    over the per-doc sequence) the bigram counts; the two totals are
+    broadcast scalars.  All counts are exact integers so only the final
+    log is floating point, rounded at 4 dp."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "w"))
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wseq = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        pos.select("doc_id", "w", F.lead("w", 1).over(wseq).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n")).select("n")
+    n_bi = pos.groupBy("doc_id").agg((F.count(F.lit(1)) - 1).alias("nb")).agg(
+        F.sum("nb").alias("nb")
+    )
+    j = (
+        big.join(F.broadcast(uni.withColumnRenamed("c", "c_a")), "w")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("c", "c_b").withColumnRenamed("w", "w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.log2(
+        (F.col("c_ab") / F.col("nb"))
+        / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
+    )
+    return j.select(
+        F.concat_ws(" ", "w", "w2").alias("bigram"),
+        "c_ab",
+        (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+    )
+
+
 QUERIES = {
+    "text_collocations_pmi": q_text_collocations_pmi,
     "embedding_quantize": q_embedding_quantize,
     "text_readability": q_text_readability,
     "pipeline_curation": q_pipeline_curation,
@@ -640,6 +695,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_collocations_pmi": (
+        "WITH tokp AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
+        "generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p "
+        "FROM documents), "
+        "uni AS (SELECT w, count(*) AS c FROM tokp GROUP BY w), "
+        "n1 AS (SELECT sum(c) AS n FROM uni), "
+        "bi AS (SELECT a.w AS w, b.w AS w2, count(*) AS c_ab "
+        "FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.p = a.p + 1 "
+        f"GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}), "
+        "n2 AS (SELECT sum(nb) AS nb FROM "
+        "(SELECT count(*) - 1 AS nb FROM tokp GROUP BY doc_id)) "
+        "SELECT bi.w || ' ' || bi.w2 AS bigram, c_ab, "
+        "round(log2((CAST(c_ab AS DOUBLE) / nb) / "
+        "((CAST(ua.c AS DOUBLE) / n) * (CAST(ub.c AS DOUBLE) / n))), 4) + 0.0 AS pmi "
+        "FROM bi JOIN uni ua ON bi.w = ua.w JOIN uni ub ON bi.w2 = ub.w, n1, n2"
+    ),
     "embedding_quantize": (
         "WITH s AS (SELECT vec_id, embedding, "
         "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) "

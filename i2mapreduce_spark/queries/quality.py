@@ -13,7 +13,7 @@ All hash-checked against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
 
@@ -165,7 +165,54 @@ def q_dq_constraint_check(spark, sf_dir):
     return out
 
 
+#: PSI bins and the day boundary splitting reference vs current windows
+PSI_BINS = 10
+PSI_SPLIT_DAY = 15
+PSI_EPS = 1e-6
+
+
+def q_dq_drift_psi(spark, sf_dir):
+    """Distribution-drift audit via the population stability index: the
+    events stream is split into a reference window (day of month ≤ 15)
+    and a current window, values are bucketed into 10 equal-width bins
+    over the GLOBAL min/max, and per event type
+    PSI = Σ_bins (p_cur - p_ref)·ln(p_cur/p_ref) with ε-smoothing.
+    PSI < 0.1 is stable, > 0.25 is actionable drift — the standard
+    production-ML input-drift gate.
+
+    Plan: two scans fuse into one (conditional aggregation over the
+    window flag); bin edges are broadcast scalars; everything else is a
+    10×5-row arithmetic — the audit costs one pass at any scale."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type", "value", (F.dayofmonth("ts") <= PSI_SPLIT_DAY).alias("is_ref")
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * PSI_BINS),
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tot = Window.partitionBy("event_type")
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot) + PSI_EPS
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot) + PSI_EPS
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        counts.select("event_type", term.alias("t"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("t"), 6).alias("psi"))
+    )
+
+
 QUERIES = {
+    "dq_drift_psi": q_dq_drift_psi,
     "dq_profile": q_dq_profile,
     "dq_referential_integrity": q_dq_referential_integrity,
     "dq_constraint_check": q_dq_constraint_check,
@@ -216,6 +263,21 @@ def _constraint_oracle() -> str:
 
 
 ORACLES = {
+    "dq_drift_psi": (
+        f"""WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        b AS (SELECT event_type, day(ts) <= {PSI_SPLIT_DAY} AS is_ref,
+        CAST(least({PSI_BINS - 1}, floor((value - lo) / (hi - lo) * {PSI_BINS})) AS INT) AS bin
+        FROM events, rng),
+        c AS (SELECT event_type, bin,
+        sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur FROM b GROUP BY 1, 2),
+        p AS (SELECT event_type,
+        CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (PARTITION BY event_type) + {PSI_EPS} AS pr,
+        CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (PARTITION BY event_type) + {PSI_EPS} AS pc
+        FROM c)
+        SELECT event_type, round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        FROM p GROUP BY event_type"""
+    ),
     "dq_profile": _profile_oracle(),
     "dq_referential_integrity": _ri_oracle(),
     "dq_constraint_check": _constraint_oracle(),

@@ -51,6 +51,39 @@ def q_sink_parquet_roundtrip(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+#: compaction: many small input files -> few large output files
+COMPACT_SMALL = 64
+COMPACT_TARGET = 4
+
+
+def q_sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the operational fix for the classic HDFS/
+    object-store pathology where a job leaves thousands of tiny files
+    and every downstream scan pays per-file open cost: orders is first
+    written as 64 splinter files, then compacted by rewriting with
+    repartition(4).  The query returns the compacted data aggregated by
+    priority, hash-checked against the original table — compaction must
+    be value-preserving; the file-count collapse itself is asserted in
+    tests/test_r3c_ops.py.
+
+    At 100 TB the identical rewrite runs per partition-dir with
+    target_size/maxRecordsPerFile steering instead of a fixed 4."""
+    load_tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="i2mr_compact_")
+    spark.table("orders").repartition(COMPACT_SMALL).write.mode("overwrite").parquet(
+        f"{root}/splintered"
+    )
+    small = spark.read.parquet(f"{root}/splintered")
+    small.repartition(COMPACT_TARGET).write.mode("overwrite").parquet(
+        f"{root}/compacted"
+    )
+    compacted = spark.read.parquet(f"{root}/compacted")
+    return compacted.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_source_csv_roundtrip(spark, sf_dir):
     """nation -> CSV sink -> CSV source with explicit schema (A7/A8's
     delimited-text formats).  All-exact columns, so the round trip is
@@ -325,6 +358,7 @@ def q_filter_dynamic_partition_pruning(spark, sf_dir):
 
 
 QUERIES = {
+    "sink_compact_small_files": q_sink_compact_small_files,
     "scan_full": q_scan_full,
     "source_json_nested": q_source_json_nested,
     "filter_dynamic_partition_pruning": q_filter_dynamic_partition_pruning,
@@ -344,6 +378,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_compact_small_files": (
+        "SELECT o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY o_orderpriority"
+    ),
     "source_json_nested": (
         "SELECT o_custkey AS custkey, count(*) AS n_orders, "
         "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price "

@@ -295,7 +295,72 @@ def q_window_retention_cohort(spark, sf_dir):
     )
 
 
+def q_window_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an ordered stream — a window shape
+    neither engine supports natively (DISTINCT is not allowed in window
+    aggregates), built from its classic decomposition: flag each row
+    that is the FIRST occurrence of its (supplier, part), then running-
+    sum the flags per supplier.  Output: per lineitem row, how many
+    distinct parts the supplier has shipped up to and including it.
+
+    Plan: two windows over the same (supplier-hash-partitioned) sort —
+    one extra rank, no joins, no quadratic re-scan of history."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_first = Window.partitionBy("l_suppkey", "l_partkey").orderBy(*order)
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+    )
+    return flagged.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("first_seen").over(w_run).alias("n_distinct_parts"),
+    )
+
+
+def q_window_pattern_regex(spark, sf_dir):
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE use case):
+    each user's event stream is folded to a string of type initials in
+    time order, and regexes count behavioral motifs — direct
+    conversions (view→purchase adjacency 'vp') and assisted conversions
+    ('vc+p': view, ≥1 click, purchase).  Non-overlapping leftmost match
+    semantics are identical in both engines' regex engines.
+
+    Plan: per-user sort via one sort_array(collect_list(struct)) — the
+    sequence string is bounded by the per-user event count; at 100 TB
+    the same fold runs per session window instead of per user."""
+    load_tables(spark, sf_dir)
+    initial = F.substring("event_type", 1, 1)
+    ev = spark.table("events").select(
+        "user_id", F.struct("ts", "event_id", initial.alias("i")).alias("s")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(F.sort_array(F.collect_list("s")), lambda s: s["i"])
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.size(F.regexp_extract_all("seq", F.lit("vp"), 0)).alias("n_direct"),
+        F.size(F.regexp_extract_all("seq", F.lit("vc+p"), 0)).alias("n_assisted"),
+    )
+
+
 QUERIES = {
+    "window_pattern_regex": q_window_pattern_regex,
+    "window_running_distinct": q_window_running_distinct,
     "window_ewma": q_window_ewma,
     "window_retention_cohort": q_window_retention_cohort,
     "window_funnel_stages": q_window_funnel_stages,
@@ -310,6 +375,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_pattern_regex": (
+        "WITH s AS (SELECT user_id, "
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+        "FROM events GROUP BY user_id) "
+        "SELECT user_id, length(seq) AS seq_len, "
+        "len(regexp_extract_all(seq, 'vp')) AS n_direct, "
+        "len(regexp_extract_all(seq, 'vc+p')) AS n_assisted FROM s"
+    ),
+    "window_running_distinct": (
+        "WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, "
+        "CASE WHEN row_number() OVER (PARTITION BY l_suppkey, l_partkey "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1 THEN 1 ELSE 0 END "
+        "AS first_seen FROM lineitem) "
+        "SELECT l_suppkey, l_orderkey, l_linenumber, "
+        "CAST(sum(first_seen) OVER (PARTITION BY l_suppkey "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n_distinct_parts FROM f"
+    ),
     "window_ewma": (
         "WITH last AS (SELECT user_id, value, "
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd "
