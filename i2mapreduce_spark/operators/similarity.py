@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: fits in an executor core's memory budget).  Swept {1,2,3,4,6} at sf0.1
 #: min-of-3 warm: 1.72/1.48/1.36/1.23/1.29 s — 4 wins; below that the
 #: task count starves local[32], above it replication overhead dominates.
+#: A repeat sweep of {2,3,4,6} in a different session gave
+#: 1.25/1.22/1.25/1.28 s — 3 and 4 are within run-to-run noise (±5%),
+#: so the r1→r2 bench drift on this key was scheduler variance, not a
+#: block-count regression.
 N_BLOCKS = 4
 
 

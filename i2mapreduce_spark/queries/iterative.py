@@ -425,7 +425,45 @@ def q_iter_label_propagation(spark, sf_dir):
     return algorithms.label_propagation(edges, labels0, iters=LPA_ITERS)
 
 
+WALK_STEPS = 8
+
+
+def q_iter_markov_walk(spark, sf_dir):
+    """Deterministic pseudo-random graph walk — the testable stand-in
+    for Monte-Carlo walk sampling (node2vec-style corpus generation):
+    from the minimum node, 8 steps where the "random" neighbor choice
+    at step t from node u is argmin over out-neighbors v of
+    md5("t-u-v").  The hash plays the RNG, so both engines reproduce
+    the identical path and the key stays hash-checkable — at scale the
+    same construction runs millions of walks in parallel, one row each,
+    with the hash seeded per (walk, step).
+
+    Plan: 8 chained one-row joins against the checkpointed edge list —
+    each step is a broadcast lookup, min_by picks the neighbor, the
+    final result is the 9-row path."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    cur = edges.agg(F.min("src").alias("node"))
+    path = [cur.select(F.lit(0).alias("step"), "node")]
+    for t in range(1, WALK_STEPS + 1):
+        h = F.md5(
+            F.concat_ws("-", F.lit(t), F.col("src").cast("string"),
+                        F.col("dst").cast("string"))
+        )
+        cur = (
+            F.broadcast(cur)
+            .join(edges, F.col("node") == F.col("src"))
+            .agg(F.min_by("dst", h).alias("node"))
+        )
+        path.append(cur.select(F.lit(t).alias("step"), "node"))
+    out = path[0]
+    for p in path[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
+    "iter_markov_walk": q_iter_markov_walk,
     "iter_label_propagation": q_iter_label_propagation,
     "iter_hits": q_iter_hits,
     "iter_kcore": q_iter_kcore,
@@ -736,3 +774,17 @@ ORACLES["iter_label_propagation"] = _lpa_oracle_sql(LPA_ITERS, LPA_SEED_MOD)
 
 ORACLES["iter_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING)
 ORACLES["iter_connected_components"] = _cc_oracle_sql(10)
+
+ORACLES["iter_markov_walk"] = (
+    cte("edges_pp")
+    + f"""
+    , walk(step, node) AS (
+      SELECT 0, (SELECT min(src) FROM edges_pp)
+      UNION ALL
+      SELECT w.step + 1,
+        (SELECT arg_min(e.dst, md5((w.step + 1)::VARCHAR || '-' ||
+                e.src::VARCHAR || '-' || e.dst::VARCHAR))
+         FROM edges_pp e WHERE e.src = w.node)
+      FROM walk w WHERE w.step < {WALK_STEPS})
+    SELECT step, node FROM walk"""
+).replace("WITH edges_pp", "WITH RECURSIVE edges_pp")

@@ -597,10 +597,63 @@ def q_join_spatial_knn(spark, sf_dir):
     )
 
 
+#: asof lookback tolerance (microseconds): a purchase only attributes to a
+#: view this recent — pandas merge_asof(tolerance=...) semantics
+ASOF_TOLERANCE_US = 7200 * 1_000_000
+
+
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    purchase matches the nearest PRECEDING view of the same user, but
+    only if it happened within the last 2 hours — older matches are
+    nulled, keeping the left-join row.  Same union+window single-shuffle
+    form as join_asof: no pair join, one sort per user.
+
+    Output: per purchase — the matched view id (nullable) and the lag in
+    seconds (nullable)."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        F.lit(1).alias("is_p"),
+    )
+    u = views.unionByName(
+        purchases.select(
+            "user_id", F.col("pid").alias("vid"), F.col("pts").alias("vts"), "is_p"
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("vts", "is_p", "vid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_vid = F.last(F.when(F.col("is_p") == 0, F.col("vid")), True).over(w)
+    prev_vts = F.last(F.when(F.col("is_p") == 0, F.col("vts")), True).over(w)
+    lag_us = (
+        F.unix_micros(F.col("vts").cast("timestamp"))
+        - F.unix_micros(prev_vts.cast("timestamp"))
+    )
+    within = prev_vts.isNotNull() & (lag_us <= ASOF_TOLERANCE_US)
+    return (
+        u.select(
+            "user_id", "vid", "is_p",
+            F.when(within, prev_vid).alias("view_id"),
+            F.when(within, lag_us).alias("lag_us"),
+        )
+        .filter(F.col("is_p") == 1)
+        .select("user_id", F.col("vid").alias("purchase_id"), "view_id", "lag_us")
+    )
+
+
 QUERIES = {
     "join_prefilter_bitmap": q_join_prefilter_bitmap,
     "join_geo_radius": q_join_geo_radius,
     "join_spatial_knn": q_join_spatial_knn,
+    "join_asof_tolerance": q_join_asof_tolerance,
     "join_interval_overlap": q_join_interval_overlap,
     "join_broadcast": q_join_broadcast,
     "join_skew_salted": q_join_skew_salted,
@@ -645,6 +698,24 @@ ORACLES = {
         "cos(radians(a.lat)) * cos(radians(b.lat)) * "
         "sin(radians(b.lon - a.lon) / 2) ^ 2)) <= "
         f"{GEO_RADIUS_KM}"
+    ),
+    "join_asof_tolerance": (
+        "WITH u AS ("
+        "SELECT user_id, event_id AS vid, ts AS vts, 0 AS is_p FROM events "
+        "WHERE event_type = 'view' "
+        "UNION ALL "
+        "SELECT user_id, event_id, ts, 1 FROM events WHERE event_type = 'purchase'), "
+        "m AS (SELECT *, "
+        "last_value(CASE WHEN is_p = 0 THEN vid END IGNORE NULLS) OVER w AS pv, "
+        "last_value(CASE WHEN is_p = 0 THEN vts END IGNORE NULLS) OVER w AS pt "
+        "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY vts, is_p, vid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+        "SELECT user_id, vid AS purchase_id, "
+        f"CASE WHEN pt IS NOT NULL AND epoch_us(vts) - epoch_us(pt) <= {ASOF_TOLERANCE_US} "
+        "THEN pv END AS view_id, "
+        f"CASE WHEN pt IS NOT NULL AND epoch_us(vts) - epoch_us(pt) <= {ASOF_TOLERANCE_US} "
+        "THEN epoch_us(vts) - epoch_us(pt) END AS lag_us "
+        "FROM m WHERE is_p = 1"
     ),
     "join_spatial_knn": (
         "WITH p AS (SELECT c_custkey, "

@@ -357,7 +357,35 @@ def q_fn_url_parse(spark, sf_dir):
     )
 
 
+def q_fn_ip_addr(spark, sf_dir):
+    """IPv4 integer↔dotted-quad conversions — the log-analytics staple
+    Spark has no builtin for, composed from shifts/masks and string
+    splits (both directions, roundtrip-verified in the result itself).
+    IPs are synthesized per order via a Knuth multiplicative hash so all
+    octets vary."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders").select("o_orderkey")
+    ip = (F.col("o_orderkey") * 2654435761) % F.lit(4294967296).cast("long")
+    d = o.select("o_orderkey", ip.cast("long").alias("ip_int"))
+    octet = lambda n: F.shiftright("ip_int", n).bitwiseAND(F.lit(255)).cast("string")  # noqa: E731
+    dotted = F.concat_ws(".", octet(24), octet(16), octet(8), octet(0))
+    d = d.withColumn("dotted", dotted)
+    parts = F.split("dotted", "\\.")
+    back = (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+    return d.select(
+        "o_orderkey", "ip_int", "dotted",
+        back.alias("roundtrip_int"),
+        (back == F.col("ip_int")).alias("roundtrip_ok"),
+    )
+
+
 QUERIES = {
+    "fn_ip_addr": q_fn_ip_addr,
     "fn_url_parse": q_fn_url_parse,
     "fn_base64_hex": q_fn_base64_hex,
     "fn_regexp_capture": q_fn_regexp_capture,
@@ -381,6 +409,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_ip_addr": (
+        "WITH d AS (SELECT o_orderkey, "
+        "(o_orderkey * 2654435761) % 4294967296 AS ip_int FROM orders), "
+        "q AS (SELECT o_orderkey, ip_int, "
+        "((ip_int >> 24) & 255)::VARCHAR || '.' || "
+        "((ip_int >> 16) & 255)::VARCHAR || '.' || "
+        "((ip_int >> 8) & 255)::VARCHAR || '.' || "
+        "(ip_int & 255)::VARCHAR AS dotted FROM d) "
+        "SELECT o_orderkey, ip_int, dotted, "
+        "string_split(dotted, '.')[1]::BIGINT * 16777216 + "
+        "string_split(dotted, '.')[2]::BIGINT * 65536 + "
+        "string_split(dotted, '.')[3]::BIGINT * 256 + "
+        "string_split(dotted, '.')[4]::BIGINT AS roundtrip_int, "
+        "string_split(dotted, '.')[1]::BIGINT * 16777216 + "
+        "string_split(dotted, '.')[2]::BIGINT * 65536 + "
+        "string_split(dotted, '.')[3]::BIGINT * 256 + "
+        "string_split(dotted, '.')[4]::BIGINT = ip_int AS roundtrip_ok FROM q"
+    ),
     "fn_url_parse": (
         "WITH u AS (SELECT doc_id, "
         "'https://w' || (doc_id % 7) || '.example.com/' || source || "

@@ -358,7 +358,34 @@ def q_window_pattern_regex(spark, sf_dir):
     )
 
 
+def q_window_period_over_period(spark, sf_dir):
+    """Period-over-period growth — the reporting staple: daily order
+    revenue with day-over-day and week-over-week percent change (lag 1 /
+    lag 7 over the daily series).  NULL for days without a comparison
+    point.  The ±0.0 guard rides on both engines' rounded ratios.
+
+    Plan: the heavy per-order aggregation is distributed; the lag window
+    runs over the one-row-per-day aggregate (a few thousand rows for
+    years of data), where the single-partition window is free."""
+    load_tables(spark, sf_dir)
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    dod = (F.col("rev") - F.lag("rev", 1).over(w)) / F.lag("rev", 1).over(w)
+    wow = (F.col("rev") - F.lag("rev", 7).over(w)) / F.lag("rev", 7).over(w)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.round("rev", 2).alias("revenue"),
+        (F.round(dod, 6) + F.lit(0.0)).alias("pct_dod"),
+        (F.round(wow, 6) + F.lit(0.0)).alias("pct_wow"),
+    )
+
+
 QUERIES = {
+    "window_period_over_period": q_window_period_over_period,
     "window_pattern_regex": q_window_pattern_regex,
     "window_running_distinct": q_window_running_distinct,
     "window_ewma": q_window_ewma,
@@ -375,6 +402,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_period_over_period": (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+        "sum(o_totalprice) AS rev FROM orders GROUP BY 1) "
+        "SELECT CAST(d AS VARCHAR) AS day, round(rev, 2) AS revenue, "
+        "round((rev - lag(rev, 1) OVER w) / (lag(rev, 1) OVER w), 6) + 0.0 AS pct_dod, "
+        "round((rev - lag(rev, 7) OVER w) / (lag(rev, 7) OVER w), 6) + 0.0 AS pct_wow "
+        "FROM daily WINDOW w AS (ORDER BY d)"
+    ),
     "window_pattern_regex": (
         "WITH s AS (SELECT user_id, "
         "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
