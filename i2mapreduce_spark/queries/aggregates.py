@@ -13,7 +13,7 @@ distinct aggregation (Spark 4 does partial de-dup map-side).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
 
@@ -450,7 +450,36 @@ def q_agg_approx_percentile(spark, sf_dir):
     )
 
 
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of order revenue across customers — the
+    inequality/concentration measure a marketplace-health dashboard
+    tracks: with per-customer revenue x sorted ascending and ranked
+    i = 1..n, G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n.  One grouped sum, one
+    rank window over the n-customer aggregate, one global fold.
+
+    The rank tie-break (revenue, then custkey) makes the rank total and
+    the Σ(i·x_i) identical across engines even with duplicate revenues
+    (equal x under different i contribute the same sum)."""
+    load_tables(spark, sf_dir)
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            2 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
+    "agg_gini": q_agg_gini,
     "agg_approx_percentile": q_agg_approx_percentile,
     "agg_linreg": q_agg_linreg,
     "agg_mode": q_agg_mode,
@@ -479,6 +508,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_gini": (
+        "WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS x FROM orders "
+        "GROUP BY o_custkey), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev) "
+        "SELECT count(*) AS n_customers, "
+        "round(2 * sum(i * x) / (count(*) * sum(x)) "
+        "- (count(*) + 1.0) / count(*), 6) AS gini FROM r"
+    ),
     "agg_linreg": (
         "SELECT l_returnflag, "
         "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "

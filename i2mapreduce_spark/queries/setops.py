@@ -25,6 +25,19 @@ def _supp_nations(spark, max_suppkey=None):
     return s.select(F.col("s_nationkey").alias("nationkey"))
 
 
+def q_setop_symmetric_diff(spark, sf_dir):
+    """Symmetric difference with provenance: nation keys reached by
+    customers XOR by (the first 60) suppliers, each surviving key tagged
+    with the side it came from.  (A EXCEPT B) ∪ (B EXCEPT A) — two hash
+    anti-semi aggregates and a no-shuffle concat."""
+    load_tables(spark, sf_dir)
+    a = _cust_nations(spark).distinct()
+    b = _supp_nations(spark, max_suppkey=60).distinct()
+    only_a = a.exceptAll(b).select("nationkey", F.lit("customer_only").alias("side"))
+    only_b = b.exceptAll(a).select("nationkey", F.lit("supplier_only").alias("side"))
+    return only_a.unionAll(only_b)
+
+
 def q_setop_union_all(spark, sf_dir):
     """Bag union (no dedup, no shuffle)."""
     load_tables(spark, sf_dir)
@@ -66,6 +79,7 @@ def q_setop_except_all(spark, sf_dir):
 
 
 QUERIES = {
+    "setop_symmetric_diff": q_setop_symmetric_diff,
     "setop_union_all": q_setop_union_all,
     "setop_union_distinct": q_setop_union_distinct,
     "setop_intersect": q_setop_intersect,
@@ -75,6 +89,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "setop_symmetric_diff": (
+        "WITH a AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer), "
+        "b AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier "
+        "WHERE s_suppkey <= 60) "
+        "SELECT nationkey, 'customer_only' AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b) "
+        "UNION ALL "
+        "SELECT nationkey, 'supplier_only' AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a)"
+    ),
     "setop_union_all": (
         "SELECT c_nationkey AS nationkey FROM customer "
         "UNION ALL SELECT s_nationkey FROM supplier"

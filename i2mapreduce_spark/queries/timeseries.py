@@ -142,13 +142,59 @@ def q_ts_resample_interpolate(spark, sf_dir):
     )
 
 
+#: |robust z| above which a point is flagged (0.6745 scales MAD to σ)
+RZ_THRESH = 3.5
+
+
+def q_window_robust_zscore(spark, sf_dir):
+    """Robust (MAD-based) outlier score — the median-family counterpart
+    of q_window_anomaly_zscore, immune to the outliers it hunts:
+    per user, med = median(value), MAD = median(|value - med|),
+    rz = 0.6745·(value - med)/MAD (Iglewicz-Hoban modified z-score),
+    flagged at |rz| > 3.5.  Users with MAD = 0 are skipped (guarded
+    division, same ANSI rationale as the rolling z-score).
+
+    Plan: two grouped exact medians (sort-based percentile per user) and
+    one broadcast join back — no window over raw events needed."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "user_id")
+    mad = with_med.groupBy("user_id").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    j = with_med.join(F.broadcast(mad), "user_id").filter(F.col("mad") > 0)
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return j.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        (F.round(rz, 4) + F.lit(0.0)).alias("robust_z"),
+        (F.abs(rz) > RZ_THRESH).alias("is_outlier"),
+    )
+
+
 QUERIES = {
+    "window_robust_zscore": q_window_robust_zscore,
     "window_anomaly_zscore": q_window_anomaly_zscore,
     "window_moving_median": q_window_moving_median,
     "ts_resample_interpolate": q_ts_resample_interpolate,
 }
 
 ORACLES = {
+    "window_robust_zscore": (
+        "WITH med AS (SELECT user_id, median(value) AS med FROM events "
+        "GROUP BY user_id), "
+        "mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad "
+        "FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id) "
+        "SELECT e.user_id, e.event_id, round(e.value, 4) AS value, "
+        "round(0.6745 * (e.value - m.med) / d.mad, 4) + 0.0 AS robust_z, "
+        f"abs(0.6745 * (e.value - m.med) / d.mad) > {RZ_THRESH} AS is_outlier "
+        "FROM events e JOIN med m ON e.user_id = m.user_id "
+        "JOIN mad d ON e.user_id = d.user_id WHERE d.mad > 0"
+    ),
     "window_anomaly_zscore": (
         f"WITH s AS (SELECT user_id, event_id, value, "
         f"count(value) OVER w AS n, "

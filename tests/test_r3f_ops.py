@@ -1,0 +1,47 @@
+"""Semantic unit tests for round-3f operators (robust MAD z-score, Gini
+coefficient, symmetric difference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from i2mapreduce_spark.queries.aggregates import q_agg_gini
+from i2mapreduce_spark.queries.setops import q_setop_symmetric_diff
+from i2mapreduce_spark.queries.timeseries import q_window_robust_zscore
+
+
+def test_gini_in_unit_interval_and_matches_numpy(spark, sf_dir):
+    row = q_agg_gini(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    xs = sorted(
+        r.x for r in spark.table("orders")
+        .groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x")).collect()
+    )
+    n, s = len(xs), sum(xs)
+    expect = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    assert abs(row.gini - round(expect, 6)) < 1e-6
+    assert row.n_customers == n
+
+
+def test_robust_zscore_median_centered(spark, sf_dir):
+    pdf = q_window_robust_zscore(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    # per user, about half the points sit on each side of the median
+    for uid, grp in pdf.groupby("user_id"):
+        neg, pos = (grp.robust_z < 0).sum(), (grp.robust_z > 0).sum()
+        assert abs(neg - pos) <= len(grp) // 2 + 1
+    # outlier flag consistent with the threshold
+    assert ((pdf.robust_z.abs() > 3.5) == pdf.is_outlier).all()
+
+
+def test_symmetric_diff_is_set_xor(spark, sf_dir):
+    got = {(r.nationkey, r.side) for r in q_setop_symmetric_diff(spark, sf_dir).collect()}
+    a = {r.c_nationkey for r in spark.table("customer").select("c_nationkey").distinct().collect()}
+    b = {
+        r.s_nationkey
+        for r in spark.table("supplier")
+        .filter(F.col("s_suppkey") <= 60)
+        .select("s_nationkey").distinct().collect()
+    }
+    want = {(k, "customer_only") for k in a - b} | {(k, "supplier_only") for k in b - a}
+    assert got == want
