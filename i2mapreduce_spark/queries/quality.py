@@ -211,7 +211,77 @@ def q_dq_drift_psi(spark, sf_dir):
     )
 
 
+#: declared candidate keys: (name, table, [key columns])
+_UNIQUE_KEYS = [
+    ("orders_pk", "orders", ["o_orderkey"]),
+    ("lineitem_pk", "lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events_pk", "events", ["event_id"]),
+    ("customer_pk", "customer", ["c_custkey"]),
+    ("part_pk", "part", ["p_partkey"]),
+]
+
+
+def q_dq_uniqueness(spark, sf_dir):
+    """Candidate-key uniqueness audit: for each declared key, total rows,
+    distinct key values, duplicate-row count, and the pass flag — the
+    primary-key contract a warehouse load verifies before publishing.
+
+    Plan: one countDistinct aggregate per table (each an independent
+    partial+final hash agg); nothing global."""
+    load_tables(spark, sf_dir)
+    parts = []
+    for name, table, cols in _UNIQUE_KEYS:
+        t = spark.table(table)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(*[F.col(c) for c in cols]).alias("n_keys"),
+            ).select(
+                F.lit(name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+                (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def q_dq_benford(spark, sf_dir):
+    """Benford's-law audit of order totals — the classic fabricated-data
+    detector: the observed first-significant-digit distribution of
+    o_totalprice vs the Benford expectation log10(1 + 1/d), with the
+    per-digit chi-square contribution.  First digits are taken from the
+    EXACT integer cents (string head of a BIGINT), so no float-log
+    knife-edges enter the hash survey.
+
+    Plan: one scan, a 9-group aggregate, broadcast total."""
+    load_tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        spark.table("orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = Window.partitionBy()
+    expected = F.log10(1 + 1 / F.col("digit")) * F.sum("n_obs").over(tot)
+    chi2 = (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected
+    return obs.select(
+        "digit",
+        "n_obs",
+        F.round(expected, 2).alias("n_expected"),
+        F.round(chi2, 4).alias("chi2_term"),
+    )
+
+
 QUERIES = {
+    "dq_uniqueness": q_dq_uniqueness,
+    "dq_benford": q_dq_benford,
     "dq_drift_psi": q_dq_drift_psi,
     "dq_profile": q_dq_profile,
     "dq_referential_integrity": q_dq_referential_integrity,
@@ -263,6 +333,8 @@ def _constraint_oracle() -> str:
 
 
 ORACLES = {
+    "dq_uniqueness": "SELECT 'orders_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (o_orderkey)) AS n_keys, count(*) - count(DISTINCT (o_orderkey)) AS n_dup_rows, count(*) = count(DISTINCT (o_orderkey)) AS is_unique FROM orders UNION ALL SELECT 'lineitem_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (l_orderkey, l_linenumber)) AS n_keys, count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_rows, count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS is_unique FROM lineitem UNION ALL SELECT 'events_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (event_id)) AS n_keys, count(*) - count(DISTINCT (event_id)) AS n_dup_rows, count(*) = count(DISTINCT (event_id)) AS is_unique FROM events UNION ALL SELECT 'customer_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (c_custkey)) AS n_keys, count(*) - count(DISTINCT (c_custkey)) AS n_dup_rows, count(*) = count(DISTINCT (c_custkey)) AS is_unique FROM customer UNION ALL SELECT 'part_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (p_partkey)) AS n_keys, count(*) - count(DISTINCT (p_partkey)) AS n_dup_rows, count(*) = count(DISTINCT (p_partkey)) AS is_unique FROM part",
+    "dq_benford": 'WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), t AS (SELECT sum(n_obs) AS n FROM obs) SELECT digit, n_obs, round(log10(1 + 1.0 / digit) * n, 2) AS n_expected, round((n_obs - log10(1 + 1.0 / digit) * n) ^ 2 / (log10(1 + 1.0 / digit) * n), 4) AS chi2_term FROM obs, t',
     "dq_drift_psi": (
         f"""WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         b AS (SELECT event_type, day(ts) <= {PSI_SPLIT_DAY} AS is_ref,

@@ -125,3 +125,35 @@ def test_resample_fills_every_day_no_nulls(spark, sf_dir):
     obs = pdf[~pdf.is_gap].set_index("day").value
     lo, hi = obs.min(), obs.max()
     assert pdf.value.between(lo, hi).all()
+
+
+def test_uniqueness_reports_true_counts(spark, sf_dir):
+    """The audit must report exact distinct counts — including FAILING
+    keys: the fixture's (l_orderkey, l_linenumber) is deliberately not
+    unique, and the audit's job is to say so."""
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.quality import _UNIQUE_KEYS, q_dq_uniqueness
+
+    rows = {r.key_name: r for r in q_dq_uniqueness(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for name, table, cols in _UNIQUE_KEYS:
+        t = spark.table(table)
+        n, nd = t.count(), t.select(*cols).distinct().count()
+        r = rows[name]
+        assert (r.n_rows, r.n_keys, r.n_dup_rows, r.is_unique) == (
+            n, nd, n - nd, n == nd
+        )
+    # single-column surrogate keys in the fixture ARE unique
+    for name in ("orders_pk", "events_pk", "customer_pk", "part_pk"):
+        assert rows[name].is_unique
+
+
+def test_benford_digits_complete_and_chi2_nonneg(spark, sf_dir):
+    from i2mapreduce_spark.queries.quality import q_dq_benford
+
+    pdf = q_dq_benford(spark, sf_dir).toPandas()
+    assert sorted(pdf.digit) == list(range(1, 10))
+    n = pdf.n_obs.sum()
+    assert abs(pdf.n_expected.sum() - n) < 1          # Benford probs sum to 1
+    assert (pdf.chi2_term >= 0).all()
