@@ -657,7 +657,78 @@ def q_text_collocations_pmi(spark, sf_dir):
     )
 
 
+#: ensemble: a pair is a duplicate when >= 2 of the 3 detectors agree
+ENSEMBLE_MIN_VOTES = 2
+
+
+def q_dedup_ensemble_vote(spark, sf_dir):
+    """Ensemble near-duplicate detection — the production pattern of
+    running several cheap detectors and keeping pairs where a MAJORITY
+    agree, trading any single method's blind spot (Jaccard under-scores
+    containment; exact-hash misses edits) for consensus: votes from
+    (a) exact text-hash equality, (b) 3-shingle Jaccard ≥ 0.5,
+    (c) shingle containment ≥ 0.9; pairs with ≥ 2 votes survive.
+
+    Plan: ONE shingle intersection join feeds both Jaccard and
+    containment (same |A∩B| aggregate, two denominators); the exact
+    votes come from an md5-groupBy — nothing runs twice.  At 100 TB each
+    detector is already sub-quadratic (hash groupBy / LSH-candidate
+    paths) and the vote is a merge of tiny pair sets."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    sh = dedup.shingles(d, n=3)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    scored = (
+        inter.join(cnt.alias("na"), F.col("d1") == F.col("na.doc_id"))
+        .join(cnt.alias("nb"), F.col("d2") == F.col("nb.doc_id"))
+        .select(
+            "d1", "d2",
+            (F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))).alias("jac"),
+            (F.col("i").cast("double") / F.least(F.col("na.n"), F.col("nb.n"))).alias(
+                "cont"
+            ),
+        )
+    )
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    ha, hb = hashed.alias("ha"), hashed.alias("hb")
+    exact = (
+        ha.join(
+            hb,
+            (F.col("ha.h") == F.col("hb.h"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        )
+        .select(
+            F.col("ha.doc_id").alias("d1"), F.col("hb.doc_id").alias("d2"),
+            F.lit(1).alias("v_exact"),
+        )
+    )
+    votes = (
+        scored.join(exact, ["d1", "d2"], "full_outer")
+        .select(
+            "d1", "d2",
+            F.coalesce((F.col("jac") >= JACCARD_THRESHOLD).cast("int"), F.lit(0)).alias("v_jac"),
+            F.coalesce((F.col("cont") >= 0.9).cast("int"), F.lit(0)).alias("v_cont"),
+            F.coalesce("v_exact", F.lit(0)).alias("v_exact"),
+        )
+    )
+    return votes.select(
+        "d1", "d2", "v_exact", "v_jac", "v_cont",
+        (F.col("v_exact") + F.col("v_jac") + F.col("v_cont")).alias("n_votes"),
+    ).filter(F.col("n_votes") >= ENSEMBLE_MIN_VOTES)
+
+
 QUERIES = {
+    "dedup_ensemble_vote": q_dedup_ensemble_vote,
     "text_collocations_pmi": q_text_collocations_pmi,
     "embedding_quantize": q_embedding_quantize,
     "text_readability": q_text_readability,
@@ -695,6 +766,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_ensemble_vote": (
+        f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "scored AS (SELECT d1, d2, "
+        "CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac, "
+        "CAST(i AS DOUBLE) / least(na.n, nb.n) AS cont "
+        "FROM inter JOIN cnt na ON d1 = na.doc_id JOIN cnt nb ON d2 = nb.doc_id), "
+        "hashed AS (SELECT doc_id, md5(text) AS h FROM documents), "
+        "exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2, 1 AS v_exact "
+        "FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id), "
+        "votes AS (SELECT coalesce(s.d1, e.d1) AS d1, coalesce(s.d2, e.d2) AS d2, "
+        "coalesce(e.v_exact, 0) AS v_exact, "
+        f"CASE WHEN s.jac >= {0.5} THEN 1 ELSE 0 END AS v_jac, "
+        "CASE WHEN s.cont >= 0.9 THEN 1 ELSE 0 END AS v_cont "
+        "FROM scored s FULL OUTER JOIN exact e ON s.d1 = e.d1 AND s.d2 = e.d2) "
+        "SELECT d1, d2, v_exact, v_jac, v_cont, "
+        "v_exact + v_jac + v_cont AS n_votes FROM votes "
+        f"WHERE v_exact + v_jac + v_cont >= {2}"
+    ),
     "text_collocations_pmi": (
         "WITH tokp AS (SELECT doc_id, "
         "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "

@@ -307,7 +307,10 @@ def q_window_running_distinct(spark, sf_dir):
     one extra rank, no joins, no quadratic re-scan of history."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # partkey last: (shipdate, orderkey, linenumber) is unique in the
+    # fixtures, but a total order must not depend on that staying true
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+             F.col("l_partkey")]
     w_first = Window.partitionBy("l_suppkey", "l_partkey").orderBy(*order)
     w_run = (
         Window.partitionBy("l_suppkey")
@@ -319,6 +322,7 @@ def q_window_running_distinct(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_shipdate",
+        "l_partkey",
         (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
     )
     return flagged.select(
@@ -419,13 +423,13 @@ ORACLES = {
         "len(regexp_extract_all(seq, 'vc+p')) AS n_assisted FROM s"
     ),
     "window_running_distinct": (
-        "WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, "
+        "WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_partkey, "
         "CASE WHEN row_number() OVER (PARTITION BY l_suppkey, l_partkey "
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1 THEN 1 ELSE 0 END "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) = 1 THEN 1 ELSE 0 END "
         "AS first_seen FROM lineitem) "
         "SELECT l_suppkey, l_orderkey, l_linenumber, "
         "CAST(sum(first_seen) OVER (PARTITION BY l_suppkey "
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS n_distinct_parts FROM f"
     ),

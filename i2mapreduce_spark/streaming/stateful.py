@@ -95,3 +95,89 @@ try:  # Spark 4 StatefulProcessor API (needs protobuf at stream runtime)
 
 except ImportError:  # pragma: no cover - older builds
     RunningTotalsProcessor = None
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization with EVENT-TIME TIMEOUT — the state-eviction
+# half of A11 that running_totals (NoTimeout) does not exercise: open sessions
+# are held in keyed state and CLOSED BY THE WATERMARK when no event arrives
+# within the gap, exactly how a production sessionizer bounds its state.
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize(key, pdf_iter, state: GroupState):
+    """Full sessionization inside keyed state: in-batch rows are split on
+    the 30-min gap (sessions wholly inside a batch emit immediately); the
+    open tail waits in state with an event-time timer = last event + gap,
+    so the watermark — not a row — closes idle sessions and REMOVES their
+    state (bounded memory, the A11 eviction contract)."""
+    uid = key[0]
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [uid], "start_us": [start_us], "end_us": [last_us], "n": [n]}
+        )
+        return
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values("us")
+    cur = state.get if state.exists else None  # (start, last, n)
+    closed = []
+    for us in rows["us"]:
+        us = int(us)
+        if cur is None:
+            cur = (us, us, 1)
+        elif us - cur[1] > SESSION_GAP_MS * 1000:
+            closed.append(cur)
+            cur = (us, us, 1)
+        else:
+            cur = (cur[0], us, cur[2] + 1)
+    state.update(cur)
+    # event-time timer: fire when watermark passes last-event + gap (ms)
+    state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_MS)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "start_us": [c[0] for c in closed],
+                "end_us": [c[1] for c in closed],
+                "n": [c[2] for c in closed],
+            }
+        )
+
+
+def session_timeout_transform(stream: DataFrame) -> DataFrame:
+    """Wire the timeout sessionizer: needs an event-time watermark for
+    EventTimeTimeout; emits one row per CLOSED session (append mode)."""
+    from pyspark.sql import functions as F
+
+    with_wm = (
+        stream.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "10 minutes")
+        .withColumn("us", F.unix_micros("ts_tz"))
+        .select("user_id", "ts_tz", "us")
+    )
+    return with_wm.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -318,3 +318,53 @@ def test_checkpoint_restart_preserves_state(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_timeout_evicts_state_and_matches_batch(spark, sf_dir):
+    """applyInPandasWithState with EventTimeTimeout: idle sessions are
+    closed BY THE WATERMARK (state removed), and every closed session
+    must exactly match a session from the batch gaps-and-islands
+    computation with the same 30-min gap (SURVEY A11 state eviction)."""
+    from i2mapreduce_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        session_timeout_transform,
+    )
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    chunks = [
+        c.select("user_id", "ts") for c in chunk_events(spark, ev, n=3)
+    ]
+    streamed = stream_over_chunks(
+        spark, chunks, session_timeout_transform, "append", "session_timeout_sink"
+    )
+    from pyspark.sql.window import Window
+
+    closed = {
+        (r.user_id, r.start_us, r.end_us, r.n) for r in streamed.collect()
+    }
+    assert len(closed) > 0, "watermark never closed any session"
+    # batch truth: gaps-and-islands sessions over the full event stream
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (
+        ev.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .withColumn("new_s", (gap.isNull() | (gap > SESSION_GAP_MS * 1000)).cast("int"))
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    batch = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"), F.count("*").alias("n"))
+        .collect()
+    }
+    # every stream-closed session is exactly a batch session (the open
+    # tails the watermark never passed are the only ones missing)
+    assert closed <= batch
+    missing = batch - closed
+    # at most one unclosed (tail) session per user
+    from collections import Counter
+
+    per_user = Counter(u for u, *_ in missing)
+    assert all(v <= 1 for v in per_user.values())
