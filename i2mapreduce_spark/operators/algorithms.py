@@ -306,7 +306,8 @@ def gimv(
         edges.unpersist()
 
 
-def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
+def connected_components(edges: DataFrame, iters: int = 16,
+                         init_labels: DataFrame | None = None) -> DataFrame:
     """Min-label CC over symmetric edges with pointer-doubling: each round
     (1) propagates min neighbor labels (GIM-V combine2 = neighbor label,
     combineAll = min, assign = least), then (2) shortcuts label <-
@@ -318,8 +319,29 @@ def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
 
     100TB: both joins are on the label/node key; the changed-label count
     is the reference's global fixpoint barrier (one cheap action/round).
+
+    `init_labels` (node, label) warm-starts from a prior run's labels —
+    the A13 incremental restart, valid under EDGE ADDITIONS ONLY (min
+    labels are monotone decreasing as components merge; deletions can
+    split components, which would need a recompute of the affected
+    labels, not a warm start).  Nodes absent from init_labels seed with
+    their own id.  `connected_components.last_iters_run` records the
+    rounds the call actually used.
     """
     labels = _nodes(edges).withColumn("val", F.col("node"))
+    if init_labels is not None:
+        old = init_labels.select(
+            "node", F.col("label").alias("old_label")
+        )
+        labels = (
+            labels.join(old, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("node"), F.coalesce("old_label", F.col("node"))
+                ).alias("val"),
+            )
+        )
     edges = edges.cache()
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -369,6 +391,7 @@ def connected_components(edges: DataFrame, iters: int = 16) -> DataFrame:
         res = iterate(labels, step, iters, delta_fn=changed, tol=0.5)
     finally:
         edges.unpersist()
+    connected_components.last_iters_run = res.iterations
     return res.state.select("node", F.col("val").alias("label"))
 
 

@@ -204,3 +204,38 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
     return df.select(id_col, "payload").mapInPandas(
         sample, schema=f"{id_col} long, frame_off int, frame binary"
     )
+
+
+AUDIO_FRAME = 64         # samples per analysis frame
+AUDIO_MAX_FRAMES = 4     # analyze the first N complete frames
+
+
+def audio_frame_energy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-analysis stage shape: payload -> PCM samples (stubbed
+    decode: raw bytes as uint8 amplitudes) -> framewise RMS energy over
+    the first 4 complete 64-sample frames, via Arrow-batched mapInPandas
+    exploding 1 payload row into <=4 frame rows.
+
+    RMS divides an exact integer sum-of-squares by the fixed frame size
+    before one sqrt + 6 dp round, so the value is engine-reproducible.
+    The real-decoder swap point is decode_stub, same as every other
+    multimodal kernel here."""
+    def energies(batches):
+        for pdf in batches:
+            ids, fidx, rms = [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                arr = decode_stub(bytes(payload), meta["modality"], fake=True)
+                n_frames = min(AUDIO_MAX_FRAMES, len(arr) // AUDIO_FRAME)
+                for f in range(n_frames):
+                    frame = arr[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME]
+                    e = float(np.sqrt(np.sum(frame * frame) / AUDIO_FRAME))
+                    ids.append(did)
+                    fidx.append(f)
+                    rms.append(_round_half_away(e, 6))
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "rms": rms})
+
+    return df.mapInPandas(
+        energies, schema=f"{id_col} long, frame_idx int, rms double"
+    )

@@ -727,7 +727,40 @@ def q_dedup_ensemble_vote(spark, sf_dir):
     ).filter(F.col("n_votes") >= ENSEMBLE_MIN_VOTES)
 
 
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Audio framewise RMS energy (stubbed decoder, real Arrow 1->N
+    frame-explode stage): first 4 complete 64-sample frames per payload.
+    Hash-checked — the oracle reconstructs the frames byte-by-byte in
+    SQL from the same synthetic payload."""
+    load_tables(spark, sf_dir)
+    wrapped = multimodal.attach_binary_payload(spark.table("documents"))
+    return multimodal.audio_frame_energy(wrapped)
+
+
+def q_text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus word-frequency distribution: OLS of
+    log2(count) on log2(rank) (rank by count desc, word asc).  A natural
+    corpus gives slope ≈ -1; templated/synthetic text departs — a cheap
+    corpus-health fingerprint.  Single-pass: one wordcount, one rank
+    window over the (small) vocabulary, one regr_* aggregate."""
+    load_tables(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rk = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = wc.withColumn("r", F.row_number().over(rk))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        (F.round(F.regr_slope(F.log2("c"), F.log2("r")), 4) + F.lit(0.0)).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log2("c"), F.log2("r")), 4).alias("r2"),
+    )
+
+
 QUERIES = {
+    "multimodal_audio_energy": q_multimodal_audio_energy,
+    "text_zipf_fit": q_text_zipf_fit,
     "dedup_ensemble_vote": q_dedup_ensemble_vote,
     "text_collocations_pmi": q_text_collocations_pmi,
     "embedding_quantize": q_embedding_quantize,
@@ -766,6 +799,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_zipf_fit": (
+        "WITH tok2 AS (SELECT "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+        "FROM documents), "
+        "wc AS (SELECT w, count(*) AS c FROM tok2 GROUP BY w), "
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc) "
+        "SELECT count(*) AS n_words, "
+        "round(regr_slope(log2(c), log2(r)), 4) + 0.0 AS zipf_slope, "
+        "round(regr_r2(log2(c), log2(r)), 4) AS r2 FROM rk"
+    ),
+    "multimodal_audio_energy": (
+        "WITH bytes AS (SELECT doc_id, t.i - 1 AS pos, "
+        "ord(substr(text, t.i, 1)) AS b FROM documents, "
+        "LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t), "
+        "framed AS (SELECT doc_id, CAST(pos // 64 AS INT) AS frame_idx, "
+        "b FROM bytes WHERE pos < 4 * 64), "
+        "full_frames AS (SELECT doc_id, frame_idx, sum(b * b) AS ss, "
+        "count(*) AS n FROM framed GROUP BY 1, 2 HAVING count(*) = 64) "
+        "SELECT doc_id, frame_idx, round(sqrt(ss / 64.0), 6) AS rms "
+        "FROM full_frames"
+    ),
     "dedup_ensemble_vote": (
         f"WITH {_TOK_CTE}, {_SHINGLE_CTE}, "
         "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "

@@ -192,3 +192,31 @@ def test_sssp_distances_are_bfs(spark, sf_dir, edges_pp):
                     nxt.append(v)
         frontier = nxt
     assert got == dist
+
+
+def test_cc_warmstart_converges_faster(spark, sf_dir):
+    """A13 on a third example app: connected components warm-started
+    from the pre-delta labeling after EDGE ADDITIONS re-converges in
+    fewer rounds than from scratch, with the identical final labeling
+    (min labels only decrease as components merge, so old labels are a
+    valid starting point)."""
+    load_tables(spark, sf_dir)
+    full = spark.table("edges_pp").localCheckpoint(eager=True)
+    # base graph: drop a symmetric slice of edges (the delta adds them back)
+    base = full.filter((F.col("src") + F.col("dst")) % 5 != 0)
+    assert base.count() < full.count()
+
+    cold_base = algorithms.connected_components(base, iters=16)
+    cold_base = cold_base.localCheckpoint(eager=True)
+
+    warm = algorithms.connected_components(full, iters=16, init_labels=cold_base)
+    warm_iters = algorithms.connected_components.last_iters_run
+    warm = warm.localCheckpoint(eager=True)
+
+    cold_full = algorithms.connected_components(full, iters=16)
+    cold_iters = algorithms.connected_components.last_iters_run
+
+    got = {(r.node, r.label) for r in warm.collect()}
+    want = {(r.node, r.label) for r in cold_full.collect()}
+    assert got == want, "warm start changed the final labeling"
+    assert warm_iters <= cold_iters, f"warm {warm_iters} vs cold {cold_iters}"
