@@ -649,11 +649,59 @@ def q_join_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_join_point_in_time(spark, sf_dir):
+    """Point-in-time (SCD2-style) dimension join — the data-warehouse
+    temporal lookup: each customer's order stream defines a changing
+    attribute history (order priority, valid from its order date until
+    the next order), and every lineitem shipment is enriched with the
+    priority THAT WAS CURRENT at its ship date.  No interval table is
+    materialized: dim rows and fact rows interleave in ONE per-customer
+    window pass (dims sort before facts at equal timestamps; ties among
+    same-day orders break to the highest orderkey), the same
+    union+window shape as join_asof — one shuffle, no range join.
+    Output: shipments per matched priority."""
+    load_tables(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    dim = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("prio"),
+        F.lit(0).alias("is_fact"),
+        F.lit(0.0).alias("qty"),
+    )
+    fact = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_shipdate").alias("t"),
+            F.col("l_orderkey").alias("ok"),
+            F.lit(None).cast("string").alias("prio"),
+            F.lit(1).alias("is_fact"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    u = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("ck")
+        .orderBy("t", "is_fact", "ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn(
+        "cur_prio", F.last("prio", ignorenulls=True).over(w)
+    ).filter(F.col("is_fact") == 1)
+    return matched.groupBy(F.col("cur_prio").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+    )
+
+
 QUERIES = {
     "join_prefilter_bitmap": q_join_prefilter_bitmap,
     "join_geo_radius": q_join_geo_radius,
     "join_spatial_knn": q_join_spatial_knn,
     "join_asof_tolerance": q_join_asof_tolerance,
+    "join_point_in_time": q_join_point_in_time,
     "join_interval_overlap": q_join_interval_overlap,
     "join_broadcast": q_join_broadcast,
     "join_skew_salted": q_join_skew_salted,
@@ -698,6 +746,20 @@ ORACLES = {
         "cos(radians(a.lat)) * cos(radians(b.lat)) * "
         "sin(radians(b.lon - a.lon) / 2) ^ 2)) <= "
         f"{GEO_RADIUS_KM}"
+    ),
+    "join_point_in_time": (
+        "WITH u AS ("
+        "SELECT o_custkey AS ck, o_orderdate AS t, o_orderkey AS ok, "
+        "o_orderpriority AS prio, 0 AS is_fact, 0.0 AS qty FROM orders "
+        "UNION ALL "
+        "SELECT o_custkey, l_shipdate, l_orderkey, NULL, 1, l_quantity "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "m AS (SELECT *, last_value(prio IGNORE NULLS) OVER "
+        "(PARTITION BY ck ORDER BY t, is_fact, ok "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_prio FROM u) "
+        "SELECT cur_prio AS priority, count(*) AS n_shipments, "
+        "round(sum(qty), 2) AS sum_qty FROM m WHERE is_fact = 1 "
+        "GROUP BY cur_prio"
     ),
     "join_asof_tolerance": (
         "WITH u AS ("

@@ -388,7 +388,56 @@ def q_window_period_over_period(spark, sf_dir):
     )
 
 
+def q_window_drawdown(spark, sf_dir):
+    """Maximum drawdown per customer — the running-peak analytic from
+    quantitative finance applied to cumulative spend netted by return
+    flag (returns subtract): cum_t = Σ value, peak_t = max(cum) so far,
+    drawdown_t = peak_t - cum_t; the output is each customer's worst
+    drawdown and final position.  Two stacked running windows over one
+    per-customer sort — no self-join.
+
+    Values are exact 2-dp currency accumulated via DECIMAL, so the hash
+    check carries no float-order risk."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").join(
+        spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    signed = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_extendedprice")
+    ).otherwise(F.col("l_extendedprice")).cast("decimal(18,2)")
+    # (orderkey, linenumber) is NOT unique in the fixtures — partkey +
+    # suppkey complete the total order (verified 0 duplicates)
+    ev = li.select(
+        "o_custkey",
+        "o_orderdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        signed.alias("delta"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber",
+                 "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # peak-so-far must ride the same TIME ordering as the running sum,
+    # so the running max nests over the running sum in one window pass
+    cum = F.sum("delta").over(w)
+    dd = ev.select(
+        "o_custkey",
+        cum.alias("cum"),
+        (F.max(cum).over(w) - cum).alias("dd"),
+    )
+    return dd.groupBy("o_custkey").agg(
+        F.max("dd").cast("double").alias("max_drawdown"),
+        F.max("cum").cast("double").alias("peak"),
+    )
+
+
 QUERIES = {
+    "window_drawdown": q_window_drawdown,
     "window_period_over_period": q_window_period_over_period,
     "window_pattern_regex": q_window_pattern_regex,
     "window_running_distinct": q_window_running_distinct,
@@ -406,6 +455,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_drawdown": (
+        "WITH ev AS (SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber, "
+        "l_partkey, l_suppkey, "
+        "CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice "
+        "ELSE l_extendedprice END AS DECIMAL(18,2)) AS delta "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "c AS (SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        "sum(delta) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, l_orderkey, l_linenumber, l_partkey, l_suppkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ev), "
+        "r AS (SELECT o_custkey, cum, "
+        "max(cum) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, l_orderkey, l_linenumber, l_partkey, l_suppkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c) "
+        "SELECT o_custkey, CAST(max(peak - cum) AS DOUBLE) AS max_drawdown, "
+        "CAST(max(cum) AS DOUBLE) AS peak FROM r GROUP BY o_custkey"
+    ),
     "window_period_over_period": (
         "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
         "sum(o_totalprice) AS rev FROM orders GROUP BY 1) "

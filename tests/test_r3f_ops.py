@@ -45,3 +45,30 @@ def test_symmetric_diff_is_set_xor(spark, sf_dir):
     }
     want = {(k, "customer_only") for k in a - b} | {(k, "supplier_only") for k in b - a}
     assert got == want
+
+
+def test_drawdown_nonnegative_and_bounded(spark, sf_dir):
+    from i2mapreduce_spark.queries.windows_q import q_window_drawdown
+
+    pdf = q_window_drawdown(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.max_drawdown >= 0).all()
+    # at least one customer with returns ('R') has a real drawdown
+    assert (pdf.max_drawdown > 0).any()
+
+
+def test_point_in_time_totals_conserved(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.joins import q_join_point_in_time
+
+    pdf = q_join_point_in_time(spark, sf_dir).toPandas()
+    li = spark.table("lineitem")
+    assert pdf.n_shipments.sum() == li.count()
+    assert abs(pdf.sum_qty.sum() - li.agg(F.sum("l_quantity")).collect()[0][0]) < 1.0
+    # every matched priority is a real priority value (or None for
+    # shipments predating any order — impossible here since every line
+    # belongs to an order placed on or before its ship date)
+    prios = {r.o_orderpriority for r in
+             spark.table("orders").select("o_orderpriority").distinct().collect()}
+    assert set(pdf.priority.dropna()) <= prios
