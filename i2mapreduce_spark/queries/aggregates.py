@@ -478,7 +478,24 @@ def q_agg_gini(spark, sf_dir):
     )
 
 
+def q_agg_freq_items(spark, sf_dir):
+    """DataFrame.stat.freqItems — Spark's native Karp-Papadimitriou-
+    Shenker frequent-elements sketch (single pass, constant memory):
+    candidate items with frequency above 5% in returnflag and
+    orderstatus-by-priority columns.  Sketch output is a SUPERSET of the
+    true frequent items (rows-only by design); the no-false-negative
+    guarantee is asserted against exact counts in tests."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    fi = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.05)
+    return fi.select(
+        F.array_sort("l_returnflag_freqItems").alias("flag_candidates"),
+        F.array_sort("l_linestatus_freqItems").alias("status_candidates"),
+    )
+
+
 QUERIES = {
+    "agg_freq_items": q_agg_freq_items,
     "agg_gini": q_agg_gini,
     "agg_approx_percentile": q_agg_approx_percentile,
     "agg_linreg": q_agg_linreg,

@@ -649,6 +649,29 @@ def q_join_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_join_mark_exists(spark, sf_dir):
+    """Mark join (EXISTS as a column, not a filter): every customer row
+    survives, annotated with whether they have any high-value order and
+    any failed order — the shape SQL planners call a left-mark join,
+    which semi/anti joins cannot express because NON-matching rows are
+    kept too.  Expressed as EXISTS subqueries in the SELECT list so
+    Catalyst plans the dedicated ExistenceJoin.
+
+    100TB: one shuffle per mark on the join key, each a semi-join-like
+    probe — never a row-multiplying outer join + distinct."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000) AS has_big_order,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'F') AS has_failed
+        FROM customer c
+        """
+    )
+
+
 def q_join_point_in_time(spark, sf_dir):
     """Point-in-time (SCD2-style) dimension join — the data-warehouse
     temporal lookup: each customer's order stream defines a changing
@@ -702,6 +725,7 @@ QUERIES = {
     "join_spatial_knn": q_join_spatial_knn,
     "join_asof_tolerance": q_join_asof_tolerance,
     "join_point_in_time": q_join_point_in_time,
+    "join_mark_exists": q_join_mark_exists,
     "join_interval_overlap": q_join_interval_overlap,
     "join_broadcast": q_join_broadcast,
     "join_skew_salted": q_join_skew_salted,
@@ -746,6 +770,14 @@ ORACLES = {
         "cos(radians(a.lat)) * cos(radians(b.lat)) * "
         "sin(radians(b.lon - a.lon) / 2) ^ 2)) <= "
         f"{GEO_RADIUS_KM}"
+    ),
+    "join_mark_exists": (
+        "SELECT c_custkey, c_mktsegment, "
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) AS has_big_order, "
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderstatus = 'F') AS has_failed "
+        "FROM customer c"
     ),
     "join_point_in_time": (
         "WITH u AS ("

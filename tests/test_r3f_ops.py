@@ -72,3 +72,43 @@ def test_point_in_time_totals_conserved(spark, sf_dir):
     prios = {r.o_orderpriority for r in
              spark.table("orders").select("o_orderpriority").distinct().collect()}
     assert set(pdf.priority.dropna()) <= prios
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    """freqItems must return a SUPERSET of the truly >5%-frequent values
+    (KPS sketch guarantee)."""
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.aggregates import q_agg_freq_items
+
+    row = q_agg_freq_items(spark, sf_dir).collect()[0]
+    li = spark.table("lineitem")
+    n = li.count()
+    for col, cands in (
+        ("l_returnflag", set(row.flag_candidates)),
+        ("l_linestatus", set(row.status_candidates)),
+    ):
+        truth = {
+            r[col]
+            for r in li.groupBy(col).count().collect()
+            if r["count"] > 0.05 * n
+        }
+        assert truth <= cands
+
+
+def test_mark_join_flags_match_semi_joins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.joins import q_join_mark_exists
+
+    pdf = q_join_mark_exists(spark, sf_dir).toPandas()
+    c, o = spark.table("customer"), spark.table("orders")
+    assert len(pdf) == c.count()          # mark join never drops rows
+    big = {
+        r.c_custkey
+        for r in c.join(
+            o.filter(F.col("o_totalprice") > 300000),
+            F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        ).collect()
+    }
+    assert set(pdf[pdf.has_big_order].c_custkey) == big
