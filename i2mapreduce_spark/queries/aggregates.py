@@ -494,7 +494,33 @@ def q_agg_freq_items(spark, sf_dir):
     )
 
 
+def q_agg_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (decile edges) of order totals per status —
+    the optimizer-statistics histogram form where each bucket holds the
+    same row count, vs agg_histogram_bins' equi-width buckets.  One
+    exact percentile aggregate returning the full edge array, exploded
+    to (status, decile, edge) rows; Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear interpolation, so the edges hash-match
+    at 2 dp."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(str(x) for x in qs)}))"
+        ).alias("edges")
+    )
+    return edges.select(
+        "o_orderstatus", F.posexplode("edges").alias("i", "edge")
+    ).select(
+        "o_orderstatus",
+        (F.col("i") + 1).alias("decile"),
+        F.round("edge", 2).alias("edge"),
+    )
+
+
 QUERIES = {
+    "agg_equidepth_histogram": q_agg_equidepth_histogram,
     "agg_freq_items": q_agg_freq_items,
     "agg_gini": q_agg_gini,
     "agg_approx_percentile": q_agg_approx_percentile,
@@ -525,6 +551,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_equidepth_histogram": (
+        "WITH e AS (SELECT o_orderstatus, "
+        "quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) "
+        "AS edges FROM orders GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, t.i AS decile, "
+        "round(edges[t.i], 2) AS edge FROM e, "
+        "LATERAL (SELECT unnest(range(1, 10)) AS i) t"
+    ),
     "agg_gini": (
         "WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS x FROM orders "
         "GROUP BY o_custkey), "

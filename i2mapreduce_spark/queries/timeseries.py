@@ -176,7 +176,36 @@ def q_window_robust_zscore(spark, sf_dir):
     )
 
 
+def q_ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user — the IoT/finance aggregate where
+    each reading holds until the next one: TWA = Σ value_i·Δt_i / Σ Δt_i
+    with Δt_i the micros until the user's next event (last reading
+    carries no weight).  A plain avg() over-weights burst periods; the
+    TWA is invariant to sampling cadence.
+
+    Plan: one lead() over the per-user sort, then one aggregate —
+    weights are exact integer microseconds, and value·Δt sums are
+    rounded only at the final division (6 dp)."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dt = (F.lead("us").over(w) - F.col("us")).alias("dt")
+    seg = ev.select("user_id", "value", dt).filter(F.col("dt").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+        ).alias("twa"),
+    )
+
+
 QUERIES = {
+    "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "window_robust_zscore": q_window_robust_zscore,
     "window_anomaly_zscore": q_window_anomaly_zscore,
     "window_moving_median": q_window_moving_median,
@@ -184,6 +213,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_time_weighted_avg": (
+        "WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us "
+        "FROM events), "
+        "seg AS (SELECT user_id, value, "
+        "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt "
+        "FROM e) "
+        "SELECT user_id, count(*) AS n_segments, "
+        "round(sum(value * dt) / sum(dt), 6) AS twa "
+        "FROM seg WHERE dt IS NOT NULL GROUP BY user_id"
+    ),
     "window_robust_zscore": (
         "WITH med AS (SELECT user_id, median(value) AS med FROM events "
         "GROUP BY user_id), "

@@ -157,3 +157,55 @@ def test_benford_digits_complete_and_chi2_nonneg(spark, sf_dir):
     n = pdf.n_obs.sum()
     assert abs(pdf.n_expected.sum() - n) < 1          # Benford probs sum to 1
     assert (pdf.chi2_term >= 0).all()
+
+
+def test_twa_constant_signal_equals_value(spark):
+    """TWA of a constant signal equals the constant regardless of
+    sampling cadence; a half-half step signal weighted by duration."""
+    import datetime
+
+    from pyspark.sql import Window, functions as F
+
+    # user 1: constant 5.0 sampled irregularly; user 2: 0 for 10 min
+    # then 10 for 30 min (plus a final zero-weight reading)
+    rows = [(1, i, datetime.datetime(2024, 1, 1, 0, m), 5.0)
+            for i, m in enumerate([0, 1, 5, 17, 59])]
+    rows += [(2, 10, datetime.datetime(2024, 1, 1, 0, 0), 0.0),
+             (2, 11, datetime.datetime(2024, 1, 1, 0, 10), 10.0),
+             (2, 12, datetime.datetime(2024, 1, 1, 0, 40), 99.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    ev = df.select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id", "value", (F.lead("us").over(w) - F.col("us")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    twa = {
+        r.user_id: r.t
+        for r in seg.groupBy("user_id")
+        .agg((F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).alias("t"))
+        .collect()
+    }
+    assert twa[1] == 5.0
+    assert abs(twa[2] - (0.0 * 10 + 10.0 * 30) / 40) < 1e-9
+
+
+def test_equidepth_edges_monotone_and_split_evenly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.aggregates import q_agg_equidepth_histogram
+
+    pdf = q_agg_equidepth_histogram(spark, sf_dir).toPandas()
+    o = spark.table("orders").toPandas()
+    for status, grp in pdf.groupby("o_orderstatus"):
+        edges = grp.sort_values("decile").edge.tolist()
+        assert edges == sorted(edges)
+        vals = o[o.o_orderstatus == status].o_totalprice
+        # the median edge splits the group roughly in half
+        med = edges[4]
+        frac = (vals <= med).mean()
+        assert 0.4 < frac < 0.6
