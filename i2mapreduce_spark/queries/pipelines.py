@@ -218,7 +218,57 @@ def q_pipeline_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pipeline_dataset_card(spark, sf_dir):
+    """Dataset-card statistics — the one-row summary a corpus release
+    publishes: document/token/vocabulary counts, language-distribution
+    entropy (bits), exact-duplicate rate, and mean document length.
+    One fused DAG over a single explode of the corpus plus two cheap
+    per-document aggregates; every number is exact, so the row
+    hash-checks.
+
+    Plan: token stats ride one explode; the dup rate is a count of
+    distinct md5s (16-byte keys shuffle, never bodies); the language
+    entropy is arithmetic over a 5-row aggregate."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("vocab_size"),
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.round(F.avg(F.length("text")), 2).alias("mean_chars"),
+    )
+    lang_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy()
+    p = F.col("c") / F.sum("c").over(tot)
+    lang_entropy = (
+        lang_n.select((-p * F.log2(p)).alias("t"))
+        .agg(F.round(F.sum("t"), 6).alias("lang_entropy_bits"))
+    )
+    return (
+        doc_stats.crossJoin(tok_stats)
+        .crossJoin(lang_entropy)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(
+                1 - F.col("n_unique_texts") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            "mean_chars",
+            "lang_entropy_bits",
+        )
+    )
+
+
 QUERIES = {
+    "pipeline_dataset_card": q_pipeline_dataset_card,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_decontaminate": q_pipeline_decontaminate,
     "pipeline_split_leakage_safe": q_pipeline_split_leakage_safe,
@@ -227,6 +277,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_dataset_card": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+        "FROM documents), "
+        "ts AS (SELECT count(*) AS n_tokens, count(DISTINCT w) AS vocab_size FROM tok), "
+        "ds AS (SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS nu, "
+        "round(avg(length(text)), 2) AS mean_chars FROM documents), "
+        "ln AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), "
+        "le AS (SELECT round(sum(-(CAST(c AS DOUBLE) / t) * log2(CAST(c AS DOUBLE) / t)), 6) "
+        "AS lang_entropy_bits FROM ln, (SELECT sum(c) AS t FROM ln)) "
+        "SELECT n_docs, n_tokens, vocab_size, "
+        "round(1 - CAST(nu AS DOUBLE) / n_docs, 6) AS exact_dup_rate, "
+        "mean_chars, lang_entropy_bits FROM ds, ts, le"
+    ),
     "pipeline_pack_sequences": (
         "WITH t AS (SELECT source, doc_id, "
         "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "

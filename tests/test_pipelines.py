@@ -77,3 +77,20 @@ def test_repetition_ratio_handmade(spark):
     got = {r.doc_id: (r.top_c, r.n) for r in top.collect()}
     assert got[1] == (4, 4)
     assert got[2] == (1, 4)
+
+
+def test_dataset_card_internally_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from i2mapreduce_spark.queries.pipelines import q_pipeline_dataset_card
+
+    row = q_pipeline_dataset_card(spark, sf_dir).collect()[0]
+    d = spark.table("documents")
+    assert row.n_docs == d.count()
+    assert 0 <= row.exact_dup_rate < 1
+    assert row.vocab_size <= row.n_tokens
+    # entropy of a k-language distribution is bounded by log2(k)
+    k = d.select("lang").distinct().count()
+    import math
+
+    assert 0 <= row.lang_entropy_bits <= math.log2(k) + 1e-9
