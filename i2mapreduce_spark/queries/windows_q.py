@@ -436,7 +436,54 @@ def q_window_drawdown(spark, sf_dir):
     )
 
 
+def q_window_top_paths(spark, sf_dir):
+    """Top-10 session paths — the flows-analysis report: sessionize each
+    user's events (30-min gap, the gaps-and-islands machinery), fold each
+    session to its ordered event-type-initial string, and rank the most
+    common paths corpus-wide (count desc, path asc for a total order).
+
+    Plan: one per-user window pass for session ids, one sort_array-
+    collect fold per session (bounded by session length), one hash agg
+    over path strings, TakeOrdered for the top-10."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) >= GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = brk.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("us", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "window_top_paths": q_window_top_paths,
     "window_drawdown": q_window_drawdown,
     "window_period_over_period": q_window_period_over_period,
     "window_pattern_regex": q_window_pattern_regex,
@@ -455,6 +502,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_top_paths": (
+        "WITH e AS (SELECT user_id, event_id, event_type, "
+        "epoch_us(ts) AS us FROM events), "
+        "b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL "
+        "OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b), "
+        "p AS (SELECT user_id, sid, "
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY us, event_id) AS path "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT path, count(*) AS n_sessions FROM p GROUP BY path "
+        "ORDER BY n_sessions DESC, path LIMIT 10"
+    ),
     "window_drawdown": (
         "WITH ev AS (SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber, "
         "l_partkey, l_suppkey, "
