@@ -788,3 +788,48 @@ ORACLES["iter_markov_walk"] = (
       FROM walk w WHERE w.step < {WALK_STEPS})
     SELECT step, node FROM walk"""
 ).replace("WITH edges_pp", "WITH RECURSIVE edges_pp")
+
+
+def q_iter_sssp_parents(spark, sf_dir):
+    """SSSP with PATH RECONSTRUCTION: min-distance from the smallest
+    part node (hop-limited BFS, as iter_sssp) plus a deterministic
+    shortest-path tree — each reached node's parent is the SMALLEST
+    predecessor lying exactly one hop closer.  Distances come from the
+    same iterative fold; the parent assignment is ONE post-hoc join
+    against the converged distance table (not threaded through the
+    loop), so its tie-break is declarative and engine-portable.
+
+    100TB: the parent join is edges ⋈ dist twice on the node key — the
+    same co-partitioned shape as one BFS hop; no extra iteration."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    dist = algorithms.sssp(edges, source, max_hops=SSSP_MAX_HOPS)
+    d_src = dist.select(F.col("node").alias("src"), F.col("dist").alias("sd"))
+    d_dst = dist.select(F.col("node").alias("dst"), F.col("dist").alias("dd"))
+    parents = (
+        edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .filter(F.col("sd") == F.col("dd") - 1)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("parent"))
+    )
+    return dist.join(parents, "node", "left").select(
+        "node", "dist", "parent"
+    )
+
+
+QUERIES["iter_sssp_parents"] = q_iter_sssp_parents
+ORACLES["iter_sssp_parents"] = (
+    cte("edges_pp").replace("WITH", "WITH RECURSIVE")
+    + f""", walk(node, dist) AS (
+      SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.dist + 1 FROM walk w
+      JOIN edges_pp e ON e.src = w.node WHERE w.dist < {SSSP_MAX_HOPS}),
+    d AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node),
+    p AS (SELECT e.dst AS node, min(e.src) AS parent
+      FROM edges_pp e JOIN d s ON e.src = s.node JOIN d t ON e.dst = t.node
+      WHERE s.dist = t.dist - 1 GROUP BY e.dst)
+    SELECT d.node, d.dist, p.parent FROM d LEFT JOIN p ON d.node = p.node"""
+)

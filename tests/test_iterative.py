@@ -220,3 +220,26 @@ def test_cc_warmstart_converges_faster(spark, sf_dir):
     want = {(r.node, r.label) for r in cold_full.collect()}
     assert got == want, "warm start changed the final labeling"
     assert warm_iters <= cold_iters, f"warm {warm_iters} vs cold {cold_iters}"
+
+
+def test_sssp_parents_form_valid_tree(spark, sf_dir):
+    """Parent pointers must form a shortest-path tree: every non-source
+    reached node has a parent one hop closer, and following parents
+    reaches the source in exactly `dist` steps."""
+    from i2mapreduce_spark.queries.iterative import q_iter_sssp_parents
+
+    rows = {r.node: (r.dist, r.parent) for r in
+            q_iter_sssp_parents(spark, sf_dir).collect()}
+    [src] = [n for n, (d, _) in rows.items() if d == 0]
+    assert rows[src][1] is None
+    for n, (d, p) in rows.items():
+        if n == src:
+            continue
+        assert p is not None and rows[p][0] == d - 1
+        # walk to source
+        steps, cur = 0, n
+        while cur != src:
+            cur = rows[cur][1]
+            steps += 1
+            assert steps <= d
+        assert steps == d
