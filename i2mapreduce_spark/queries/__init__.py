@@ -30,72 +30,97 @@ _GROUP_MODULES = [
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
-# (r1/r2 each produced exactly-50-key CORRECTNESS files cut at the 50th
-# key in registry order).  Rounds 1+2 covered 98 distinct keys; the list
-# below puts the keys still lacking a driver row into round 3's window,
-# cheapest-first (measured sf0.01 warm-session harness cost), led by the
-# two that need re-grading: fn_trig (r2 hash-fail, now fixed) and
-# sink_parquet_roundtrip (r1 predates its oracle).  The six most
-# expensive ungraded keys are deferred to round 4 so they cannot crowd
-# out cheap ones under any per-round time budget.
-_R3_WINDOW = [
-    "fn_trig",                  # re-grade: -0.0 fix
-    "sink_parquet_roundtrip",   # re-grade: oracle added in r2
-    "text_token_count",
-    "text_ttr",
-    "sample_stratified",
-    "text_quality_score",
-    "stream_sliding_window",
-    "text_token_histogram",
-    "source_csv_quoted_roundtrip",
-    "multimodal_join",
-    "text_lang_id",
-    "text_lang_stats",
-    "stream_static_join",
-    "stream_stream_join",
-    "agg_distinct_multi",
-    "multimodal_resize",
-    "text_bigram_top",
-    "text_scrub_pii",
-    "inc_delta_retract",
-    "multimodal_frame_sample",
-    "join_skew_salted",
-    "text_fingerprint",
-    "sink_upsert_merge",
-    "multimodal_extract",
-    "sim_label_centroid",
-    "stream_dedup_exact",
-    "text_tfidf_top_terms",
-    "stream_session_window",
-    "iter_apriori_pairs",
-    "iter_apriori_rules",
-    "dedup_containment",
-    "sim_ann_ivf",
-    "sink_bucketed_join",
-    "sim_threshold_pairs",
-    "source_incremental_files",
-    "iter_apriori_triples",
-    "stream_tumbling_window",
-    "sim_topk_cosine",
-    "sim_ann_lsh",
-    "stream_stateful_running",
-    "inc_mapreduce_wordcount",
-    "inc_apriori_pairs",
-    "iter_kmeans",
-    "iter_triangle_count",
-    "iter_sssp",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "stream_complete_totals",
-    "iter_gimv",
-    "dedup_cluster_resolve",
-    # ---- round-4 window starts here (deferred: most expensive) ----
+# (r1/r2/r3 each produced exactly-50-key CORRECTNESS files cut at the
+# 50th key in registry order).  Rounds 1-3 covered 146 distinct keys,
+# all green.  Round 4's window below = the 6 keys deferred from r3 (the
+# most expensive oracles, since trimmed) followed by the 44 cheapest of
+# the remaining never-graded keys (measured sf0.01 warm-session harness
+# cost, ascending).  The 29 keys after the 50-mark are round 5's planned
+# window, also cost-ascending — with them, every one of the 225 keys
+# will have a driver CORRECTNESS row.
+_R4_WINDOW = [
+    # -- deferred-from-r3 heavies (oracles trimmed this round) --
     "iter_connected_components",
     "stream_late_watermark",
     "iter_pagerank",
     "iter_sssp_weighted",
     "inc_iter_warmstart",
     "dedup_embedding_cosine",
+    # -- 44 cheapest never-graded keys, ascending measured cost --
+    "sample_reservoir",
+    "agg_freq_items",
+    "fn_base64_hex",
+    "agg_approx_percentile",
+    "text_readability",
+    "fn_url_parse",
+    "pipeline_mixture_weights",
+    "stream_cdc_apply",
+    "agg_mode",
+    "pipeline_pack_sequences",
+    "agg_gini",
+    "agg_linreg",
+    "ts_time_weighted_avg",
+    "agg_decimal_exact",
+    "dq_benford",
+    "multimodal_audio_energy",
+    "join_mark_exists",
+    "agg_equidepth_histogram",
+    "window_pattern_regex",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "multimodal_phash",
+    "window_moving_median",
+    "text_zipf_fit",
+    "embedding_quantize",
+    "join_prefilter_bitmap",
+    "pipeline_dataset_card",
+    "fn_ip_addr",
+    "text_entropy",
+    "source_schema_evolution",
+    "dq_constraint_check",
+    "window_period_over_period",
+    "window_anomaly_zscore",
+    "setop_symmetric_diff",
+    "agg_skew_kurt",
+    "agg_weighted_median",
+    "window_ewma",
+    "window_retention_cohort",
+    "join_interval_overlap",
+    "dq_drift_psi",
+    "ts_resample_interpolate",
+    "stream_scd2_compact",
+    "dq_uniqueness",
+    "join_point_in_time",
+    # ---- round-5 window starts here (the last 29 ungraded keys) ----
+    "window_robust_zscore",
+    "text_boilerplate_ratio",
+    "udaf_kmv_distinct",
+    "text_collocations_pmi",
+    "text_bigram_lm_score",
+    "mr_heavy_hitters",
+    "window_funnel_stages",
+    "text_repetition_ratio",
+    "inc_join_delta",
+    "join_geo_radius",
+    "filter_dynamic_partition_pruning",
+    "pipeline_decontaminate",
+    "window_top_paths",
+    "dq_referential_integrity",
+    "join_spatial_knn",
+    "source_json_nested",
+    "sink_compact_small_files",
+    "window_drawdown",
+    "dedup_ensemble_vote",
+    "window_running_distinct",
+    "dq_profile",
+    "iter_label_propagation",
+    "iter_kcore",
+    "stream_foreachbatch_upsert",
+    "iter_sssp_parents",
+    "iter_markov_walk",
+    "pipeline_split_leakage_safe",
+    "iter_pagerank_personalized",
+    "iter_hits",
 ]
 
 
@@ -113,7 +138,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R3_WINDOW:
+    for k in _R4_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

@@ -540,7 +540,14 @@ def q_join_geo_radius(spark, sf_dir):
         F.col("c_custkey").alias("c2"), F.col("lat").alias("lat2"),
         F.col("lon").alias("lon2"), "cla", "clo",
     )
-    dist = _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    # round to 6 dp BEFORE the radius cut: Spark (java.lang.Math) and the
+    # DuckDB oracle (libm) trig differ by ulps, and a raw-double `<= 75`
+    # is a knife-edge for points sitting exactly on the radius — the 6 dp
+    # surrogate (also used in the oracle) absorbs the ulp noise while
+    # moving the cut by at most 0.5 mm
+    dist = F.round(
+        _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")), 6
+    )
     return (
         probe.join(build, ["cla", "clo"])
         .filter(F.col("c1") < F.col("c2"))
@@ -582,7 +589,12 @@ def q_join_spatial_knn(spark, sf_dir):
         F.col("c_custkey").alias("c2"), F.col("lat").alias("lat2"),
         F.col("lon").alias("lon2"), "cla", "clo",
     )
-    dist = _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    # 6 dp surrogate before BOTH the radius cut and the rank ordering —
+    # cross-engine trig ulps can otherwise flip near-tied ranks or the
+    # radius cut (same hardening as q_join_geo_radius; oracle matches)
+    dist = F.round(
+        _haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")), 6
+    )
     cands = (
         probe.join(build, ["cla", "clo"])
         .filter(F.col("c1") != F.col("c2"))
@@ -758,18 +770,15 @@ ORACLES = {
         "WITH p AS (SELECT c_custkey, "
         "(('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 120) / 10.0 - 6.0 AS lat, "
         "(('0x' || substr(md5(c_custkey::VARCHAR), 5, 4))::BIGINT % 360) / 10.0 - 18.0 AS lon "
-        "FROM customer) "
-        "SELECT a.c_custkey AS c1, b.c_custkey AS c2, "
+        "FROM customer), "
+        "d AS (SELECT a.c_custkey AS c1, b.c_custkey AS c2, "
         f"round(2 * {GEO_EARTH_KM} * asin(sqrt("
         "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
         "cos(radians(a.lat)) * cos(radians(b.lat)) * "
-        "sin(radians(b.lon - a.lon) / 2) ^ 2)), 2) AS dist_km "
-        "FROM p a JOIN p b ON a.c_custkey < b.c_custkey "
-        f"WHERE 2 * {GEO_EARTH_KM} * asin(sqrt("
-        "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
-        "cos(radians(a.lat)) * cos(radians(b.lat)) * "
-        "sin(radians(b.lon - a.lon) / 2) ^ 2)) <= "
-        f"{GEO_RADIUS_KM}"
+        "sin(radians(b.lon - a.lon) / 2) ^ 2)), 6) AS dist "
+        "FROM p a JOIN p b ON a.c_custkey < b.c_custkey) "
+        "SELECT c1, c2, round(dist, 2) AS dist_km FROM d "
+        f"WHERE dist <= {GEO_RADIUS_KM}"
     ),
     "join_mark_exists": (
         "SELECT c_custkey, c_mktsegment, "
@@ -817,10 +826,10 @@ ORACLES = {
         "(('0x' || substr(md5(c_custkey::VARCHAR), 5, 4))::BIGINT % 360) / 10.0 - 18.0 AS lon "
         "FROM customer), "
         "d AS (SELECT a.c_custkey AS c1, b.c_custkey AS c2, "
-        f"2 * {GEO_EARTH_KM} * asin(sqrt("
+        f"round(2 * {GEO_EARTH_KM} * asin(sqrt("
         "sin(radians(b.lat - a.lat) / 2) ^ 2 + "
         "cos(radians(a.lat)) * cos(radians(b.lat)) * "
-        "sin(radians(b.lon - a.lon) / 2) ^ 2)) AS dist "
+        "sin(radians(b.lon - a.lon) / 2) ^ 2)), 6) AS dist "
         "FROM p a JOIN p b ON a.c_custkey <> b.c_custkey), "
         f"r AS (SELECT c1, c2, dist, row_number() OVER "
         "(PARTITION BY c1 ORDER BY dist, c2) AS rank FROM d "

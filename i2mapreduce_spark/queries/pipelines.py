@@ -84,8 +84,11 @@ def q_pipeline_split_leakage_safe(spark, sf_dir):
     -> train < 96, val 96-97, test 98-99.  Output: (split, lang, n_docs).
 
     Plan: the pair graph is sparse (near-dups are rare), so the CC runs
-    on a tiny edge set; the split hash is a pure expression; everything
-    else is one broadcast join back to documents."""
+    on a tiny edge set; the split hash is a pure expression; the join
+    back to documents is a plain equi-join with NO broadcast hint — on a
+    real web crawl 30-50% of docs sit in a near-dup cluster, so the
+    label table is corpus-sized and a forced broadcast would OOM the
+    build side.  AQE still picks a broadcast at small scale on its own."""
     load_tables(spark, sf_dir)
     d = spark.table("documents")
     pairs = dedup.jaccard_pairs(dedup.shingles(d, n=3), SPLIT_JACCARD)
@@ -94,7 +97,7 @@ def q_pipeline_split_leakage_safe(spark, sf_dir):
     )
     labels = algorithms.connected_components(edges, iters=8)  # (node, label)
     with_cluster = d.join(
-        F.broadcast(labels.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).withColumn("cluster", F.coalesce(F.col("label"), F.col("doc_id")))
     bucket = (
         F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 29, 4), 16, 10)

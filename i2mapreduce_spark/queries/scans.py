@@ -9,12 +9,24 @@ makes a 100 TB scan read only the bytes the query needs.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..sources import formats
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: the returned DataFrames read
+    these paths lazily (the caller collects after we return), so removal
+    must wait until exit — without it repeated driver/bench runs
+    accumulate sink copies on disk."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def q_scan_full(spark, sf_dir):
@@ -39,7 +51,7 @@ def q_sink_parquet_roundtrip(spark, sf_dir):
     """Write a result to parquet, read it back (ref op A8); hash-checked
     against the un-roundtripped join — the sink must be value-preserving."""
     load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="i2mr_sink_") + "/nation_by_region"
+    out = _scratch_dir("i2mr_sink_") + "/nation_by_region"
     df = (
         spark.table("nation")
         .join(spark.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -69,7 +81,7 @@ def q_sink_compact_small_files(spark, sf_dir):
     At 100 TB the identical rewrite runs per partition-dir with
     target_size/maxRecordsPerFile steering instead of a fixed 4."""
     load_tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="i2mr_compact_")
+    root = _scratch_dir("i2mr_compact_")
     spark.table("orders").repartition(COMPACT_SMALL).write.mode("overwrite").parquet(
         f"{root}/splintered"
     )
@@ -90,7 +102,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
     lossless and hash-checks against the base table."""
     load_tables(spark, sf_dir)
     nation = spark.table("nation")
-    out = tempfile.mkdtemp(prefix="i2mr_csv_") + "/nation"
+    out = _scratch_dir("i2mr_csv_") + "/nation"
     formats.write_csv(nation, out)
     return formats.read_csv(spark, out, nation.schema)
 
@@ -107,7 +119,7 @@ def q_source_csv_quoted_roundtrip(spark, sf_dir):
         "text",
         F.concat(F.lit('a,"b" '), F.col("text"), F.lit(",\ttail")),
     )
-    out = tempfile.mkdtemp(prefix="i2mr_csvq_") + "/docs"
+    out = _scratch_dir("i2mr_csvq_") + "/docs"
     spiked.write.mode("overwrite").option("header", True).option(
         "quoteAll", True
     ).csv(out)
@@ -122,7 +134,7 @@ def q_source_jsonl_roundtrip(spark, sf_dir):
     record format, A7/A8's SequenceFile analog)."""
     load_tables(spark, sf_dir)
     region = spark.table("region")
-    out = tempfile.mkdtemp(prefix="i2mr_jsonl_") + "/region"
+    out = _scratch_dir("i2mr_jsonl_") + "/region"
     formats.write_jsonl(region, out)
     return formats.read_jsonl(spark, out, region.schema)
 
@@ -132,7 +144,7 @@ def q_source_text_kv(spark, sf_dir):
     record shape A7's TextInputFormat feeds a mapper; aggregated to
     order-insensitive totals so the hash check is layout-independent."""
     load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="i2mr_text_") + "/docs"
+    out = _scratch_dir("i2mr_text_") + "/docs"
     formats.write_text(spark.table("documents"), out, text_col="text")
     kv = formats.read_text_kv(spark, out)
     return kv.agg(
@@ -148,7 +160,7 @@ def q_source_orc_roundtrip(spark, sf_dir):
     Lossless for these exact types, so it hash-checks vs the base table."""
     load_tables(spark, sf_dir)
     supplier = spark.table("supplier")
-    out = tempfile.mkdtemp(prefix="i2mr_orc_") + "/supplier"
+    out = _scratch_dir("i2mr_orc_") + "/supplier"
     supplier.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -161,7 +173,7 @@ def q_sink_partitioned_pruning(spark, sf_dir):
     the plan's PartitionFilters).  Hash-checks against a plain filter on
     the base table, proving the sink/source cycle is lossless."""
     load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="i2mr_part_") + "/orders_by_status"
+    out = _scratch_dir("i2mr_part_") + "/orders_by_status"
     o = spark.table("orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
@@ -248,7 +260,7 @@ def q_source_incremental_files(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     chunks = chunk_events(spark, spark.table("events"), n=3)
-    base = tempfile.mkdtemp(prefix="i2mr_incr_")
+    base = _scratch_dir("i2mr_incr_")
     for i, c in enumerate(chunks):
         c.write.mode("overwrite").parquet(f"{base}/chunk-{i}")
     new_files = [f"{base}/chunk-1", f"{base}/chunk-2"]  # past the watermark
@@ -270,7 +282,7 @@ def q_source_schema_evolution(spark, sf_dir):
     partition column, so per-batch predicates still prune at the
     directory level."""
     load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="i2mr_evo_") + "/nation_evo"
+    base = _scratch_dir("i2mr_evo_") + "/nation_evo"
     spark.table("nation").select("n_nationkey", "n_name").write.mode(
         "overwrite"
     ).parquet(base + "/batch=1")
@@ -311,7 +323,7 @@ def q_source_json_nested(spark, sf_dir):
             )
         ).alias("orders")
     )
-    out = tempfile.mkdtemp(prefix="i2mr_jnest_") + "/cust_orders"
+    out = _scratch_dir("i2mr_jnest_") + "/cust_orders"
     nested.select(F.to_json(F.struct("custkey", "orders")).alias("value")) \
         .write.mode("overwrite").text(out)
     schema = (
@@ -337,7 +349,7 @@ def q_filter_dynamic_partition_pruning(spark, sf_dir):
     scanning 2 partitions and scanning all of them when the selective
     predicate lives on the dimension, not the fact."""
     load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="i2mr_dpp_") + "/events_by_type"
+    out = _scratch_dir("i2mr_dpp_") + "/events_by_type"
     ev = spark.table("events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     fact = spark.read.parquet(out)

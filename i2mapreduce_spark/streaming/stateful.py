@@ -144,7 +144,10 @@ def _sessionize(key, pdf_iter, state: GroupState):
         us = int(us)
         if cur is None:
             cur = (us, us, 1)
-        elif us - cur[1] > SESSION_GAP_MS * 1000:
+        elif us - cur[1] >= SESSION_GAP_MS * 1000:
+            # >= : an event exactly GAP after the previous one starts a
+            # NEW session, matching the batch sessionize/top-paths queries
+            # (>= GAP_US) and native session_window's exclusive window end
             closed.append(cur)
             cur = (us, us, 1)
         else:

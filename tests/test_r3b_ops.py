@@ -128,10 +128,28 @@ def test_url_parse_components(spark, sf_dir):
 def test_readability_monotone_in_syllable_density(spark, sf_dir):
     from i2mapreduce_spark.queries.llmops import q_text_readability
 
+    import re
+
     pdf = q_text_readability(spark, sf_dir).toPandas()
     assert len(pdf) > 0
-    # denser syllables -> lower score, holding words fixed: check the
-    # formula directly on a few rows
-    for _, r in pdf.head(5).iterrows():
-        expected = 206.835 - 1.015 * r.n_words - 84.6 * (r.n_syllables / r.n_words)
+    # check the full Flesch formula — including the words/sentences term —
+    # against an independent recompute from the raw text (the query doesn't
+    # expose n_sentences, so rebuild it here; fixture texts may or may not
+    # contain terminal punctuation and the test must hold either way)
+    texts = {
+        r.doc_id: r.text
+        for r in spark.table("documents").select("doc_id", "text").limit(2000).collect()
+    }
+    checked = 0
+    for _, r in pdf.head(50).iterrows():
+        if r.doc_id not in texts:
+            continue
+        n_sents = max(1, len(re.findall(r"[.!?]", texts[r.doc_id])))
+        expected = (
+            206.835
+            - 1.015 * (r.n_words / n_sents)
+            - 84.6 * (r.n_syllables / r.n_words)
+        )
         assert abs(r.flesch - round(expected, 4)) < 1e-6
+        checked += 1
+    assert checked >= 5

@@ -349,7 +349,7 @@ def test_session_timeout_evicts_state_and_matches_batch(spark, sf_dir):
     gap = F.col("us") - F.lag("us").over(w)
     sess = (
         ev.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
-        .withColumn("new_s", (gap.isNull() | (gap > SESSION_GAP_MS * 1000)).cast("int"))
+        .withColumn("new_s", (gap.isNull() | (gap >= SESSION_GAP_MS * 1000)).cast("int"))
         .withColumn("sid", F.sum("new_s").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
     )
