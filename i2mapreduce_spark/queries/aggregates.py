@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
+from ..operators import ranking
 
 
 def q_agg_pricing_summary(spark, sf_dir):
@@ -455,7 +456,14 @@ def q_agg_gini(spark, sf_dir):
     inequality/concentration measure a marketplace-health dashboard
     tracks: with per-customer revenue x sorted ascending and ranked
     i = 1..n, G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n.  One grouped sum, one
-    rank window over the n-customer aggregate, one global fold.
+    DISTRIBUTED global rank, one global fold.
+
+    Gini needs a total order over all n customers — base-table
+    cardinality, so an unpartitioned rank window would funnel every row
+    into one task at 100 TB.  The rank instead comes from
+    operators/ranking.global_row_number (range-partition + local
+    row_number + chunked offsets), which is bit-identical to the global
+    window for the unique (revenue, custkey) order but stays parallel.
 
     The rank tie-break (revenue, then custkey) makes the rank total and
     the Σ(i·x_i) identical across engines even with duplicate revenues
@@ -466,8 +474,7 @@ def q_agg_gini(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("x"))
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = rev.withColumn("i", F.row_number().over(w))
+    ranked = ranking.global_row_number(rev, ["x", "o_custkey"], out_col="i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(

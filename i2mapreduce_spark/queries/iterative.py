@@ -61,7 +61,12 @@ def q_iter_connected_components(spark, sf_dir):
 
 def q_iter_kmeans(spark, sf_dir):
     """K-means on embeddings: k=10, 5 fixed iterations, seeds = the 10
-    smallest vec_ids, argmin ties -> lowest centroid id.  Golden-checked."""
+    smallest vec_ids, argmin ties -> lowest centroid id.  Hash-checked
+    against an unrolled 5-iteration CTE replica (_kmeans_oracle_sql) —
+    the (vec_id, cluster) output is integer-domain, and with random
+    embeddings the argmin margins dwarf cross-engine float-sum ulps, so
+    the assignment hashes identically; a numpy golden also covers it in
+    tests/test_iterative.py."""
     load_tables(spark, sf_dir)
     assign, _ = algorithms.kmeans(
         spark, spark.table("embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
@@ -574,10 +579,11 @@ ORACLES = {
         "SELECT n.node, coalesce(m.agg, 0) AS walks3"
         " FROM nodes n LEFT JOIN m3 m ON m.node = n.node"
     ),
-    # iter_pagerank / iter_connected_components are registered below via
-    # their SQL generators (unrolled chained CTEs).  golden-checked
-    # (numpy replicas) remain: iter_kmeans (float argmin assignments
-    # aren't SQL-stable) and inc_iter_warmstart (converged floats).
+    # iter_pagerank / iter_connected_components / iter_kmeans are
+    # registered below via their SQL generators (unrolled chained CTEs).
+    # golden-checked (numpy replica) remains: inc_iter_warmstart
+    # (tol-converged floats — the iteration COUNT depends on float
+    # comparisons, which no fixed unrolling can express).
 }
 
 
@@ -772,8 +778,59 @@ ORACLES["iter_hits"] = _hits_oracle_sql(HITS_ITERS)
 
 ORACLES["iter_label_propagation"] = _lpa_oracle_sql(LPA_ITERS, LPA_SEED_MOD)
 
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled k-means CTE chain replicating operators/algorithms.kmeans:
+    seeds = the k smallest vec_ids (centroid index = rank by vec_id);
+    iteration t assigns under centroids c{t} (argmin list_distance, ties
+    -> lowest centroid id), then c{t+1} = per-cluster element-wise mean
+    (a cluster with no members keeps its centroid).  The Spark loop
+    assigns BEFORE each update, so with `iters` iterations the returned
+    assignment is the one computed under c{iters-1} — replicated here by
+    unrolling iters-1 updates and one final assignment.
+
+    Every CTE is MATERIALIZED: c{t} is referenced twice per round
+    (assignment + carry-forward), so DuckDB's inline-per-reference
+    default would double the plan every round (same pathology
+    _cc_oracle_sql hit).  Float note: distances are float64 from the
+    same float32 inputs in both engines; ulp-level sum-order noise only
+    matters on exact argmin ties, which the (distance, cluster-id)
+    tie-break resolves identically."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INT) AS cl, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(iters - 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cl FROM ("
+            f"SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_distance(e.v, c.v), c.cl) AS rn FROM e, c{t} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT cl, i, avg(x) AS val FROM ("
+            f"SELECT a.cl AS cl, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x "
+            f"FROM a{t} a JOIN e ON a.vec_id = e.vec_id) z GROUP BY cl, i)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cl, list(val ORDER BY i) AS v "
+            f"FROM g{t} GROUP BY cl)"
+        )
+        parts.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT c.cl, coalesce(n.v, c.v) AS v "
+            f"FROM c{t} c LEFT JOIN m{t} n ON c.cl = n.cl)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT vec_id, cl AS cluster FROM ("
+        f"SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY list_distance(e.v, c.v), c.cl) AS rn FROM e, c{iters - 1} c) "
+        f"WHERE rn = 1"
+    )
+
+
 ORACLES["iter_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING)
 ORACLES["iter_connected_components"] = _cc_oracle_sql(10)
+ORACLES["iter_kmeans"] = _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS)
 
 ORACLES["iter_markov_walk"] = (
     cte("edges_pp")

@@ -635,12 +635,14 @@ def q_text_collocations_pmi(spark, sf_dir):
     n_bi = pos.groupBy("doc_id").agg((F.count(F.lit(1)) - 1).alias("nb")).agg(
         F.sum("nb").alias("nb")
     )
+    # no broadcast hint on the unigram table: it is vocabulary-sized
+    # (Heaps-law sublinear but unbounded — web-scale corpora have
+    # billions of types), so the hint is left to AQE; the 1-row totals
+    # stay broadcast
     j = (
-        big.join(F.broadcast(uni.withColumnRenamed("c", "c_a")), "w")
+        big.join(uni.withColumnRenamed("c", "c_a"), "w")
         .join(
-            F.broadcast(
-                uni.withColumnRenamed("c", "c_b").withColumnRenamed("w", "w2")
-            ),
+            uni.withColumnRenamed("c", "c_b").withColumnRenamed("w", "w2"),
             "w2",
         )
         .crossJoin(F.broadcast(n_uni))

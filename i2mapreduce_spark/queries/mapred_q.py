@@ -127,16 +127,24 @@ def q_mr_heavy_hitters(spark, sf_dir):
     two-phase candidate-pruned count, the canonical map-side-sketch
     pattern for 100 TB frequency queries.
 
-    Phase 1 runs Misra-Gries(k=199) inside each partition (mapInPandas,
-    one dict of ≤199 counters per task — constant memory).  Pigeonhole
-    guarantee: any word with global count > N/(k+1) must exceed
-    n_p/(k+1) in at least one partition and therefore survives that
-    partition's sketch, so with support N/100 < N/(k+1)·2 the candidate
-    set provably contains every true heavy hitter.  Phase 2 exactly
-    recounts ONLY the candidates (broadcast semi-join, a few hundred
-    words) and filters count·100 > N in integer arithmetic.  The full
-    word shuffle — the wordcount bottleneck at scale — never happens;
-    what crosses the wire is ≤ k rows per partition."""
+    Phase 1 runs BATCHED Misra-Gries(k=199) inside each partition
+    (mapInPandas, one dict of counters per task — constant memory): each
+    Arrow batch folds in as one vectorized value_counts() (the per-word
+    work is C-side; Python touches only the ≤ k + distinct-per-batch
+    counter dict), then if the dict holds k+m counters (m>0) every
+    counter drops by d = the m-th smallest value and non-positive
+    counters are evicted — the batch generalization of the classic
+    decrement-all step.  Guarantee unchanged: each eviction event
+    subtracts d from ≥ k+1 counters that held ≥ d, consuming ≥ d·(k+1)
+    inserted mass, so total decrement D ≤ n_p/(k+1) and any word with
+    partition count > n_p/(k+1) survives.  By pigeonhole a word with
+    global count > N/(k+1) exceeds that bound in some partition, so with
+    support N/100 > N/(k+1) (k=199) the candidate set provably contains
+    every true heavy hitter.  Phase 2 exactly recounts ONLY the
+    candidates (broadcast semi-join, a few hundred words) and filters
+    count·100 > N in integer arithmetic.  The full word shuffle — the
+    wordcount bottleneck at scale — never happens; what crosses the wire
+    is ≤ k rows per partition."""
     load_tables(spark, sf_dir)
     words = _words(spark).select("word")
 
@@ -145,20 +153,12 @@ def q_mr_heavy_hitters(spark, sf_dir):
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < HH_MG_K:
-                    counters[w] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for kk in counters:
-                        counters[kk] -= 1
-                        if counters[kk] == 0:
-                            dead.append(kk)
-                    for kk in dead:
-                        del counters[kk]
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            m = len(counters) - HH_MG_K
+            if m > 0:
+                d = sorted(counters.values())[m - 1]
+                counters = {w: c - d for w, c in counters.items() if c > d}
         yield pd.DataFrame({"word": list(counters.keys())})
 
     cands = words.mapInPandas(mg_partition, "word string").distinct()

@@ -234,15 +234,17 @@ def q_stream_static_join(spark, sf_dir):
     """Stream-static dimension enrichment: each event joined against a
     small static per-user dim (first-seen timestamp) to emit the event's
     age in integer microseconds.  In Structured Streaming this exact
-    transform is a broadcast join against the static side evaluated per
-    micro-batch with NO state store (tests/test_streaming.py runs it
-    through the chunked stream harness); at 100TB the dim stays broadcast
-    and the event stream never shuffles."""
+    transform is a static-side join evaluated per micro-batch with NO
+    state store (tests/test_streaming.py runs it through the chunked
+    stream harness).  No broadcast hint: this fixture derives the dim
+    from the stream itself, so it is per-user — unbounded — and a forced
+    broadcast would OOM at 100 TB; Spark auto-broadcasts static sides
+    under the size threshold, and a larger dim shuffles on user_id."""
     load_tables(spark, sf_dir)
     ev = spark.table("events")
     dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    return ev.join(F.broadcast(dim), "user_id").select(
+    return ev.join(dim, "user_id").select(
         "user_id", "event_id", (us("ts") - us("first_seen")).alias("age_us")
     )
 

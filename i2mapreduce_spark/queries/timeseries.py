@@ -155,17 +155,21 @@ def q_window_robust_zscore(spark, sf_dir):
     division, same ANSI rationale as the rolling z-score).
 
     Plan: two grouped exact medians (sort-based percentile per user) and
-    one broadcast join back — no window over raw events needed."""
+    two joins back — no window over raw events needed.  The med/MAD
+    tables are per-USER aggregates (unbounded — user count grows with
+    the data), so they carry no broadcast hint: AQE broadcasts them at
+    small scale, and at 100 TB the joins shuffle on user_id like every
+    other per-user stage."""
     load_tables(spark, sf_dir)
     ev = spark.table("events")
     med = ev.groupBy("user_id").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    with_med = ev.join(F.broadcast(med), "user_id")
+    with_med = ev.join(med, "user_id")
     mad = with_med.groupBy("user_id").agg(
         F.expr("percentile(abs(value - med), 0.5)").alias("mad")
     )
-    j = with_med.join(F.broadcast(mad), "user_id").filter(F.col("mad") > 0)
+    j = with_med.join(mad, "user_id").filter(F.col("mad") > 0)
     rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
     return j.select(
         "user_id",

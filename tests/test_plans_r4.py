@@ -1,0 +1,136 @@
+"""Round-4 plan-hygiene asserts.
+
+Two repo-wide scale guards added after the round-3 review:
+
+1. every explicit ``F.broadcast(...)`` hint must sit on a PROVABLY
+   BOUNDED table (dims, 1-row aggregates, k-row candidate sets) — a
+   forced broadcast of a data-derived table is the one class of plan bug
+   that turns into an executor OOM only at full scale, invisible to
+   row-count correctness;
+2. the Gini query (total order over base-table cardinality) must not
+   plan an unpartitioned window — its global rank comes from the
+   chunked-offset construction instead.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+from pyspark.sql import functions as F
+
+from i2mapreduce_spark.catalog import load_tables
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "i2mapreduce_spark"
+
+
+def _broadcast_sites() -> set[tuple[str, str]]:
+    """(module-relative-path, enclosing def name) for every F.broadcast
+    call in non-test source, via AST (no false hits from docstrings)."""
+    sites = set()
+    for py in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        rel = str(py.relative_to(PKG.parent))
+
+        def walk(node, fn_name):
+            for child in ast.iter_child_nodes(node):
+                name = fn_name
+                if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    name = child.name
+                if (
+                    isinstance(child, ast.Call)
+                    and isinstance(child.func, ast.Attribute)
+                    and child.func.attr == "broadcast"
+                    and isinstance(child.func.value, ast.Name)
+                    and child.func.value.id == "F"
+                ):
+                    sites.add((rel, fn_name))
+                walk(child, name)
+
+        walk(tree, "<module>")
+    return sites
+
+
+#: every approved forced-broadcast site, with why the build side is
+#: bounded.  Adding a NEW F.broadcast hint fails this test until the
+#: bound is argued here — that is the point.
+APPROVED_BROADCASTS = {
+    # 1-row global aggregates
+    ("i2mapreduce_spark/operators/algorithms.py", "_l1_normalize"),  # sum total
+    ("i2mapreduce_spark/queries/llmops.py", "q_text_tfidf_top_terms"),  # corpus size
+    ("i2mapreduce_spark/queries/llmops.py", "q_text_collocations_pmi"),  # 2 totals
+    ("i2mapreduce_spark/queries/mapred_q.py", "q_mr_heavy_hitters"),  # total + <=k*parts candidates
+    ("i2mapreduce_spark/queries/quality.py", "q_dq_drift_psi"),  # 1-row min/max range
+    ("i2mapreduce_spark/queries/iterative.py", "q_iter_markov_walk"),  # 1-row frontier
+    # fixed-size dimension tables (nation=25, region=5, supplier dim)
+    ("i2mapreduce_spark/queries/aggregates.py", "q_agg_having"),  # nation dim
+    ("i2mapreduce_spark/queries/aggregates.py", "q_agg_rollup"),
+    ("i2mapreduce_spark/queries/aggregates.py", "q_agg_skew_kurt"),  # 3-row per-flag stats
+    ("i2mapreduce_spark/queries/joins.py", "q_join_broadcast"),  # region dim (the declared surface)
+    ("i2mapreduce_spark/queries/joins.py", "q_join_multiway"),  # nation+region dims
+    ("i2mapreduce_spark/queries/joins.py", "q_join_skew_salted"),  # SALT_BUCKETS-row range
+    ("i2mapreduce_spark/queries/joins.py", "q_join_prefilter_bitmap"),  # <=4096 buckets + supplier dim
+    # k-bounded candidate / block tables
+    ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
+    # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
+    ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
+}
+
+
+def test_every_forced_broadcast_is_on_a_bounded_table():
+    found = _broadcast_sites()
+    new = found - APPROVED_BROADCASTS
+    gone = APPROVED_BROADCASTS - found
+    assert not new, (
+        "unreviewed F.broadcast hint(s) — argue the build-side bound in "
+        f"APPROVED_BROADCASTS or drop the hint: {sorted(new)}"
+    )
+    assert not gone, f"stale whitelist entries: {sorted(gone)}"
+
+
+def test_gini_rank_is_distributed(spark, sf_dir):
+    """agg_gini must not fall back to a single-partition global window:
+    every Window node in its plan carries a partition spec (_pid), and
+    the range-partitioned rank machinery is present."""
+    from i2mapreduce_spark.queries.aggregates import q_agg_gini
+
+    load_tables(spark, sf_dir)
+    df = q_agg_gini(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        # formatted explain prints window args as
+        #   Arguments: [fns], [partition spec], [order spec]
+        if "row_number()" in line and "Arguments" in line:
+            assert "_pid" in line, f"unpartitioned rank window: {line}"
+
+
+def test_global_row_number_matches_global_window(spark, sf_dir):
+    """The chunked-offset rank is bit-identical to row_number() over a
+    global ORDER BY for a unique total order."""
+    from pyspark.sql import Window
+
+    from i2mapreduce_spark.operators.ranking import global_row_number
+
+    load_tables(spark, sf_dir)
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    got = (
+        global_row_number(rev, ["x", "o_custkey"], out_col="i")
+        .orderBy("i")
+        .select("o_custkey", "i")
+        .collect()
+    )
+    want = (
+        rev.select(
+            "o_custkey",
+            F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert got == want
