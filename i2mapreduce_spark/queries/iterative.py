@@ -32,7 +32,15 @@ def q_iter_pagerank(spark, sf_dir):
     iterations in DuckDB (and golden-checked vs a numpy replica)."""
     load_tables(spark, sf_dir)
     res = algorithms.pagerank(
-        spark, spark.table("edges_cp"), iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+        spark,
+        spark.table("edges_cp"),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+        # fixed-count loop, no fixpoint action: cadence sweep (1/2/3/5,
+        # two trials each) showed identical hashes, 2-5 equivalent and 1
+        # ~15% slower — 5 keeps the fewest materializations for the same
+        # wall time
+        checkpoint_every=5,
     )
     return res.state.select("node", F.round("rank", 6).alias("rank"))
 
@@ -140,6 +148,8 @@ def q_iter_pagerank_personalized(spark, sf_dir):
     res = algorithms.pagerank(
         spark, edges, iters=PPR_ITERS, damping=PAGERANK_DAMPING,
         teleport_to=source,
+        checkpoint_every=3,  # fixed-count loop: fewer materializations,
+        # values (and hash) independent of cadence
     )
     return res.state.select("node", F.round("rank", 6).alias("rank"))
 
