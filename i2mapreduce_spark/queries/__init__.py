@@ -27,6 +27,7 @@ _GROUP_MODULES = [
     "aggregates",   # D  — aggregation
     "quality",      # Q  — data-quality audits (r3)
     "timeseries",   # T  — time-series analytics (r3)
+    "tpch_q",       # H  — TPC-H-shaped composite analytics (r4)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
@@ -35,9 +36,10 @@ _GROUP_MODULES = [
 # all green.  Round 4's window below = the 6 keys deferred from r3 (the
 # most expensive oracles, since trimmed) followed by the 44 cheapest of
 # the remaining never-graded keys (measured sf0.01 warm-session harness
-# cost, ascending).  The 29 keys after the 50-mark are round 5's planned
-# window, also cost-ascending — with them, every one of the 225 keys
-# will have a driver CORRECTNESS row.
+# cost, ascending).  The 29 keys after the 50-mark plus the 8 new r4
+# keys (appended in module order past the graded region) are round 5's
+# planned window (37 of its 50 slots) — with them, every one of the 233
+# keys will have a driver CORRECTNESS row.
 _R4_WINDOW = [
     # -- deferred-from-r3 heavies (oracles trimmed this round) --
     "iter_connected_components",

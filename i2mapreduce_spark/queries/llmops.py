@@ -1255,3 +1255,110 @@ ORACLES["multimodal_resize"] = (
     "FROM grid GROUP BY doc_id) "
     "SELECT pm.doc_id, px_mean, px_c00, px_last FROM pm JOIN gc USING (doc_id)"
 )
+
+
+def q_dedup_url_canonicalize(spark, sf_dir):
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    corpus build (CCNet/RefinedWeb style): crawls reach the same page
+    via host-case variants, tracking query params, fragments, and
+    trailing slashes, and canonicalizing the URL collapses them before
+    any content hashing.  Fixture URLs are synthesized deterministically
+    from doc_id (case variant %2, utm param %3, trailing slash %5,
+    fragment %7, ~50 distinct pages), so every step of the
+    canonicalizer is exercised.  Canonical form: lowercase the
+    scheme+host (ONLY the host — paths are case-significant), strip the
+    fragment, strip utm_* tracking params, strip the trailing slash.
+    Output per canonical URL: kept doc (min doc_id) and variant count.
+
+    100 TB: pure string expressions, map-side; the dedup groupBy
+    shuffles one (canonical_url, doc_id) row per doc — this is the
+    cheapest dedup pass and runs before the expensive content ones."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    k = F.col("doc_id")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(k % 2 == 0, F.lit("WWW.Example.COM")).otherwise(
+            F.lit("www.example.com")
+        ),
+        F.lit("/Articles/"),
+        (k % 50).cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", raw.alias("url"))
+    no_frag = F.regexp_replace("url", "#.*$", "")
+    no_utm = F.regexp_replace(no_frag, r"\?utm_[^#]*$", "")
+    head = F.lower(F.regexp_extract(no_utm, "^(https?://[^/]+)", 1))
+    tail = F.regexp_replace(no_utm, "^https?://[^/]+", "")
+    canon = F.concat(head, F.regexp_replace(tail, "/$", ""))
+    return (
+        u.withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+QUERIES["dedup_url_canonicalize"] = q_dedup_url_canonicalize
+
+ORACLES["dedup_url_canonicalize"] = (
+    "WITH u AS (SELECT doc_id, 'https://' || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END "
+    "|| '/Articles/' || CAST(doc_id % 50 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url "
+    "FROM documents), "
+    "c AS (SELECT doc_id, "
+    "lower(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), "
+    "'\\?utm_[^#]*$', ''), '^(https?://[^/]+)', 1)) || "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''), "
+    "'\\?utm_[^#]*$', ''), '^https?://[^/]+', ''), '/$', '') AS canonical_url "
+    "FROM u) "
+    "SELECT canonical_url, min(doc_id) AS keep_doc, count(*) AS n_variants "
+    "FROM c GROUP BY canonical_url"
+)
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    """Embedding-norm health stats per label — the degenerate-embedding
+    audit an ANN index build runs first: near-zero norms break cosine
+    math and inflated norms dominate dot products.  norm = L2 over the
+    64 float32 components (cast to double, summed IN ELEMENT ORDER by
+    F.aggregate, so both engines execute the identical FP sequence and
+    the per-row norm is bit-equal).  Output per label: count, mean norm
+    (4 dp), min/max norm (6 dp).
+
+    100 TB: F.aggregate is a JVM higher-order function — no Python, no
+    explode; one partial+final aggregate keyed by the tiny label set."""
+    load_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    withn = e.withColumn("nrm", F.sqrt(sq))
+    return withn.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
+
+ORACLES["embedding_norm_stats"] = (
+    "WITH n AS (SELECT label, sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings) "
+    "SELECT label, count(*) AS n_vecs, "
+    "round(avg(nrm), 4) AS mean_norm, "
+    "round(min(nrm), 6) AS min_norm, "
+    "round(max(nrm), 6) AS max_norm "
+    "FROM n GROUP BY label"
+)

@@ -270,7 +270,49 @@ def q_pipeline_dataset_card(spark, sf_dir):
     )
 
 
+#: output shards for deterministic corpus sharding
+N_SHARDS = 16
+
+
+def q_pipeline_shard_assign(spark, sf_dir):
+    """Deterministic corpus sharding — the step that splits a curated
+    corpus into N fixed output shards for parallel tokenization, with
+    the balance audit that decides whether the hash key is good enough:
+    shard = 16-bit md5 slice of doc_id mod 16 (content-independent, so
+    re-runs and incremental additions land docs in the same shard).
+    Output per shard: docs, tokens, and each shard's token share in
+    permille — the skew a tokenizer fleet actually cares about.
+
+    100 TB: the shard id is one map-side expression; the audit is a
+    16-group aggregate.  The real write is `.partitionBy(shard)` with
+    exactly this expression — the audit and the layout share the key."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 29, 4), 16, 10)
+        .cast("long") % N_SHARDS
+    )
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    per = (
+        d.select(shard.alias("shard"), n_tok.alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = Window.partitionBy()  # 16-row post-agg window — free
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.lit(1000.0) * F.col("n_tokens") / F.sum("n_tokens").over(tot), 3)
+        .alias("token_permille"),
+    )
+
+
 QUERIES = {
+    "pipeline_shard_assign": q_pipeline_shard_assign,
     "pipeline_dataset_card": q_pipeline_dataset_card,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_decontaminate": q_pipeline_decontaminate,
@@ -280,6 +322,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_shard_assign": (
+        "WITH t AS (SELECT "
+        f"('0x' || substr(md5(doc_id::VARCHAR), 29, 4))::BIGINT % {N_SHARDS} AS shard, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "
+        "FROM documents), "
+        "per AS (SELECT shard, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY shard) "
+        "SELECT shard, n_docs, n_tokens, "
+        "round(1000.0 * n_tokens / (SELECT sum(n_tokens) FROM per), 3) "
+        "AS token_permille FROM per"
+    ),
     "pipeline_dataset_card": (
         "WITH tok AS (SELECT doc_id, "
         "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "

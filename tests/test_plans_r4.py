@@ -70,6 +70,9 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/joins.py", "q_join_multiway"),  # nation+region dims
     ("i2mapreduce_spark/queries/joins.py", "q_join_skew_salted"),  # SALT_BUCKETS-row range
     ("i2mapreduce_spark/queries/joins.py", "q_join_prefilter_bitmap"),  # <=4096 buckets + supplier dim
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_local_supplier_volume"),  # region-filtered nation dim (<=25)
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_market_share"),  # nation dim (25)
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_join_top_supplier"),  # 1-row global max
     # k-bounded candidate / block tables
     ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)

@@ -1,0 +1,167 @@
+"""Semantic + plan tests for the round-4 keys (TPC-H-shaped composites,
+URL-canonicalization dedup, corpus sharding, embedding-norm stats).
+Oracle hash parity runs in tools/check_oracle.py / the driver; these pin
+the semantics and plan shapes the hash can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from i2mapreduce_spark.catalog import load_tables
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_shipping_priority_topk_is_sorted_and_unshipped(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import (
+        SHIP_CUTOFF,
+        q_agg_shipping_priority,
+    )
+
+    rows = q_agg_shipping_priority(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    cutoff = SHIP_CUTOFF
+    for r in rows:
+        assert str(r.o_orderdate) < cutoff  # placed before the cutoff
+    # the top-n must be a TakeOrderedAndProject, not a global sort
+    plan = _plan(q_agg_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exists_priority_counts_match_direct_recompute(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import q_join_exists_priority
+
+    load_tables(spark, sf_dir)
+    got = {
+        r.o_orderpriority: r.n_late_orders
+        for r in q_join_exists_priority(spark, sf_dir).collect()
+    }
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    want = {
+        r.o_orderpriority: r.n
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_local_supplier_volume_nations_are_in_region(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import Q5_REGION, q_agg_local_supplier_volume
+
+    load_tables(spark, sf_dir)
+    rows = q_agg_local_supplier_volume(spark, sf_dir).collect()
+    assert len(rows) > 0
+    in_region = {
+        r.n_name
+        for r in spark.table("nation")
+        .join(
+            spark.table("region").filter(F.col("r_name") == Q5_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .collect()
+    }
+    assert {r.n_name for r in rows} <= in_region
+    # dims must broadcast
+    assert "BroadcastHashJoin" in _plan(q_agg_local_supplier_volume(spark, sf_dir))
+
+
+def test_market_share_is_a_true_share(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import q_agg_market_share
+
+    rows = q_agg_market_share(spark, sf_dir).collect()
+    assert len(rows) >= 5  # one row per order year 1995-2001
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_revenue <= r.total_revenue
+        assert math.isclose(
+            r.mkt_share, r.nation_revenue / r.total_revenue, rel_tol=1e-3
+        )
+
+
+def test_top_supplier_is_the_argmax(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import (
+        Q15_HI,
+        Q15_LO,
+        q_join_top_supplier,
+    )
+
+    load_tables(spark, sf_dir)
+    rows = q_join_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp_ntz"))
+    )
+    best = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+        .agg(F.max("rev"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.total_revenue == best
+
+
+def test_url_canonicalize_collapses_all_variant_axes(spark, sf_dir):
+    from i2mapreduce_spark.queries.llmops import q_dedup_url_canonicalize
+
+    rows = q_dedup_url_canonicalize(spark, sf_dir).collect()
+    # 500 docs over 50 pages -> exactly 50 canonical URLs, ~10 variants each
+    assert len(rows) == 50
+    for r in rows:
+        u = r.canonical_url
+        assert u.startswith("https://www.example.com/Articles/"), u
+        assert "#" not in u and "utm" not in u and not u.endswith("/"), u
+        assert r.n_variants >= 2  # case/utm/slash/fragment variants collapsed
+
+
+def test_shard_assign_is_deterministic_and_balanced(spark, sf_dir):
+    from i2mapreduce_spark.queries.pipelines import N_SHARDS, q_pipeline_shard_assign
+
+    a = {r.shard: (r.n_docs, r.n_tokens) for r in q_pipeline_shard_assign(spark, sf_dir).collect()}
+    b = {r.shard: (r.n_docs, r.n_tokens) for r in q_pipeline_shard_assign(spark, sf_dir).collect()}
+    assert a == b  # content-independent hash key -> identical re-runs
+    assert set(a) <= set(range(N_SHARDS))
+    rows = q_pipeline_shard_assign(spark, sf_dir).collect()
+    total = sum(r.token_permille for r in rows)
+    assert abs(total - 1000.0) < 1.0  # shares sum to ~1000 permille
+
+
+def test_embedding_norm_stats_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from i2mapreduce_spark.queries.llmops import q_embedding_norm_stats
+
+    load_tables(spark, sf_dir)
+    got = {r.label: r for r in q_embedding_norm_stats(spark, sf_dir).collect()}
+    pdf = spark.table("embeddings").toPandas()
+    pdf["nrm"] = pdf.embedding.map(
+        lambda v: math.sqrt(sum(float(x) * float(x) for x in v))
+    )
+    for label, g in pdf.groupby("label"):
+        r = got[int(label)]
+        assert r.n_vecs == len(g)
+        assert abs(r.mean_norm - round(float(g.nrm.mean()), 4)) < 1e-3
+        assert abs(r.min_norm - round(float(g.nrm.min()), 6)) < 1e-6
+        assert abs(r.max_norm - round(float(g.nrm.max()), 6)) < 1e-6
+    # the norm must be computed JVM-side: no Python rows in the plan
+    plan = _plan(q_embedding_norm_stats(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
