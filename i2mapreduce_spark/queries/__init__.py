@@ -36,9 +36,9 @@ _GROUP_MODULES = [
 # all green.  Round 4's window below = the 6 keys deferred from r3 (the
 # most expensive oracles, since trimmed) followed by the 44 cheapest of
 # the remaining never-graded keys (measured sf0.01 warm-session harness
-# cost, ascending).  The 29 keys after the 50-mark plus the 8 new r4
+# cost, ascending).  The 29 keys after the 50-mark plus the 14 new r4
 # keys (appended in module order past the graded region) are round 5's
-# planned window (37 of its 50 slots) — with them, every one of the 233
+# planned window (43 of its 50 slots) — with them, every one of the 239
 # keys will have a driver CORRECTNESS row.
 _R4_WINDOW = [
     # -- deferred-from-r3 heavies (oracles trimmed this round) --

@@ -311,7 +311,72 @@ def q_pipeline_shard_assign(spark, sf_dir):
     )
 
 
+#: quality-gate thresholds (chosen for non-degenerate attrition on the
+#: fixture distribution: chars 48-553, tokens 10-99, TTR 0.28-1.0)
+GATE_MIN_CHARS = 150
+GATE_MIN_TOKENS = 25
+GATE_LANGS = ("en", "fr", "de", "es")   # drops zh in the fixture
+GATE_MIN_TTR = 0.35
+
+
+def q_pipeline_quality_gate(spark, sf_dir):
+    """Curation-funnel attrition audit — the report every corpus build
+    publishes next to its filters: documents flow through a FIXED gate
+    order (min chars -> min tokens -> allowed language -> min type/token
+    ratio) and each stage reports how many survive ALL gates so far and
+    how many it drops.  The numbers make filter regressions visible (a
+    tokenizer change that silently halves stage-2 survivors) and are the
+    provenance a dataset card cites.
+
+    Plan: one token explode feeds both the count and the distinct count;
+    flags are pure expressions; the funnel is a 5-row aggregate of flag
+    conjunctions — one pass, no per-stage rescans."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("w").alias("n_uniq"),
+    )
+    flagged = d.join(stats, "doc_id").select(
+        (F.col("n_chars") >= GATE_MIN_CHARS).cast("int").alias("f1"),
+        (F.col("n_tok") >= GATE_MIN_TOKENS).cast("int").alias("f2"),
+        F.col("lang").isin(*GATE_LANGS).cast("int").alias("f3"),
+        (F.col("n_uniq") / F.col("n_tok") >= GATE_MIN_TTR).cast("int").alias("f4"),
+    )
+    p1 = F.col("f1")
+    p2 = p1 * F.col("f2")
+    p3 = p2 * F.col("f3")
+    p4 = p3 * F.col("f4")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(p1).alias("s1"),
+        F.sum(p2).alias("s2"),
+        F.sum(p3).alias("s3"),
+        F.sum(p4).alias("s4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("input").alias("gate"),
+                 F.col("s0").alias("n_pass"), (F.col("s0") - F.col("s0")).alias("n_dropped")),
+        F.struct(F.lit(1).alias("stage"), F.lit("min_chars").alias("gate"),
+                 F.col("s1").alias("n_pass"), (F.col("s0") - F.col("s1")).alias("n_dropped")),
+        F.struct(F.lit(2).alias("stage"), F.lit("min_tokens").alias("gate"),
+                 F.col("s2").alias("n_pass"), (F.col("s1") - F.col("s2")).alias("n_dropped")),
+        F.struct(F.lit(3).alias("stage"), F.lit("lang_allowed").alias("gate"),
+                 F.col("s3").alias("n_pass"), (F.col("s2") - F.col("s3")).alias("n_dropped")),
+        F.struct(F.lit(4).alias("stage"), F.lit("min_ttr").alias("gate"),
+                 F.col("s4").alias("n_pass"), (F.col("s3") - F.col("s4")).alias("n_dropped")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.gate", "s.n_pass", "s.n_dropped"
+    )
+
+
 QUERIES = {
+    "pipeline_quality_gate": q_pipeline_quality_gate,
     "pipeline_shard_assign": q_pipeline_shard_assign,
     "pipeline_dataset_card": q_pipeline_dataset_card,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -322,6 +387,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_quality_gate": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+        "FROM documents), "
+        "st AS (SELECT doc_id, count(*) AS n_tok, "
+        "count(DISTINCT w) AS n_uniq FROM tok GROUP BY doc_id), "
+        "fl AS (SELECT "
+        f"CASE WHEN d.n_chars >= {GATE_MIN_CHARS} THEN 1 ELSE 0 END AS f1, "
+        f"CASE WHEN st.n_tok >= {GATE_MIN_TOKENS} THEN 1 ELSE 0 END AS f2, "
+        "CASE WHEN d.lang IN ('en', 'fr', 'de', 'es') THEN 1 ELSE 0 END AS f3, "
+        f"CASE WHEN CAST(st.n_uniq AS DOUBLE) / st.n_tok >= {GATE_MIN_TTR} "
+        "THEN 1 ELSE 0 END AS f4 "
+        "FROM documents d JOIN st ON d.doc_id = st.doc_id), "
+        "agg AS (SELECT count(*) AS s0, CAST(sum(f1) AS BIGINT) AS s1, "
+        "CAST(sum(f1 * f2) AS BIGINT) AS s2, "
+        "CAST(sum(f1 * f2 * f3) AS BIGINT) AS s3, "
+        "CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS s4 FROM fl) "
+        "SELECT 0 AS stage, 'input' AS gate, s0 AS n_pass, s0 - s0 AS n_dropped FROM agg "
+        "UNION ALL SELECT 1, 'min_chars', s1, s0 - s1 FROM agg "
+        "UNION ALL SELECT 2, 'min_tokens', s2, s1 - s2 FROM agg "
+        "UNION ALL SELECT 3, 'lang_allowed', s3, s2 - s3 FROM agg "
+        "UNION ALL SELECT 4, 'min_ttr', s4, s3 - s4 FROM agg"
+    ),
     "pipeline_shard_assign": (
         "WITH t AS (SELECT "
         f"('0x' || substr(md5(doc_id::VARCHAR), 29, 4))::BIGINT % {N_SHARDS} AS shard, "

@@ -186,12 +186,155 @@ def q_join_top_supplier(spark, sf_dir):
     )
 
 
+#: Q7 trading partners (both directions reported)
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_8"
+#: Q10 returned-revenue reporting quarter
+Q10_LO, Q10_HI = "1998-01-01", "1998-07-01"
+#: Q22-shape big-order threshold
+Q22_BIG = 400000.0
+
+
+def q_join_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape — yearly trade volume between two nations, both
+    directions: revenue where the supplier sits in one of the pair and
+    the customer in the other.  Output: (supp_nation, cust_nation,
+    ship_year, revenue).
+
+    Plan: both nation filters broadcast and prune suppliers/customers
+    BEFORE the fact joins; the pair predicate is two symmetric
+    conjunctions evaluated on broadcast-joined dim columns, never a
+    post-join cross filter over unpruned facts."""
+    load_tables(spark, sf_dir)
+    n = spark.table("nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    s = spark.table("supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    )
+    c = spark.table("customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    )
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_agg_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape — the returned-item report: top 20 customers by
+    revenue LOST to returns (l_returnflag = 'R') in one half-year, with
+    their nation.  The query every commerce team runs to find unhappy
+    big accounts.
+
+    Plan: returnflag + date predicates push to the lineitem scan,
+    revenue aggregates on custkey, nation broadcasts, top-20 is a
+    TakeOrderedAndProject."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= _ts(Q10_LO))
+        & (F.col("l_shipdate") < _ts(Q10_HI))
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_agg_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape — promo revenue share per ship month over one
+    year: 100·Σ(revenue where p_type = 'PROMO')/Σ(revenue).  The
+    lineitem⋈part join is the first FACT-to-midsize join in the group
+    (part is not broadcast-tiny at scale — it shuffles on partkey under
+    AQE, broadcast at fixture scale).
+
+    Plan: one pass, both sums in the same partial+final aggregate —
+    the share idiom of agg_market_share over a join key that actually
+    grows with the catalog."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = spark.table("part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = (F.col("p_type") == "PROMO").cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(F.sum(rev * promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.lit(100.0) * F.sum(rev * promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+def q_join_untapped_customers(spark, sf_dir):
+    """TPC-H Q22 shape — "untapped wealth": per market segment, the
+    customers whose account balance beats the GLOBAL average yet never
+    placed a single big order (> 400k) — scalar-subquery threshold +
+    anti join, the acquisition-target query.  Output per segment:
+    candidate count and their average balance.
+
+    Plan: the global average is a 1-row broadcast; the anti join
+    shuffles only custkeys of big orders (pre-filtered map-side); the
+    final aggregate groups five segments."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    big = o.filter(F.col("o_totalprice") > Q22_BIG).select("o_custkey").distinct()
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
 QUERIES = {
     "agg_shipping_priority": q_agg_shipping_priority,
     "join_exists_priority": q_join_exists_priority,
     "agg_local_supplier_volume": q_agg_local_supplier_volume,
     "agg_market_share": q_agg_market_share,
     "join_top_supplier": q_join_top_supplier,
+    "join_nation_trade_volume": q_join_nation_trade_volume,
+    "agg_returned_revenue": q_agg_returned_revenue,
+    "agg_promo_share": q_agg_promo_share,
+    "join_untapped_customers": q_join_untapped_customers,
 }
 
 ORACLES = {
@@ -240,6 +383,56 @@ ORACLES = {
         "JOIN supplier ON l_suppkey = s_suppkey "
         "JOIN nation ON s_nationkey = n_nationkey "
         "GROUP BY year(o_orderdate)"
+    ),
+    "join_nation_trade_volume": (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "year(l_shipdate) AS ship_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        f"WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}') "
+        f"AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}') "
+        "AND sn.n_name <> cn.n_name "
+        "GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"
+    ),
+    "agg_returned_revenue": (
+        "SELECT c_custkey, c_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        f"AND l_shipdate >= TIMESTAMP '{Q10_LO} 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{Q10_HI} 00:00:00' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY lost_revenue DESC, c_custkey LIMIT 20"
+    ),
+    "agg_promo_share": (
+        "SELECT month(l_shipdate) AS ship_month, "
+        "round(sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue, "
+        "round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY month(l_shipdate)"
+    ),
+    "join_untapped_customers": (
+        "SELECT c_mktsegment, count(*) AS n_candidates, "
+        "round(avg(c_acctbal), 2) AS avg_balance "
+        "FROM customer c "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {Q22_BIG}) "
+        "GROUP BY c_mktsegment"
     ),
     "join_top_supplier": (
         "WITH rev AS (SELECT l_suppkey, "

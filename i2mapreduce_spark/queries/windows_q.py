@@ -482,7 +482,43 @@ def q_window_top_paths(spark, sf_dir):
     )
 
 
+def q_window_percent_of_total(spark, sf_dir):
+    """Percent-of-total within group — the BI staple: each nation's
+    share of its REGION's order revenue, with a dense rank inside the
+    region.  share = nation_rev / Σ over the region partition.
+
+    Plan: revenue first collapses to one row per nation (partial+final
+    agg over orders⋈customer), THEN the window runs over the 25-row
+    aggregate partitioned by region — post-agg windows over dimension
+    cardinality are free at any data scale; the raw fact table never
+    meets a window."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    wr = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("n_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w), 4).alias(
+            "pct_of_region"
+        ),
+        F.row_number().over(wr).alias("rank_in_region"),
+    )
+
+
 QUERIES = {
+    "window_percent_of_total": q_window_percent_of_total,
     "window_top_paths": q_window_top_paths,
     "window_drawdown": q_window_drawdown,
     "window_period_over_period": q_window_period_over_period,
@@ -502,6 +538,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_percent_of_total": (
+        "WITH pn AS (SELECT r_name, n_name, sum(o_totalprice) AS rev "
+        "FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name) "
+        "SELECT r_name, n_name, round(rev, 2) AS revenue, "
+        "round(100.0 * rev / sum(rev) OVER (PARTITION BY r_name), 4) "
+        "AS pct_of_region, "
+        "row_number() OVER (PARTITION BY r_name ORDER BY rev DESC, n_name) "
+        "AS rank_in_region FROM pn"
+    ),
     "window_top_paths": (
         "WITH e AS (SELECT user_id, event_id, event_type, "
         "epoch_us(ts) AS us FROM events), "

@@ -73,6 +73,10 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_local_supplier_volume"),  # region-filtered nation dim (<=25)
     ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_market_share"),  # nation dim (25)
     ("i2mapreduce_spark/queries/tpch_q.py", "q_join_top_supplier"),  # 1-row global max
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_join_nation_trade_volume"),  # 2-nation dim slices
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_returned_revenue"),  # nation dim (25)
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_join_untapped_customers"),  # 1-row global avg
+    ("i2mapreduce_spark/queries/windows_q.py", "q_window_percent_of_total"),  # nation+region dims
     # k-bounded candidate / block tables
     ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)

@@ -165,3 +165,109 @@ def test_embedding_norm_stats_matches_numpy(spark, sf_dir):
     # the norm must be computed JVM-side: no Python rows in the plan
     plan = _plan(q_embedding_norm_stats(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trade_volume_is_bidirectional_and_cross_nation(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import (
+        Q7_NATION_A,
+        Q7_NATION_B,
+        q_join_nation_trade_volume,
+    )
+
+    rows = q_join_nation_trade_volume(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {(Q7_NATION_A, Q7_NATION_B), (Q7_NATION_B, Q7_NATION_A)}
+    assert len(pairs) == 2  # both directions present at this SF
+
+
+def test_returned_revenue_only_counts_returns(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import (
+        Q10_HI,
+        Q10_LO,
+        q_agg_returned_revenue,
+    )
+
+    load_tables(spark, sf_dir)
+    rows = q_agg_returned_revenue(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.lost_revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # recompute the top row from the raw facts
+    li = spark.table("lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit(Q10_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q10_HI).cast("timestamp_ntz"))
+    )
+    o = spark.table("orders")
+    top = rows[0]
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey") == top.c_custkey)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .collect()[0][0]
+    )
+    assert top.lost_revenue == want
+
+
+def test_promo_share_brackets_and_monthly(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import q_agg_promo_share
+
+    rows = q_agg_promo_share(spark, sf_dir).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert 0.0 <= r.promo_share_pct <= 100.0
+        assert r.promo_revenue <= r.total_revenue
+
+
+def test_untapped_customers_match_direct_recompute(spark, sf_dir):
+    from i2mapreduce_spark.queries.tpch_q import Q22_BIG, q_join_untapped_customers
+
+    load_tables(spark, sf_dir)
+    got = {
+        r.c_mktsegment: r.n_candidates
+        for r in q_join_untapped_customers(spark, sf_dir).collect()
+    }
+    c = spark.table("customer")
+    o = spark.table("orders")
+    avg_bal = c.agg(F.avg("c_acctbal")).collect()[0][0]
+    big_cust = {
+        r.o_custkey
+        for r in o.filter(F.col("o_totalprice") > Q22_BIG)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    want: dict = {}
+    for r in c.collect():
+        if r.c_acctbal > avg_bal and r.c_custkey not in big_cust:
+            want[r.c_mktsegment] = want.get(r.c_mktsegment, 0) + 1
+    assert got == want
+
+
+def test_quality_gate_funnel_is_monotone_with_real_attrition(spark, sf_dir):
+    from i2mapreduce_spark.queries.pipelines import q_pipeline_quality_gate
+
+    rows = sorted(
+        q_pipeline_quality_gate(spark, sf_dir).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    passes = [r.n_pass for r in rows]
+    assert passes == sorted(passes, reverse=True)  # monotone funnel
+    assert passes[-1] > 0  # gates don't kill the corpus
+    assert passes[-1] < passes[0]  # ...but do drop something
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_dropped == prev.n_pass - cur.n_pass
+    # the language gate must drop the disallowed language's docs
+    assert rows[3].n_dropped > 0
+
+
+def test_percent_of_total_sums_to_100_per_region(spark, sf_dir):
+    from i2mapreduce_spark.queries.windows_q import q_window_percent_of_total
+
+    pdf = q_window_percent_of_total(spark, sf_dir).toPandas()
+    assert len(pdf) == 25  # 25 nations
+    for region, g in pdf.groupby("r_name"):
+        assert abs(g.pct_of_region.sum() - 100.0) < 0.01
+        ranks = sorted(g.rank_in_region)
+        assert ranks == list(range(1, len(g) + 1))
