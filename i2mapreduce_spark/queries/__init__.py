@@ -36,12 +36,19 @@ _GROUP_MODULES = [
 # all green.  Round 4's window below = the 6 keys deferred from r3 (the
 # most expensive oracles, since trimmed) followed by the 44 cheapest of
 # the remaining never-graded keys (measured sf0.01 warm-session harness
-# cost, ascending).  The 29 keys after the 50-mark plus the 14 new r4
+# cost, ascending).  The 29 keys after the 50-mark plus the 16 new r4
 # keys (appended in module order past the graded region) are round 5's
-# planned window (43 of its 50 slots) — with them, every one of the 239
+# planned window (45 of its 50 slots) — with them, every one of the 241
 # keys will have a driver CORRECTNESS row.
 _R4_WINDOW = [
-    # -- deferred-from-r3 heavies (oracles trimmed this round) --
+    # -- deferred-from-r3 heavies.  Measured sf0.01 warm harness cost
+    # (spark+oracle): cc 4.6s, late_watermark 6.5s, pagerank ~5s,
+    # sssp_weighted 3.1s, warmstart 8.6s, embedding_cosine 7.0s ≈ 35s
+    # total.  The cost is Spark-side iteration/micro-batch scheduling
+    # floor (localCheckpoint-per-round fixpoint loops, availableNow
+    # streams), not the DuckDB oracles (<1.3s each) — trimming further
+    # would change declared semantics (fewer iterations / chunks), so
+    # they ship as-is; the 44 keys behind them total ~12s. --
     "iter_connected_components",
     "stream_late_watermark",
     "iter_pagerank",

@@ -10,6 +10,7 @@ from pyspark.sql import Window, functions as F
 
 from .. import mapred
 from ..catalog import load_tables
+from ..operators import ranking
 
 
 def _words(spark):
@@ -175,7 +176,65 @@ def q_mr_heavy_hitters(spark, sf_dir):
     )
 
 
+#: the side-data lookup a DistributedCache job ships to every task
+RETURNFLAG_DESC = {"A": "accepted", "N": "none", "R": "returned"}
+#: pagination-index stride for the total-order sort
+SORT_PAGE = 2500
+
+
+def q_mr_distributed_cache(spark, sf_dir):
+    """The reference's DistributedCache pattern (ref A1 side data):
+    a small lookup table shipped to EVERY task and consulted inside the
+    map function, never joined.  Spark-first realization: the lookup is
+    a literal `create_map` folded into the row expression — Catalyst
+    constant-folds it into codegen, the exact analog of reading the
+    cached file in Mapper.setup().  The query enriches lineitem rows
+    with the returnflag description and aggregates per description.
+
+    100 TB: zero shuffle for the enrichment (map-side expression), one
+    partial+final aggregate for the report.  A lookup too big for a
+    literal becomes sparkContext.broadcast — same no-shuffle plan."""
+    load_tables(spark, sf_dir)
+    lut = F.create_map(
+        *[F.lit(x) for kv in RETURNFLAG_DESC.items() for x in kv]
+    )
+    li = spark.table("lineitem")
+    return (
+        li.withColumn("flag_desc", F.element_at(lut, F.col("l_returnflag")))
+        .groupBy("flag_desc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_mr_total_order_sort(spark, sf_dir):
+    """TeraSort's total-order partitioning (the reference's
+    TotalOrderPartitioner, ref A5): a GLOBALLY sorted output produced
+    without ever sorting on one node — range-partition on the sort key,
+    sort within partitions, then stitch per-partition row_numbers into
+    the global rank with chunked offsets (operators/ranking).  The
+    output is the pagination index a sorted export publishes: every
+    2500th row's key with its exact global rank.
+
+    100 TB: this IS the scalable sort — each partition sorts locally in
+    parallel and only n_partitions counts coordinate; the single-node
+    alternative (a global ORDER BY window) is the anti-pattern the
+    plan-hygiene tests reject."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
+    ranked = ranking.global_row_number(
+        li, ["l_orderkey", "l_linenumber"], out_col="rnk"
+    )
+    return ranked.filter((F.col("rnk") - 1) % SORT_PAGE == 0).select(
+        "rnk", "l_orderkey", "l_linenumber"
+    )
+
+
 QUERIES = {
+    "mr_distributed_cache": q_mr_distributed_cache,
+    "mr_total_order_sort": q_mr_total_order_sort,
     "mr_heavy_hitters": q_mr_heavy_hitters,
     "mr_chain_jobs": q_mr_chain_jobs,
     "mr_wordcount": q_mr_wordcount,
@@ -186,6 +245,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mr_distributed_cache": (
+        "SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' "
+        "WHEN 'N' THEN 'none' WHEN 'R' THEN 'returned' END AS flag_desc, "
+        "count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY 1"
+    ),
+    "mr_total_order_sort": (
+        "WITH r AS (SELECT l_orderkey, l_linenumber, "
+        "row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rnk "
+        "FROM lineitem) "
+        f"SELECT rnk, l_orderkey, l_linenumber FROM r WHERE (rnk - 1) % {SORT_PAGE} = 0"
+    ),
     "mr_heavy_hitters": (
         "WITH tok AS (SELECT "
         "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word "

@@ -271,3 +271,46 @@ def test_percent_of_total_sums_to_100_per_region(spark, sf_dir):
         assert abs(g.pct_of_region.sum() - 100.0) < 0.01
         ranks = sorted(g.rank_in_region)
         assert ranks == list(range(1, len(g) + 1))
+
+
+def test_distributed_cache_lookup_is_map_side(spark, sf_dir):
+    from i2mapreduce_spark.queries.mapred_q import (
+        RETURNFLAG_DESC,
+        q_mr_distributed_cache,
+    )
+
+    load_tables(spark, sf_dir)
+    rows = q_mr_distributed_cache(spark, sf_dir).collect()
+    assert {r.flag_desc for r in rows} == set(RETURNFLAG_DESC.values())
+    assert sum(r.n_lines for r in rows) == spark.table("lineitem").count()
+    # side-data enrichment must not introduce a join or exchange before
+    # the aggregate's own shuffle: exactly one Exchange node (formatted
+    # explain prints each node twice — tree line + detail block)
+    plan = _plan(q_mr_distributed_cache(spark, sf_dir))
+    assert plan.count("Exchange") <= 2 and "Join" not in plan, plan
+
+
+def test_total_order_sort_matches_global_window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from i2mapreduce_spark.queries.mapred_q import q_mr_total_order_sort
+
+    load_tables(spark, sf_dir)
+    got = sorted(
+        (r.rnk, r.l_orderkey, r.l_linenumber)
+        for r in q_mr_total_order_sort(spark, sf_dir).collect()
+    )
+    li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    want = sorted(
+        (r.rnk, r.l_orderkey, r.l_linenumber)
+        for r in li.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") - 1) % 2500 == 0)
+        .collect()
+    )
+    assert got == want
+    # and the production path must NOT be the single-partition window
+    plan = _plan(q_mr_total_order_sort(spark, sf_dir))
+    for line in plan.splitlines():
+        if "row_number()" in line and "Arguments" in line:
+            assert "_pid" in line, f"unpartitioned rank window: {line}"
