@@ -240,3 +240,31 @@ def test_running_distinct_monotone_nondecreasing(spark, sf_dir):
         seq = sorted(grp.n_distinct_parts.tolist())
         assert seq[0] == 1
         assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
+
+
+def test_global_row_number_invariants_on_adversarial_shapes(spark, sf_dir):
+    """The chunked-offset rank must stay a bijection onto 1..n and agree
+    with the single-partition window under adversarial distributions:
+    heavy duplicates on the first key (ties resolved by the second),
+    skewed ranges, and n smaller than the partition count."""
+    from pyspark.sql import Window
+
+    from i2mapreduce_spark.operators.ranking import global_row_number
+
+    cases = [
+        # (expr for x, n_rows): duplicates-heavy, skewed, tiny
+        ("id % 3", 5000),          # 3 distinct values -> ties everywhere
+        ("CAST(pow(id % 97, 3) AS BIGINT)", 4000),   # heavy value skew
+        ("id", 5),                 # fewer rows than partitions
+    ]
+    for expr, n in cases:
+        df = spark.range(0, n).selectExpr(f"{expr} AS x", "id AS k")
+        ranked = global_row_number(df, ["x", "k"], out_col="i")
+        got = ranked.orderBy("x", "k").select("i").toPandas()["i"].tolist()
+        want = (
+            df.select(F.row_number().over(Window.orderBy("x", "k")).alias("i"))
+            .orderBy("i")
+            .toPandas()["i"]
+            .tolist()
+        )
+        assert got == want == list(range(1, n + 1)), (expr, n)
