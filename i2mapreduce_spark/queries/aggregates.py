@@ -62,6 +62,37 @@ def q_agg_distinct_count(spark, sf_dir):
     )
 
 
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via roaring-style bitmaps — the
+    warehouse technique for distinct counts that must be exact AND
+    incrementally mergeable (HLL trades exactness; plain
+    count-distinct can't merge precomputed partials): each key maps to
+    (bucket, bit position), per-(group, bucket) bitmaps OR-merge
+    associatively, and the final count sums bitmap_count per group.
+    Verified here against the plain COUNT(DISTINCT) oracle — the
+    bitmap pipeline must be exactly equal, not approximate.
+
+    100 TB: the shuffle carries fixed-size bitmap bytes per (group,
+    bucket) instead of one row per distinct value (the Expand blowup of
+    multi-distinct aggregation), and a precomputed per-partition/day
+    bitmap table supports exact distinct rollups over any date range by
+    bitmap_or_agg — the mergeability COUNT(DISTINCT) lacks."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    per_bucket = (
+        li.selectExpr(
+            "l_returnflag",
+            "bitmap_bucket_number(l_orderkey) AS bkt",
+            "bitmap_bit_position(l_orderkey) AS pos",
+        )
+        .groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct_orders")
+    )
+
+
 def q_agg_having(spark, sf_dir):
     """GROUP BY ... HAVING — filter over aggregated output."""
     load_tables(spark, sf_dir)
@@ -539,6 +570,7 @@ QUERIES = {
     "agg_decimal_exact": q_agg_decimal_exact,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_global": q_agg_global,
+    "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_distinct_count": q_agg_distinct_count,
     "agg_having": q_agg_having,
     "agg_rollup": q_agg_rollup,
@@ -640,6 +672,11 @@ ORACLES = {
         "round(avg(o_totalprice), 4) AS avg_price, "
         "round(min(o_totalprice), 2) AS min_price, "
         "round(max(o_totalprice), 2) AS max_price FROM orders"
+    ),
+    "agg_bitmap_distinct": (
+        "SELECT l_returnflag, "
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "agg_distinct_count": (
         "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, "

@@ -314,3 +314,21 @@ def test_total_order_sort_matches_global_window_rank(spark, sf_dir):
     for line in plan.splitlines():
         if "row_number()" in line and "Arguments" in line:
             assert "_pid" in line, f"unpartitioned rank window: {line}"
+
+
+def test_bitmap_distinct_equals_exact_count_distinct(spark, sf_dir):
+    from i2mapreduce_spark.queries.aggregates import q_agg_bitmap_distinct
+
+    load_tables(spark, sf_dir)
+    got = {
+        r.l_returnflag: r.n_distinct_orders
+        for r in q_agg_bitmap_distinct(spark, sf_dir).collect()
+    }
+    want = {
+        r.l_returnflag: r.n
+        for r in spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == want  # bitmap counting is EXACT, not approximate
