@@ -46,6 +46,36 @@ def q_stream_tumbling_window(spark, sf_dir):
     return tumbling_transform(spark.table("events"))
 
 
+#: per-window leaderboard depth
+STREAM_TOPK = 3
+
+
+def q_stream_windowed_topk(spark, sf_dir):
+    """Streaming leaderboard — top-3 event types per 1-hour tumbling
+    window by event count (ties -> event_type asc).  The canonical
+    two-stage streaming pattern: the WINDOWED AGGREGATE is the streaming
+    stateful stage (same state as stream_tumbling_window — ranks are not
+    state), and the per-window rank runs downstream on each emitted
+    window's closed aggregate, here expressed batch-equivalently.
+
+    100 TB/streaming note: rank-over-window-results costs one window
+    function over #windows × #types rows — thousands of rows per hour
+    regardless of event volume; the event stream itself only ever feeds
+    the incremental count state."""
+    load_tables(spark, sf_dir)
+    per_window = (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    rk = Window.partitionBy("ws").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        per_window.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= STREAM_TOPK)
+    )
+
+
 def q_stream_sliding_window(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in exactly 2
     windows; count per window start."""
@@ -506,6 +536,7 @@ QUERIES = {
     "stream_cdc_apply": q_stream_cdc_apply,
     "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,
     "stream_scd2_compact": q_stream_scd2_compact,
+    "stream_windowed_topk": q_stream_windowed_topk,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
@@ -579,6 +610,13 @@ ORACLES = {
     "stream_tumbling_window": (
         "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,"
         " round(sum(value), 2) AS total FROM events GROUP BY 1, 2"
+    ),
+    "stream_windowed_topk": (
+        "WITH pw AS (SELECT date_trunc('hour', ts) AS ws, event_type,"
+        " count(*) AS n FROM events GROUP BY 1, 2)"
+        " SELECT ws, event_type, n, rank FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY ws ORDER BY n DESC,"
+        " event_type) AS rank FROM pw) WHERE rank <= 3"
     ),
     "stream_sliding_window": (
         "SELECT ws, count(*) AS n FROM ("

@@ -332,3 +332,20 @@ def test_bitmap_distinct_equals_exact_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want  # bitmap counting is EXACT, not approximate
+
+
+def test_stream_windowed_topk_ranks_within_each_window(spark, sf_dir):
+    from i2mapreduce_spark.queries.streaming_q import (
+        STREAM_TOPK,
+        q_stream_windowed_topk,
+    )
+
+    pdf = q_stream_windowed_topk(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for ws, g in pdf.groupby("ws"):
+        ranks = sorted(g["rank"])
+        assert ranks == list(range(1, len(g) + 1))
+        assert len(g) <= STREAM_TOPK
+        # counts non-increasing along the rank order
+        ordered = g.sort_values("rank")["n"].tolist()
+        assert ordered == sorted(ordered, reverse=True)
