@@ -27,6 +27,21 @@ SPLIT_JACCARD = 0.5
 SPLIT_VAL_LO = 96
 SPLIT_TEST_LO = 98
 
+def _md5_bucket(col, n: int):
+    """Deterministic cross-engine hash bucket: 16-bit slice of md5 mod n.
+    Spark twin of :func:`_md5_bucket_sql` — change BOTH together (the
+    leakage-safe split and the shard assigner both key layout on this)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 29, 4), 16, 10)
+        .cast("long") % n
+    )
+
+
+def _md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`_md5_bucket` (same slice, same modulus)."""
+    return f"('0x' || substr(md5({expr}::VARCHAR), 29, 4))::BIGINT % {n}"
+
+
 _TOK5_CTE = (
     "tok AS (SELECT doc_id, lang, "
     "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w, "
@@ -99,10 +114,7 @@ def q_pipeline_split_leakage_safe(spark, sf_dir):
     with_cluster = d.join(
         labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).withColumn("cluster", F.coalesce(F.col("label"), F.col("doc_id")))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 29, 4), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = _md5_bucket(F.col("cluster"), 100)
     split = (
         F.when(bucket < SPLIT_VAL_LO, "train")
         .when(bucket < SPLIT_TEST_LO, "val")
@@ -288,10 +300,7 @@ def q_pipeline_shard_assign(spark, sf_dir):
     exactly this expression — the audit and the layout share the key."""
     load_tables(spark, sf_dir)
     d = spark.table("documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 29, 4), 16, 10)
-        .cast("long") % N_SHARDS
-    )
+    shard = _md5_bucket(F.col("doc_id"), N_SHARDS)
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     per = (
         d.select(shard.alias("shard"), n_tok.alias("n_tok"))
@@ -330,7 +339,11 @@ def q_pipeline_quality_gate(spark, sf_dir):
 
     Plan: one token explode feeds both the count and the distinct count;
     flags are pure expressions; the funnel is a 5-row aggregate of flag
-    conjunctions — one pass, no per-stage rescans."""
+    conjunctions — one pass, no per-stage rescans.  The stats join is a
+    LEFT join with token counts coalesced to 0: an empty/whitespace-only
+    document produces no token rows, and an inner join would silently
+    exclude it from the stage-0 input count — the exact degenerate doc
+    the funnel exists to count as dropped."""
     load_tables(spark, sf_dir)
     d = spark.table("documents")
     toks = d.select(
@@ -341,11 +354,15 @@ def q_pipeline_quality_gate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tok"),
         F.countDistinct("w").alias("n_uniq"),
     )
-    flagged = d.join(stats, "doc_id").select(
+    n_tok0 = F.coalesce(F.col("n_tok"), F.lit(0))
+    n_uniq0 = F.coalesce(F.col("n_uniq"), F.lit(0))
+    flagged = d.join(stats, "doc_id", "left").select(
         (F.col("n_chars") >= GATE_MIN_CHARS).cast("int").alias("f1"),
-        (F.col("n_tok") >= GATE_MIN_TOKENS).cast("int").alias("f2"),
+        (n_tok0 >= GATE_MIN_TOKENS).cast("int").alias("f2"),
         F.col("lang").isin(*GATE_LANGS).cast("int").alias("f3"),
-        (F.col("n_uniq") / F.col("n_tok") >= GATE_MIN_TTR).cast("int").alias("f4"),
+        F.when(n_tok0 > 0, (n_uniq0 / n_tok0 >= GATE_MIN_TTR).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("f4"),
     )
     p1 = F.col("f1")
     p2 = p1 * F.col("f2")
@@ -395,11 +412,12 @@ ORACLES = {
         "count(DISTINCT w) AS n_uniq FROM tok GROUP BY doc_id), "
         "fl AS (SELECT "
         f"CASE WHEN d.n_chars >= {GATE_MIN_CHARS} THEN 1 ELSE 0 END AS f1, "
-        f"CASE WHEN st.n_tok >= {GATE_MIN_TOKENS} THEN 1 ELSE 0 END AS f2, "
+        f"CASE WHEN coalesce(st.n_tok, 0) >= {GATE_MIN_TOKENS} THEN 1 ELSE 0 END AS f2, "
         "CASE WHEN d.lang IN ('en', 'fr', 'de', 'es') THEN 1 ELSE 0 END AS f3, "
-        f"CASE WHEN CAST(st.n_uniq AS DOUBLE) / st.n_tok >= {GATE_MIN_TTR} "
+        "CASE WHEN coalesce(st.n_tok, 0) > 0 "
+        f"AND CAST(st.n_uniq AS DOUBLE) / st.n_tok >= {GATE_MIN_TTR} "
         "THEN 1 ELSE 0 END AS f4 "
-        "FROM documents d JOIN st ON d.doc_id = st.doc_id), "
+        "FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id), "
         "agg AS (SELECT count(*) AS s0, CAST(sum(f1) AS BIGINT) AS s1, "
         "CAST(sum(f1 * f2) AS BIGINT) AS s2, "
         "CAST(sum(f1 * f2 * f3) AS BIGINT) AS s3, "
@@ -412,7 +430,7 @@ ORACLES = {
     ),
     "pipeline_shard_assign": (
         "WITH t AS (SELECT "
-        f"('0x' || substr(md5(doc_id::VARCHAR), 29, 4))::BIGINT % {N_SHARDS} AS shard, "
+        f"{_md5_bucket_sql('doc_id', N_SHARDS)} AS shard, "
         "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "
         "FROM documents), "
         "per AS (SELECT shard, count(*) AS n_docs, "
@@ -485,7 +503,7 @@ ORACLES = {
         "coalesce(l.label, d.doc_id) AS cluster FROM documents d "
         "LEFT JOIN lab l ON d.doc_id = l.node), "
         "bucketed AS (SELECT lang, "
-        "('0x' || substr(md5(cluster::VARCHAR), 29, 4))::BIGINT % 100 AS b FROM assign) "
+        f"{_md5_bucket_sql('cluster', 100)} AS b FROM assign) "
         f"SELECT CASE WHEN b < {SPLIT_VAL_LO} THEN 'train' "
         f"WHEN b < {SPLIT_TEST_LO} THEN 'val' ELSE 'test' END AS split, "
         "lang, count(*) AS n_docs FROM bucketed GROUP BY 1, 2"
