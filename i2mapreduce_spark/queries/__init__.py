@@ -36,9 +36,9 @@ _GROUP_MODULES = [
 # all green.  Round 4's window below = the 6 keys deferred from r3 (the
 # most expensive oracles, since trimmed) followed by the 44 cheapest of
 # the remaining never-graded keys (measured sf0.01 warm-session harness
-# cost, ascending).  The 29 keys after the 50-mark plus the 18 new r4
+# cost, ascending).  The 29 keys after the 50-mark plus the 20 new r4
 # keys (appended in module order past the graded region) are round 5's
-# planned window (47 of its 50 slots) — with them, every one of the 243
+# planned window (49 of its 50 slots) — with them, every one of the 245
 # keys will have a driver CORRECTNESS row.
 _R4_WINDOW = [
     # -- deferred-from-r3 heavies.  Measured sf0.01 warm harness cost

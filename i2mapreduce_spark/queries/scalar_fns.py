@@ -149,6 +149,40 @@ def q_fn_hash_digest(spark, sf_dir):
     )
 
 
+#: fixed 128-bit demo key for the AES surface (fixture-only, obviously)
+AES_KEY = "0123456789abcdef"
+
+
+def q_fn_aes_roundtrip(spark, sf_dir):
+    """Column-level AES encryption — the PII-protection primitive a
+    governed lakehouse applies to name/email columns at rest: encrypt
+    customer names under a 128-bit key (ECB here so the ciphertext —
+    and therefore this test — is deterministic; production uses GCM,
+    whose random IV makes ciphertext non-reproducible by design),
+    decrypt back, and report the PKCS7 ciphertext length.  The
+    round-trip must be lossless and the padded length exactly
+    (len/16 + 1)·16, both hash-checked (DuckDB computes the expected
+    values without any AES support — the roundtrip equals the
+    plaintext, the length is arithmetic).
+
+    100 TB: both functions are JVM codegen expressions — encryption adds
+    zero shuffle; a key-rotation rewrite is one map-only pass."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    cipher = F.expr(
+        f"aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB')"
+    )
+    plain = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB'), "
+        f"'{AES_KEY}', 'ECB') AS STRING)"
+    )
+    return c.select(
+        "c_custkey",
+        plain.alias("name_roundtrip"),
+        F.length(cipher).alias("cipher_len"),
+    )
+
+
 def q_fn_string_pad(spark, sf_dir):
     """Pad/trim/reverse/repeat/translate string surface (no initcap —
     absent from DuckDB 1.0)."""
@@ -397,6 +431,7 @@ QUERIES = {
     "fn_struct_map": q_fn_struct_map,
     "fn_bitwise_conditional": q_fn_bitwise_conditional,
     "fn_interval_arith": q_fn_interval_arith,
+    "fn_aes_roundtrip": q_fn_aes_roundtrip,
     "fn_hash_digest": q_fn_hash_digest,
     "fn_string_pad": q_fn_string_pad,
     "fn_trig": q_fn_trig,
@@ -494,6 +529,10 @@ ORACLES = {
         "make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_floor, "
         "CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sec_of_day "
         "FROM events"
+    ),
+    "fn_aes_roundtrip": (
+        "SELECT c_custkey, c_name AS name_roundtrip, "
+        "(length(c_name) // 16 + 1) * 16 AS cipher_len FROM customer"
     ),
     "fn_hash_digest": (
         "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 "

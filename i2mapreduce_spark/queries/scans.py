@@ -189,6 +189,44 @@ def q_sink_partitioned_pruning(spark, sf_dir):
     )
 
 
+def q_sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the operational sink mode every
+    partitioned-table pipeline relies on for idempotent backfills:
+    `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    incoming batch contains, leaving siblings untouched (static mode
+    would wipe the whole table root).  Exercise: write orders
+    partitioned by status, then overwrite just the 'F' partition with
+    repriced rows (2×); 'O'/'P' must survive byte-for-byte.  Output:
+    per-status counts + totals, hash-checked against the expected merge
+    computed from the base table.
+
+    100 TB: this is how a daily backfill rewrites one day-dir of a
+    date-partitioned table in place — the overwrite's blast radius is
+    the batch's own partition set, never the table."""
+    load_tables(spark, sf_dir)
+    out = _scratch_dir("i2mr_dynpart_") + "/orders_dyn"
+    o = spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    repriced_f = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repriced_f.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_sink_upsert_merge(spark, sf_dir):
     """Lakehouse-style MERGE (upsert) without a table format: a delta
     batch of updates (every 10th order, repriced) and inserts (new keys
@@ -384,6 +422,7 @@ QUERIES = {
     "source_text_kv": q_source_text_kv,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "sink_partitioned_pruning": q_sink_partitioned_pruning,
+    "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "sink_upsert_merge": q_sink_upsert_merge,
     "sink_bucketed_join": q_sink_bucketed_join,
     "source_incremental_files": q_source_incremental_files,
@@ -435,6 +474,12 @@ ORACLES = {
     "sink_partitioned_pruning": (
         "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, "
         "o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    "sink_dynamic_partition_overwrite": (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(sum(CASE WHEN o_orderstatus = 'F' "
+        "THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total "
+        "FROM orders GROUP BY o_orderstatus"
     ),
     "sink_upsert_merge": (
         "WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src "

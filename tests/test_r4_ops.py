@@ -349,3 +349,60 @@ def test_stream_windowed_topk_ranks_within_each_window(spark, sf_dir):
         # counts non-increasing along the rank order
         ordered = g.sort_values("rank")["n"].tolist()
         assert ordered == sorted(ordered, reverse=True)
+
+
+def test_dynamic_overwrite_touches_only_its_partitions(spark, sf_dir):
+    from i2mapreduce_spark.queries.scans import q_sink_dynamic_partition_overwrite
+
+    load_tables(spark, sf_dir)
+    got = {
+        r.o_orderstatus: (r.n, r.total)
+        for r in q_sink_dynamic_partition_overwrite(spark, sf_dir).collect()
+    }
+    base = {
+        r.o_orderstatus: (r.n, r.total)
+        for r in spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(base)
+    for status, (n, total) in base.items():
+        gn, gtotal = got[status]
+        assert gn == n  # row counts survive everywhere
+        if status == "F":
+            assert abs(gtotal - round(total * 2, 2)) < 0.05  # repriced
+        else:
+            assert gtotal == total  # sibling partitions untouched
+    # the overwrite-mode conf must be restored afterward
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+
+def test_aes_roundtrip_is_lossless_and_really_encrypts(spark, sf_dir):
+    from i2mapreduce_spark.queries.scalar_fns import AES_KEY, q_fn_aes_roundtrip
+
+    load_tables(spark, sf_dir)
+    rows = q_fn_aes_roundtrip(spark, sf_dir).collect()
+    names = {
+        r.c_custkey: r.c_name for r in spark.table("customer").collect()
+    }
+    for r in rows:
+        assert r.name_roundtrip == names[r.c_custkey]  # lossless
+        assert r.cipher_len % 16 == 0 and r.cipher_len > len(r.name_roundtrip) - 16
+    # ciphertext must differ from plaintext bytes (it IS encrypted)
+    one = (
+        spark.table("customer")
+        .limit(1)
+        .selectExpr(
+            f"cast(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB') AS STRING) AS ct",
+            "c_name",
+        )
+        .collect()[0]
+    )
+    assert one.ct != one.c_name
