@@ -368,3 +368,38 @@ def test_session_timeout_evicts_state_and_matches_batch(spark, sf_dir):
 
     per_user = Counter(u for u, *_ in missing)
     assert all(v <= 1 for v in per_user.values())
+
+
+def test_windowed_topk_stream_equals_batch(spark, sf_dir):
+    """stream_windowed_topk's claim: the windowed COUNT is the streaming
+    stateful stage and the rank runs downstream of each closed window.
+    Prove it — stream the per-window counts through the chunk harness in
+    complete mode, rank the sink table, and the leaderboard must equal
+    the batch key's output exactly."""
+    from pyspark.sql.window import Window
+
+    from i2mapreduce_spark.queries.streaming_q import (
+        STREAM_TOPK,
+        q_stream_windowed_topk,
+    )
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    chunks = chunk_events(spark, ev, n=3)
+
+    def per_window_counts(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    streamed = stream_over_chunks(
+        spark, chunks, per_window_counts, "complete", "wtopk_sink"
+    )
+    rk = Window.partitionBy("ws").orderBy(F.col("n").desc(), F.col("event_type"))
+    ranked = (
+        streamed.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= STREAM_TOPK)
+    )
+    assert _rows(ranked) == _rows(q_stream_windowed_topk(spark, sf_dir))
