@@ -114,6 +114,16 @@ def test_warmstart_converges_faster(spark, sf_dir):
     assert warm.iterations < cold2.iterations, (
         f"warm {warm.iterations} vs cold {cold2.iterations}"
     )
+    # and the warm ANSWER matches the cold recompute on the same
+    # perturbed graph — fewer iterations, same fixpoint (both stopped at
+    # tol, so ranks agree to tol-scale drift, not just row counts)
+    drift = (
+        warm.state.alias("w")
+        .join(cold2.state.alias("c"), "node")
+        .agg(F.max(F.abs(F.col("w.rank") - F.col("c.rank"))))
+        .collect()[0][0]
+    )
+    assert drift < WARMSTART_TOL * 10, f"warm/cold fixpoint drift {drift}"
 
 
 def test_kmeans_warmstart_converges_faster(spark, sf_dir):
