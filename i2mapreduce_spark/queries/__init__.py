@@ -31,103 +31,66 @@ _GROUP_MODULES = [
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
-# (r1/r2/r3 each produced exactly-50-key CORRECTNESS files cut at the
-# 50th key in registry order).  Rounds 1-3 covered 146 distinct keys,
-# all green.  Round 4's window below = the 6 keys deferred from r3 (the
-# most expensive oracles, since trimmed) followed by the 44 cheapest of
-# the remaining never-graded keys (measured sf0.01 warm-session harness
-# cost, ascending).  The 29 keys after the 50-mark plus the 20 new r4
-# keys (appended in module order past the graded region) are round 5's
-# planned window (49 of its 50 slots) — with them, every one of the 245
-# keys will have a driver CORRECTNESS row.
-_R4_WINDOW = [
-    # -- deferred-from-r3 heavies.  Measured sf0.01 warm harness cost
-    # (spark+oracle): cc 4.6s, late_watermark 6.5s, pagerank ~5s,
-    # sssp_weighted 3.1s, warmstart 8.6s, embedding_cosine 7.0s ≈ 35s
-    # total.  The cost is Spark-side iteration/micro-batch scheduling
-    # floor (localCheckpoint-per-round fixpoint loops, availableNow
-    # streams), not the DuckDB oracles (<1.3s each) — trimming further
-    # would change declared semantics (fewer iterations / chunks), so
-    # they ship as-is; the 44 keys behind them total ~12s. --
-    "iter_connected_components",
-    "stream_late_watermark",
-    "iter_pagerank",
-    "iter_sssp_weighted",
-    "inc_iter_warmstart",
-    "dedup_embedding_cosine",
-    # -- 44 cheapest never-graded keys, ascending measured cost --
-    "sample_reservoir",
+# (r1-r4 each produced exactly-50-key CORRECTNESS files cut at the 50th
+# key in registry order).  Rounds 1-4 covered 196 distinct keys; all
+# green except agg_freq_items (array-column output crashed the driver's
+# canonicalizer — fixed this round by flattening to comma-joined
+# strings, re-queued below).  Round 5's window = the 49 keys that have
+# never had a driver CORRECTNESS row (the 29 post-window r3 keys + the
+# 20 r4 keys) + the re-queued agg_freq_items = exactly 50, ordered by
+# measured sf0.01 warm-session harness cost ascending.  After r5 every
+# one of the 245 keys has a driver row.
+_R5_WINDOW = [
+    # -- cheap scalar/window/agg keys (≲0.5 s each at sf0.01) --
+    "fn_aes_roundtrip",
     "agg_freq_items",
-    "fn_base64_hex",
-    "agg_approx_percentile",
-    "text_readability",
-    "fn_url_parse",
-    "pipeline_mixture_weights",
-    "stream_cdc_apply",
-    "agg_mode",
-    "pipeline_pack_sequences",
-    "agg_gini",
-    "agg_linreg",
-    "ts_time_weighted_avg",
-    "agg_decimal_exact",
-    "dq_benford",
-    "multimodal_audio_energy",
-    "join_mark_exists",
-    "agg_equidepth_histogram",
-    "window_pattern_regex",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "multimodal_phash",
-    "window_moving_median",
-    "text_zipf_fit",
-    "embedding_quantize",
-    "join_prefilter_bitmap",
-    "pipeline_dataset_card",
-    "fn_ip_addr",
-    "text_entropy",
-    "source_schema_evolution",
-    "dq_constraint_check",
-    "window_period_over_period",
-    "window_anomaly_zscore",
-    "setop_symmetric_diff",
-    "agg_skew_kurt",
-    "agg_weighted_median",
-    "window_ewma",
-    "window_retention_cohort",
-    "join_interval_overlap",
-    "dq_drift_psi",
-    "ts_resample_interpolate",
-    "stream_scd2_compact",
-    "dq_uniqueness",
-    "join_point_in_time",
-    # ---- round-5 window starts here (the last 29 ungraded keys) ----
-    "window_robust_zscore",
-    "text_boilerplate_ratio",
-    "udaf_kmv_distinct",
-    "text_collocations_pmi",
-    "text_bigram_lm_score",
+    "stream_windowed_topk",
+    "mr_distributed_cache",
+    "pipeline_shard_assign",
+    "embedding_norm_stats",
+    "agg_promo_share",
+    "agg_bitmap_distinct",
+    "join_untapped_customers",
+    "join_top_supplier",
+    "agg_returned_revenue",
+    "agg_shipping_priority",
+    "agg_local_supplier_volume",
+    "agg_market_share",
+    "window_percent_of_total",
+    "join_nation_trade_volume",
+    "join_exists_priority",
+    "pipeline_quality_gate",
+    "sink_dynamic_partition_overwrite",
+    "mr_total_order_sort",
+    "window_top_paths",
     "mr_heavy_hitters",
+    "join_geo_radius",
+    "window_drawdown",
+    "text_bigram_lm_score",
     "window_funnel_stages",
     "text_repetition_ratio",
-    "inc_join_delta",
-    "join_geo_radius",
-    "filter_dynamic_partition_pruning",
     "pipeline_decontaminate",
-    "window_top_paths",
-    "dq_referential_integrity",
-    "join_spatial_knn",
+    "inc_join_delta",
     "source_json_nested",
+    "dq_referential_integrity",
+    "text_collocations_pmi",
+    "join_spatial_knn",
     "sink_compact_small_files",
-    "window_drawdown",
+    "dedup_url_canonicalize",
+    "filter_dynamic_partition_pruning",
     "dedup_ensemble_vote",
     "window_running_distinct",
     "dq_profile",
+    "text_boilerplate_ratio",
+    "udaf_kmv_distinct",
+    # -- iterative / streaming keys (fixpoint-loop scheduling floor) --
     "iter_label_propagation",
     "iter_kcore",
-    "stream_foreachbatch_upsert",
-    "iter_sssp_parents",
     "iter_markov_walk",
+    "stream_foreachbatch_upsert",
     "pipeline_split_leakage_safe",
+    "window_robust_zscore",
+    "iter_sssp_parents",
     "iter_pagerank_personalized",
     "iter_hits",
 ]
@@ -147,7 +110,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R4_WINDOW:
+    for k in _R5_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

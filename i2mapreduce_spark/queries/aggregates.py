@@ -522,13 +522,21 @@ def q_agg_freq_items(spark, sf_dir):
     candidate items with frequency above 5% in returnflag and
     orderstatus-by-priority columns.  Sketch output is a SUPERSET of the
     true frequent items (rows-only by design); the no-false-negative
-    guarantee is asserted against exact counts in tests."""
+    guarantee is asserted against exact counts in tests.
+
+    Output is flattened to scalar columns (sorted, comma-joined) per the
+    grading contract's flat-columns rule — array columns are unhashable
+    in the driver's pandas canonicalizer."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     fi = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.05)
     return fi.select(
-        F.array_sort("l_returnflag_freqItems").alias("flag_candidates"),
-        F.array_sort("l_linestatus_freqItems").alias("status_candidates"),
+        F.array_join(F.array_sort("l_returnflag_freqItems"), ",").alias(
+            "flag_candidates"
+        ),
+        F.array_join(F.array_sort("l_linestatus_freqItems"), ",").alias(
+            "status_candidates"
+        ),
     )
 
 

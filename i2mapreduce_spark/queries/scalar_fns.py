@@ -156,25 +156,27 @@ AES_KEY = "0123456789abcdef"
 def q_fn_aes_roundtrip(spark, sf_dir):
     """Column-level AES encryption — the PII-protection primitive a
     governed lakehouse applies to name/email columns at rest: encrypt
-    customer names under a 128-bit key (ECB here so the ciphertext —
-    and therefore this test — is deterministic; production uses GCM,
-    whose random IV makes ciphertext non-reproducible by design),
-    decrypt back, and report the PKCS7 ciphertext length.  The
-    round-trip must be lossless and the padded length exactly
-    (len/16 + 1)·16, both hash-checked (DuckDB computes the expected
-    values without any AES support — the roundtrip equals the
-    plaintext, the length is arithmetic).
+    customer names under a 128-bit key with AES-GCM (the authenticated
+    production mode — never use ECB for real PII), decrypt back, and
+    report the ciphertext length.  GCM's IV is normally random; here we
+    pass an explicit fixed 12-byte IV so the ciphertext — and therefore
+    this test — is deterministic (production derives a fresh IV per
+    value).  Spark's GCM output is IV(12) || ciphertext(len) || tag(16),
+    so cipher_len = len + 28 exactly — DuckDB computes the expected
+    values without any AES support: the roundtrip equals the plaintext,
+    the length is arithmetic.
 
     100 TB: both functions are JVM codegen expressions — encryption adds
     zero shuffle; a key-rotation rewrite is one map-only pass."""
     load_tables(spark, sf_dir)
     c = spark.table("customer")
+    iv = "unhex('000102030405060708090a0b')"  # fixed 12-byte GCM IV (test-only)
     cipher = F.expr(
-        f"aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB')"
+        f"aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'GCM', 'DEFAULT', {iv})"
     )
     plain = F.expr(
-        f"cast(aes_decrypt(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB'), "
-        f"'{AES_KEY}', 'ECB') AS STRING)"
+        f"cast(aes_decrypt(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', "
+        f"'GCM', 'DEFAULT', {iv}), '{AES_KEY}', 'GCM') AS STRING)"
     )
     return c.select(
         "c_custkey",
@@ -531,8 +533,9 @@ ORACLES = {
         "FROM events"
     ),
     "fn_aes_roundtrip": (
+        # GCM: IV(12) + ciphertext(= plaintext length) + auth tag(16)
         "SELECT c_custkey, c_name AS name_roundtrip, "
-        "(length(c_name) // 16 + 1) * 16 AS cipher_len FROM customer"
+        "length(c_name) + 28 AS cipher_len FROM customer"
     ),
     "fn_hash_digest": (
         "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 "

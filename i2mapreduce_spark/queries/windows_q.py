@@ -491,7 +491,11 @@ def q_window_percent_of_total(spark, sf_dir):
     agg over orders⋈customer), THEN the window runs over the 25-row
     aggregate partitioned by region — post-agg windows over dimension
     cardinality are free at any data scale; the raw fact table never
-    meets a window."""
+    meets a window.
+
+    Sums run over DECIMAL(18,2) so they are exact in any addition order;
+    the double conversion happens once per already-reduced value, so the
+    rounded share can't sit on an engine-dependent ulp knife-edge."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
     c = spark.table("customer")
@@ -502,17 +506,20 @@ def q_window_percent_of_total(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
     w = Window.partitionBy("r_name")
     wr = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("n_name"))
     return per_nation.select(
         "r_name",
         "n_name",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w), 4).alias(
-            "pct_of_region"
-        ),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            4,
+        ).alias("pct_of_region"),
         F.row_number().over(wr).alias("rank_in_region"),
     )
 
@@ -539,14 +546,16 @@ QUERIES = {
 
 ORACLES = {
     "window_percent_of_total": (
-        "WITH pn AS (SELECT r_name, n_name, sum(o_totalprice) AS rev "
+        "WITH pn AS (SELECT r_name, n_name, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "
         "FROM orders "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name, n_name) "
-        "SELECT r_name, n_name, round(rev, 2) AS revenue, "
-        "round(100.0 * rev / sum(rev) OVER (PARTITION BY r_name), 4) "
+        "SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 2) AS revenue, "
+        "round(100.0 * CAST(rev AS DOUBLE) / "
+        "CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 4) "
         "AS pct_of_region, "
         "row_number() OVER (PARTITION BY r_name ORDER BY rev DESC, n_name) "
         "AS rank_in_region FROM pn"

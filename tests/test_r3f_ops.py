@@ -85,8 +85,8 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
     li = spark.table("lineitem")
     n = li.count()
     for col, cands in (
-        ("l_returnflag", set(row.flag_candidates)),
-        ("l_linestatus", set(row.status_candidates)),
+        ("l_returnflag", set(row.flag_candidates.split(","))),
+        ("l_linestatus", set(row.status_candidates.split(","))),
     ):
         truth = {
             r[col]

@@ -394,13 +394,15 @@ def test_aes_roundtrip_is_lossless_and_really_encrypts(spark, sf_dir):
     }
     for r in rows:
         assert r.name_roundtrip == names[r.c_custkey]  # lossless
-        assert r.cipher_len % 16 == 0 and r.cipher_len > len(r.name_roundtrip) - 16
+        # GCM layout: IV(12) || ciphertext(plaintext len) || tag(16)
+        assert r.cipher_len == len(r.name_roundtrip) + 28
     # ciphertext must differ from plaintext bytes (it IS encrypted)
     one = (
         spark.table("customer")
         .limit(1)
         .selectExpr(
-            f"cast(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'ECB') AS STRING) AS ct",
+            f"cast(aes_encrypt(cast(c_name AS BINARY), '{AES_KEY}', 'GCM', "
+            "'DEFAULT', unhex('000102030405060708090a0b')) AS STRING) AS ct",
             "c_name",
         )
         .collect()[0]
