@@ -93,21 +93,36 @@ def cosine_topk(spark: SparkSession, emb_df: DataFrame, k: int = 5,
         out_v, out_n, out_s = [], [], []
 
         def emit_topk(q_ids, c_ids, sims_qc):
-            # rows = queries, cols = candidates with id > query id
-            for i, vid in enumerate(q_ids):
-                mask = c_ids > vid
-                if not mask.any():
-                    continue
-                cand, sims = c_ids[mask], sims_qc[i][mask]
-                top = np.lexsort((cand, -sims))[:k]
-                out_v.extend([vid] * len(top))
-                out_n.extend(cand[top])
-                out_s.extend(sims[top])
+            # rows = queries, cols = candidates with id > query id.
+            # Fully vectorized: one lexsort across all rows (primary
+            # -sim asc == sim desc, secondary nbr asc — identical tie
+            # semantics to a per-row lexsort((cand, -sims))[:k]);
+            # invalid candidates are -inf, which sorts last and is
+            # dropped by the isfinite filter.
+            valid = c_ids[None, :] > q_ids[:, None]
+            if not valid.any():
+                return
+            Sm = np.where(valid, sims_qc, -np.inf)
+            Cb = np.broadcast_to(c_ids, Sm.shape)
+            order = np.lexsort((Cb, -Sm), axis=1)[:, :k]
+            sel_s = np.take_along_axis(Sm, order, axis=1)
+            sel_c = np.take_along_axis(Cb, order, axis=1)
+            keep = np.isfinite(sel_s)
+            qq = np.repeat(q_ids, order.shape[1]).reshape(sel_s.shape)
+            out_v.append(qq[keep])
+            out_n.append(sel_c[keep])
+            out_s.append(sel_s[keep])
 
         emit_topk(lid, rid, S)
         if not same_block:  # right rows may also be the smaller id
             emit_topk(rid, lid, S.T)
-        return pd.DataFrame({"vec_id": out_v, "nbr": out_n, "sim": out_s})
+        if not out_v:
+            return pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_v),
+            "nbr": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        })
 
     cand = (
         left.groupBy("gi", "gj")
@@ -230,6 +245,40 @@ def embedding_dedup_groups(spark: SparkSession, emb_df: DataFrame,
     )
 
 
+def _score_id_pairs(cand: DataFrame, emb_df: DataFrame,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine for an id-pair candidate frame (vec_id, nbr).
+
+    The ANN candidate generators ship ONLY ids through their bucket/cell
+    exchanges; this helper joins each side's vector back exactly once
+    (two id-equi-joins against the deduped candidate set — at 100 TB the
+    vector payload moves O(candidates), not O(candidates x n_tables))
+    and scores the pairs in a loop-free Arrow kernel."""
+    v = emb_df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    paired = (
+        cand.join(v, cand["vec_id"] == v["__vid"])
+        .select("vec_id", "nbr", F.col("__v").alias("va"))
+        .join(v, F.col("nbr") == v["__vid"])
+        .select("vec_id", "nbr", "va", F.col("__v").alias("vb"))
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
+                continue
+            A = np.stack(pdf["va"].values).astype(np.float64)
+            B = np.stack(pdf["vb"].values).astype(np.float64)
+            an = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+            bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+            sims = np.round((A * B).sum(axis=1) / (an * bn), 4)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "nbr": pdf["nbr"].values, "sim": sims}
+            )
+
+    return paired.mapInPandas(score, schema="vec_id long, nbr long, sim double")
+
+
 def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_lists: int = 16, n_probe: int = 4, train_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -260,54 +309,41 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     bc = spark.sparkContext.broadcast(C)
 
     def assign(batches):
+        # loop-free Arrow kernel: the (row, probe) fan-out is pure
+        # np.repeat/reshape array construction — no per-row Python
         cen = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             A = np.stack(pdf[vec_col].values).astype(np.float64)
             A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
             sims = A @ cen.T
-            order = np.argsort(-sims, axis=1, kind="stable")
-            rows = {"vec_id": [], "cell": [], "is_probe": [], vec_col: []}
-            for i, vid in enumerate(pdf[id_col].values):
-                for j in range(n_probe):
-                    rows["vec_id"].append(vid)
-                    rows["cell"].append(int(order[i, j]))
-                    # member row only in the home cell; probe rows in all
-                    rows["is_probe"].append(j > 0)
-                    rows[vec_col].append(list(pdf[vec_col].values[i]))
-            yield pd.DataFrame(rows)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].values
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, n_probe),
+                "cell": order.reshape(-1).astype(np.int32),
+                # member row only in the home cell; probe rows in all
+                "is_probe": np.tile(np.arange(n_probe) > 0, len(ids)),
+            })
 
+    # id-only placement: the cell-keyed exchange carries (id, cell, flag)
+    # rows — candidate row width is independent of n_probe and dim; the
+    # full vectors are joined back exactly once, after candidate dedup
     placed = emb_df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"vec_id long, cell int, is_probe boolean, {vec_col} array<float>"
+        assign, schema="vec_id long, cell int, is_probe boolean"
     )
     members = placed.filter(~F.col("is_probe")).select(
-        F.col("vec_id").alias("m_id"), "cell", F.col(vec_col).alias("m_vec")
+        F.col("vec_id").alias("m_id"), "cell"
     )
-    probes = placed.select(F.col("vec_id").alias("q_id"), "cell", F.col(vec_col).alias("q_vec"))
+    probes = placed.select(F.col("vec_id").alias("q_id"), "cell")
     cand = (
         probes.join(members, "cell")
         .filter(F.col("m_id") > F.col("q_id"))
-        .select(
-            F.col("q_id").alias("vec_id"), F.col("m_id").alias("nbr"),
-            F.col("q_vec").alias("va"), F.col("m_vec").alias("vb"),
-        )
+        .select(F.col("q_id").alias("vec_id"), F.col("m_id").alias("nbr"))
         .dropDuplicates(["vec_id", "nbr"])
     )
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
-                continue
-            A = np.stack(pdf["va"].values).astype(np.float64)
-            B = np.stack(pdf["vb"].values).astype(np.float64)
-            an = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
-            bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
-            sims = np.round((A * B).sum(axis=1) / (an * bn), 4)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "nbr": pdf["nbr"].values, "sim": sims}
-            )
-
-    scored = cand.mapInPandas(score, schema="vec_id long, nbr long, sim double")
+    scored = _score_id_pairs(cand, emb_df, id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr"))
@@ -339,21 +375,28 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     bc = spark.sparkContext.broadcast(planes)
 
     def signatures(batches):
-        pl = bc.value
+        # loop-free over rows: one einsum projects every (table, row)
+        # pair at once; the (row, table) fan-out is np.tile/np.repeat
+        pl = bc.value  # (n_tables, n_planes, dim)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             A = np.stack(pdf[vec_col].values).astype(np.float64)
-            rows = {"vec_id": [], "table": [], "bucket": [], vec_col: []}
-            for t in range(pl.shape[0]):
-                bits = (A @ pl[t].T) > 0
-                buckets = bits.dot(1 << np.arange(bits.shape[1]))
-                rows["vec_id"].extend(pdf[id_col].values)
-                rows["table"].extend([t] * len(pdf))
-                rows["bucket"].extend(buckets)
-                rows[vec_col].extend(list(pdf[vec_col].values))
-            yield pd.DataFrame(rows)
+            ids = pdf[id_col].values
+            T = pl.shape[0]
+            bits = np.einsum("nd,tpd->tnp", A, pl) > 0  # (T, n, n_planes)
+            buckets = bits.dot(1 << np.arange(pl.shape[1]))  # (T, n)
+            yield pd.DataFrame({
+                "vec_id": np.tile(ids, T),
+                "table": np.repeat(np.arange(T, dtype=np.int32), len(ids)),
+                "bucket": buckets.reshape(-1),
+            })
 
+    # id-only signatures: the bucket-keyed self-join exchanges
+    # (id, table, bucket) rows — width independent of n_tables and dim;
+    # vectors are joined back once after candidate dedup
     sig = emb_df.select(id_col, vec_col).mapInPandas(
-        signatures, schema=f"vec_id long, table int, bucket long, {vec_col} array<float>"
+        signatures, schema="vec_id long, table int, bucket long"
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
@@ -366,29 +409,10 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nbr"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["vec_id", "nbr"])
     )
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
-                continue
-            A = np.stack(pdf["va"].values).astype(np.float64)
-            B = np.stack(pdf["vb"].values).astype(np.float64)
-            an = np.linalg.norm(A, axis=1)
-            bn = np.linalg.norm(B, axis=1)
-            an[an == 0] = 1.0
-            bn[bn == 0] = 1.0
-            sims = np.round((A * B).sum(axis=1) / (an * bn), 4)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "nbr": pdf["nbr"].values, "sim": sims}
-            )
-
-    scored = cand.mapInPandas(score, schema="vec_id long, nbr long, sim double")
+    scored = _score_id_pairs(cand, emb_df, id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr"))

@@ -133,9 +133,13 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
-#: build-time-cheap keys only: iterative/incremental/streaming/ANN keys run
-#: driver loops or real streams inside the query builder itself
-_HYGIENE_SKIP = ("iter_", "inc_", "stream_", "sim_", "dedup_", "multimodal_", "udf_grouped")
+#: skip only keys whose query BUILDER runs driver loops or real streams
+#: (fixpoint iteration, availableNow micro-batches) — building their plan
+#: executes them.  The sim_/dedup_/multimodal_ LLM-ops keys are plan-
+#: buildable and swept like everything else; their Arrow kernels surface
+#: as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas, which the sweep
+#: deliberately permits — only row-at-a-time BatchEvalPython is flagged.
+_HYGIENE_SKIP = ("iter_", "inc_", "stream_")
 #: deliberate exceptions, each a declared surface of its own
 _ALLOW_CARTESIAN = {"join_cross"}
 _ALLOW_ROW_PYTHON = {"udf_python_scalar", "udtf_python_native", "udtf_split_props"}
