@@ -420,7 +420,32 @@ def q_fn_ip_addr(spark, sf_dir):
     )
 
 
+def q_fn_try_arith(spark, sf_dir):
+    """Error-tolerant arithmetic surface — Spark's try_* family, the
+    ANSI-mode-safe way a pipeline survives dirty data: try_divide turns
+    division-by-zero into NULL instead of an exception, try_cast turns
+    an unparseable string into NULL.  DuckDB expresses the same
+    semantics with CASE / TRY_CAST, so every column hash-checks.
+
+    100 TB: all four expressions are JVM codegen; the point of the
+    surface is that a single bad row can no longer kill a stage."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.expr("try_divide(o_totalprice, o_custkey % 7)"), 4).alias(
+            "safe_unit"
+        ),
+        F.expr("try_divide(o_totalprice, 0.0)").alias("div0"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_full_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_digit"
+        ),
+    )
+
+
 QUERIES = {
+    "fn_try_arith": q_fn_try_arith,
     "fn_ip_addr": q_fn_ip_addr,
     "fn_url_parse": q_fn_url_parse,
     "fn_base64_hex": q_fn_base64_hex,
@@ -446,6 +471,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_try_arith": (
+        "SELECT o_orderkey, "
+        "CASE WHEN o_custkey % 7 = 0 THEN NULL "
+        "ELSE round(o_totalprice / (o_custkey % 7), 4) END AS safe_unit, "
+        "CAST(NULL AS DOUBLE) AS div0, "
+        "TRY_CAST(o_orderpriority AS INTEGER) AS prio_full_int, "
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit "
+        "FROM orders"
+    ),
     "fn_ip_addr": (
         "WITH d AS (SELECT o_orderkey, "
         "(o_orderkey * 2654435761) % 4294967296 AS ip_int FROM orders), "

@@ -208,7 +208,42 @@ def q_ts_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_ts_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars — resample the event stream to hourly bars
+    per event type: open/close are the first/last value in (ts,
+    event_id) order, high/low the extremes, plus the event count.
+
+    Plan: two ranked windows partitioned by (type, hour) mark the first
+    and last row of each bar, then one partial+final agg collapses to
+    bar granularity — no self-join, and every output is a PICKED or
+    extreme value (never a float sum), so cross-engine hashing is
+    knife-edge-free by construction."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events").select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.date_trunc("hour", "ts").alias("bar"),
+    )
+    wa = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "bar").agg(
+        (F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4) + F.lit(0.0)).alias("open_v"),
+        (F.round(F.max("value"), 4) + F.lit(0.0)).alias("high_v"),
+        (F.round(F.min("value"), 4) + F.lit(0.0)).alias("low_v"),
+        (F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4) + F.lit(0.0)).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
+    "ts_ohlc_bars": q_ts_ohlc_bars,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "window_robust_zscore": q_window_robust_zscore,
     "window_anomaly_zscore": q_window_anomaly_zscore,
@@ -217,6 +252,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_ohlc_bars": (
+        "WITH e AS (SELECT event_id, event_type, value, ts, "
+        "date_trunc('hour', ts) AS bar FROM events), "
+        "r AS (SELECT *, "
+        "row_number() OVER (PARTITION BY event_type, bar "
+        "ORDER BY ts, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY event_type, bar "
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM e) "
+        "SELECT event_type, bar, "
+        "round(max(CASE WHEN rn_a = 1 THEN value END), 4) + 0.0 AS open_v, "
+        "round(max(value), 4) + 0.0 AS high_v, "
+        "round(min(value), 4) + 0.0 AS low_v, "
+        "round(max(CASE WHEN rn_d = 1 THEN value END), 4) + 0.0 AS close_v, "
+        "count(*) AS n_events "
+        "FROM r GROUP BY event_type, bar"
+    ),
     "ts_time_weighted_avg": (
         "WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us "
         "FROM events), "

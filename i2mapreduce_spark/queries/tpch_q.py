@@ -325,6 +325,196 @@ def q_join_untapped_customers(spark, sf_dir):
     )
 
 
+#: Q6 revenue-forecast shipdate window
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+#: Q17 brand under study
+Q17_BRAND = "Brand#7"
+#: Q18 large-volume quantity threshold
+Q18_MIN_QTY = 300
+#: Q19 (brand, max p_size, qty lo, qty hi) disjunctive brackets
+Q19_BRACKETS = (("Brand#3", 5, 1, 11), ("Brand#14", 10, 10, 20),
+                ("Brand#22", 15, 20, 30))
+#: Q2-flavor part-size scope
+Q2_MAX_SIZE = 5
+
+
+def q_agg_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — revenue increase from hypothetically eliminating
+    small discounts: one filtered global sum of extendedprice*discount
+    over a shipdate year, low-discount band, small quantities.
+
+    All three predicates push to the parquet scan; the sum runs over
+    exact DECIMAL products (price 2dp x discount 4dp) so the single
+    global total is addition-order-independent — the one double
+    conversion happens on the final already-reduced value."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q6_LO))
+        & (F.col("l_shipdate") < _ts(Q6_HI))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,4)")
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_agg_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — distribution of customers by how many orders
+    they placed, INCLUDING the zero-order customers a left join keeps:
+    (order_count, how many customers have it).
+
+    Plan: left outer customer->orders shuffles on custkey, first agg
+    collapses to one row per customer, second agg to ~tens of rows —
+    a two-level partial+final cascade with no skew (custkey is
+    uniform)."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_agg_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — yearly revenue loss if small-quantity orders of
+    one brand's parts were no longer filled: lines whose quantity is
+    under 20% of that part's corpus-wide average quantity.
+
+    Plan: the per-part average is a full-fact partial+final agg joined
+    back by partkey (the standard decorrelation of Q17's correlated
+    subquery); the brand dimension filter broadcasts.  The global sum
+    runs over DECIMAL(18,2) so it is exact in any addition order."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part").filter(F.col("p_brand") == Q17_BRAND)
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    picked = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return picked.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_join_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape — the top-100 largest-volume orders: orders whose
+    total line quantity exceeds the threshold, with their customer.
+
+    Plan: the HAVING-subquery becomes a pre-aggregated semi side —
+    quantity sums reduce lineitem to one row per order BEFORE any join;
+    order/customer join on the ~0.1% survivors, top-100 via
+    TakeOrderedAndProject.  Quantity sums are integer-valued doubles
+    (exact at any order), surfaced as BIGINT."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_agg_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — revenue from three disjunctive (brand, size,
+    quantity) brackets, the classic OR-of-ANDs predicate that exercises
+    a planner's disjunction handling.
+
+    Plan: Catalyst pushes the common l_quantity/p_size bounds and keeps
+    the disjunction as a post-join filter on a broadcast part join; the
+    single global sum runs over exact DECIMAL products."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    cond = None
+    for brand, max_size, q_lo, q_hi in Q19_BRACKETS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_join_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 flavor adapted to this schema (no partsupp table): for
+    every small part, the supplier who shipped it at the lowest observed
+    unit price (extendedprice/quantity), with the supplier's nation.
+
+    Plan: part filter broadcasts; the per-part argmin is a ranked window
+    over the joined fact, partitioned by partkey — ties broken by
+    (suppkey, orderkey, linenumber) so the kept row is deterministic on
+    any engine and any partitioning."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part").filter(F.col("p_size") <= Q2_MAX_SIZE)
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    u = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("unit", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        "unit", "s_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("unit", 4).alias("min_unit_cost"),
+        )
+    )
+
+
 QUERIES = {
     "agg_shipping_priority": q_agg_shipping_priority,
     "join_exists_priority": q_join_exists_priority,
@@ -335,9 +525,76 @@ QUERIES = {
     "agg_returned_revenue": q_agg_returned_revenue,
     "agg_promo_share": q_agg_promo_share,
     "join_untapped_customers": q_join_untapped_customers,
+    "agg_forecast_revenue": q_agg_forecast_revenue,
+    "agg_customer_distribution": q_agg_customer_distribution,
+    "agg_small_qty_revenue": q_agg_small_qty_revenue,
+    "join_large_volume_customers": q_join_large_volume_customers,
+    "agg_bracket_revenue": q_agg_bracket_revenue,
+    "join_min_cost_supplier": q_join_min_cost_supplier,
 }
 
+_Q19_SQL_BRACKETS = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {ms} "
+    f"AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, ms, lo, hi in Q19_BRACKETS
+)
+
 ORACLES = {
+    "agg_forecast_revenue": (
+        "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue, "
+        "count(*) AS n_lines FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q6_LO} 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{Q6_HI} 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "agg_customer_distribution": (
+        "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count"
+    ),
+    "agg_small_qty_revenue": (
+        "WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_lines "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN pa USING (l_partkey) "
+        f"WHERE p_brand = '{Q17_BRAND}' AND l_quantity < 0.2 * avg_qty"
+    ),
+    "join_large_volume_customers": (
+        "WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+        f"FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        "round(o_totalprice, 2) AS totalprice, "
+        "CAST(total_qty AS BIGINT) AS total_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    "agg_bracket_revenue": (
+        "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue, "
+        "count(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE {_Q19_SQL_BRACKETS}"
+    ),
+    "join_min_cost_supplier": (
+        "WITH u AS (SELECT p_partkey, s_name, n_name, "
+        "l_extendedprice / l_quantity AS unit, "
+        "row_number() OVER (PARTITION BY p_partkey "
+        "ORDER BY l_extendedprice / l_quantity, s_suppkey, l_orderkey, "
+        "l_linenumber) AS rn "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE p_size <= {Q2_MAX_SIZE}) "
+        "SELECT p_partkey, s_name, n_name, round(unit, 4) AS min_unit_cost "
+        "FROM u WHERE rn = 1"
+    ),
     "agg_shipping_priority": (
         "SELECT l_orderkey, o_orderdate, o_orderpriority, "
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
