@@ -565,7 +565,43 @@ def q_agg_equidepth_histogram(spark, sf_dir):
     )
 
 
+def q_agg_hll_union(spark, sf_dir):
+    """Mergeable HLL distinct sketches — THE 100 TB distinct-count
+    pattern: per-nation customer sketches built in one pass, then
+    UNIONED (not recomputed) into a global estimate.  Sketch union is
+    associative, so a warehouse keeps per-partition/per-day sketches and
+    answers any rollup without touching raw data again.
+
+    Output is rows-only by design (estimates are implementation-defined
+    across engines); pytest asserts each estimate within 5% of its exact
+    twin and that the unioned estimate equals the directly-built global
+    sketch's estimate (merge losslessness)."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    unioned = per_nation.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    return per_nation.select(
+        "c_nationkey",
+        "exact_distinct",
+        F.expr("hll_sketch_estimate(sk)").alias("est_distinct"),
+        F.lit(None).cast("long").alias("global_est"),
+    ).unionByName(
+        unioned.select(
+            F.lit(-1).alias("c_nationkey"),
+            F.lit(None).cast("long").alias("exact_distinct"),
+            F.lit(None).cast("long").alias("est_distinct"),
+            F.col("est").alias("global_est"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_hll_union": q_agg_hll_union,
     "agg_equidepth_histogram": q_agg_equidepth_histogram,
     "agg_freq_items": q_agg_freq_items,
     "agg_gini": q_agg_gini,

@@ -232,7 +232,93 @@ def q_mr_total_order_sort(spark, sf_dir):
     )
 
 
+#: mr_multiple_outputs value split point
+MO_HI_CUTOFF = 300_000
+
+
+def q_mr_counters(spark, sf_dir):
+    """Hadoop Counters surface — the reference's per-job metric channel
+    (records in/out, bad records, custom counters), realized the Spark
+    way: AccumulatorV2 counters incremented inside ONE map pass over the
+    fact table, surfaced as (counter, value) rows.
+
+    The pass classifies each order once (input, high-value, urgent-ish,
+    zero-tax surrogate) exactly as a Mapper.map() would bump
+    context.getCounter(...).  Accumulators are the idiomatic Spark
+    mirror: executor-side adds, merged at the driver per task — at
+    100 TB the counter traffic is O(tasks), not O(rows).  The driver-
+    side values become a tiny DataFrame; the oracle recomputes the same
+    counts declaratively."""
+    load_tables(spark, sf_dir)
+    sc = spark.sparkContext
+    n_in = sc.accumulator(0)
+    n_high = sc.accumulator(0)
+    n_urgent = sc.accumulator(0)
+
+    def count_partition(rows):
+        # tally locally, add ONCE per task — counter traffic is O(tasks)
+        t_in = t_high = t_urgent = 0
+        for row in rows:
+            t_in += 1
+            if row.o_totalprice > 300000:
+                t_high += 1
+            if row.o_orderpriority in ("1-URGENT", "2-HIGH"):
+                t_urgent += 1
+        n_in.add(t_in)
+        n_high.add(t_high)
+        n_urgent.add(t_urgent)
+
+    spark.table("orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).foreachPartition(count_partition)
+    return spark.createDataFrame(
+        [
+            ("records_in", n_in.value),
+            ("high_value", n_high.value),
+            ("urgent_or_high", n_urgent.value),
+        ],
+        "counter string, value long",
+    )
+
+
+def q_mr_multiple_outputs(spark, sf_dir):
+    """MultipleOutputs pattern — one MapReduce pass routing each record
+    to one of several named output files.  Spark-first realization: a
+    single partitionBy('route') parquet write IS the one-pass multi-way
+    split (each route lands in its own directory, exactly the named
+    outputs); both sinks are then read back independently and profiled.
+
+    Hash-checked end to end: the per-route stats come FROM THE SINKS, so
+    a row routed to the wrong file or dropped would break the oracle."""
+    load_tables(spark, sf_dir)
+    from .scans import _scratch_dir
+
+    root = _scratch_dir("i2mr_multiout_")
+    o = spark.table("orders")
+    o.withColumn(
+        "route",
+        F.when(F.col("o_totalprice") >= MO_HI_CUTOFF, "hi").otherwise("lo"),
+    ).write.partitionBy("route").mode("overwrite").parquet(root)
+    parts = []
+    for route in ("hi", "lo"):
+        snap = spark.read.parquet(f"{root}/route={route}")
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("revenue"),
+            ).select(F.lit(route).alias("route"), "n_orders", "revenue")
+        )
+    return parts[0].unionByName(parts[1])
+
+
 QUERIES = {
+    "mr_counters": q_mr_counters,
+    "mr_multiple_outputs": q_mr_multiple_outputs,
     "mr_distributed_cache": q_mr_distributed_cache,
     "mr_total_order_sort": q_mr_total_order_sort,
     "mr_heavy_hitters": q_mr_heavy_hitters,
@@ -245,6 +331,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mr_counters": (
+        "SELECT 'records_in' AS counter, count(*) AS value FROM orders "
+        "UNION ALL SELECT 'high_value', count(*) FROM orders "
+        "WHERE o_totalprice > 300000 "
+        "UNION ALL SELECT 'urgent_or_high', count(*) FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    ),
+    "mr_multiple_outputs": (
+        "SELECT CASE WHEN o_totalprice >= 300000 THEN 'hi' ELSE 'lo' END "
+        "AS route, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS revenue FROM orders GROUP BY route"
+    ),
     "mr_distributed_cache": (
         "SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' "
         "WHEN 'N' THEN 'none' WHEN 'R' THEN 'returned' END AS flag_desc, "

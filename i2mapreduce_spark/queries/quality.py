@@ -279,7 +279,46 @@ def q_dq_benford(spark, sf_dir):
     )
 
 
+def q_dq_iqr_outliers(spark, sf_dir):
+    """Tukey-fence (IQR) outlier audit per event type — the quartile
+    cousin of the z-score audits: points outside [q1 - 1.5*IQR,
+    q3 + 1.5*IQR] are flagged, robust to the heavy tails that wreck a
+    mean/stddev fence.
+
+    Plan: one exact percentile agg per type (q1/q3 in a single pass),
+    fences derived on the tiny aggregate, one broadcast join back for
+    the flag counts.  `percentile` and `quantile_cont` share linear
+    interpolation, so the fences match across engines (same parity
+    agg_percentiles pins)."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    fenced = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    joined = e.join(F.broadcast(fenced), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo_fence"), 1).otherwise(0)).alias(
+            "n_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("hi_fence"), 1).otherwise(0)).alias(
+            "n_high"
+        ),
+        F.round(F.first("lo_fence"), 4).alias("lo_fence"),
+        F.round(F.first("hi_fence"), 4).alias("hi_fence"),
+    )
+
+
 QUERIES = {
+    "dq_iqr_outliers": q_dq_iqr_outliers,
     "dq_uniqueness": q_dq_uniqueness,
     "dq_benford": q_dq_benford,
     "dq_drift_psi": q_dq_drift_psi,
@@ -333,6 +372,22 @@ def _constraint_oracle() -> str:
 
 
 ORACLES = {
+    "dq_iqr_outliers": (
+        "WITH q AS (SELECT event_type, "
+        "quantile_cont(value, 0.25) AS q1, "
+        "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type), "
+        "f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo_fence, "
+        "q3 + 1.5 * (q3 - q1) AS hi_fence FROM q) "
+        "SELECT e.event_type, count(*) AS n, "
+        "CAST(sum(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_low, "
+        "CAST(sum(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_high, "
+        "round(any_value(f.lo_fence), 4) AS lo_fence, "
+        "round(any_value(f.hi_fence), 4) AS hi_fence "
+        "FROM events e JOIN f ON e.event_type = f.event_type "
+        "GROUP BY e.event_type"
+    ),
     "dq_uniqueness": "SELECT 'orders_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (o_orderkey)) AS n_keys, count(*) - count(DISTINCT (o_orderkey)) AS n_dup_rows, count(*) = count(DISTINCT (o_orderkey)) AS is_unique FROM orders UNION ALL SELECT 'lineitem_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (l_orderkey, l_linenumber)) AS n_keys, count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_rows, count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS is_unique FROM lineitem UNION ALL SELECT 'events_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (event_id)) AS n_keys, count(*) - count(DISTINCT (event_id)) AS n_dup_rows, count(*) = count(DISTINCT (event_id)) AS is_unique FROM events UNION ALL SELECT 'customer_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (c_custkey)) AS n_keys, count(*) - count(DISTINCT (c_custkey)) AS n_dup_rows, count(*) = count(DISTINCT (c_custkey)) AS is_unique FROM customer UNION ALL SELECT 'part_pk' AS key_name, count(*) AS n_rows, count(DISTINCT (p_partkey)) AS n_keys, count(*) - count(DISTINCT (p_partkey)) AS n_dup_rows, count(*) = count(DISTINCT (p_partkey)) AS is_unique FROM part",
     "dq_benford": 'WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), t AS (SELECT sum(n_obs) AS n FROM obs) SELECT digit, n_obs, round(log10(1 + 1.0 / digit) * n, 2) AS n_expected, round((n_obs - log10(1 + 1.0 / digit) * n) ^ 2 / (log10(1 + 1.0 / digit) * n), 4) AS chi2_term FROM obs, t',
     "dq_drift_psi": (

@@ -444,7 +444,36 @@ def q_fn_try_arith(spark, sf_dir):
     )
 
 
+def q_fn_variant_json(spark, sf_dir):
+    """Semi-structured VARIANT surface (Spark 4): parse JSON into the
+    binary VARIANT type and pull typed values back out with
+    variant_get — the open-table-format path for schema-on-read columns.
+    A nested payload is built from order columns (to_json -> parse_json
+    round-trip must be lossless) plus a typed extract from the real
+    events-style props string.  Output is flat scalars; DuckDB verifies
+    with plain json_extract / the source columns."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_totalprice").alias("amt"),
+                F.col("o_orderstatus").alias("st"),
+            ).alias("pay"),
+        )
+    )
+    tagged = o.withColumn("v", F.parse_json(payload))
+    return tagged.select(
+        "o_orderkey",
+        F.round(F.variant_get("v", "$.pay.amt", "double"), 2).alias("amt"),
+        F.variant_get("v", "$.pay.st", "string").alias("status"),
+        F.variant_get("v", "$.id", "bigint").alias("id_roundtrip"),
+    )
+
+
 QUERIES = {
+    "fn_variant_json": q_fn_variant_json,
     "fn_try_arith": q_fn_try_arith,
     "fn_ip_addr": q_fn_ip_addr,
     "fn_url_parse": q_fn_url_parse,
@@ -471,6 +500,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_variant_json": (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS amt, "
+        "o_orderstatus AS status, o_orderkey AS id_roundtrip "
+        "FROM orders"
+    ),
     "fn_try_arith": (
         "SELECT o_orderkey, "
         "CASE WHEN o_custkey % 7 = 0 THEN NULL "

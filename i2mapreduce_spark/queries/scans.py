@@ -407,7 +407,53 @@ def q_filter_dynamic_partition_pruning(spark, sf_dir):
     )
 
 
+#: time-travel snapshot boundary: orders strictly before this date are v0
+TT_CUTOFF = "1998-01-01"
+
+
+def q_sink_time_travel(spark, sf_dir):
+    """Versioned-snapshot sink with time travel — the lakehouse pattern
+    (Delta/Iceberg \"VERSION AS OF\") on plain parquet: v0 is the base
+    snapshot, v1 = v0 plus a late-arriving delta, each version readable
+    independently forever.  A reader pins a version by path; nothing is
+    rewritten in place, so concurrent readers of v0 are never torn.
+
+    Output: per-version rollup (version, n_orders, revenue) read back
+    FROM THE SINK, proving both snapshots stay intact after the new
+    version lands.  100 TB: each version is an immutable directory —
+    publishing v1 costs only the delta copy plus a metadata pointer
+    (here the directory name), and old versions age out by retention,
+    exactly how table formats implement it."""
+    load_tables(spark, sf_dir)
+    root = _scratch_dir("i2mr_timetravel_")
+    o = spark.table("orders")
+    base = o.filter(F.col("o_orderdate") < F.lit(TT_CUTOFF).cast("timestamp_ntz"))
+    delta = o.filter(F.col("o_orderdate") >= F.lit(TT_CUTOFF).cast("timestamp_ntz"))
+    base.write.mode("overwrite").parquet(root + "/v0")
+    # v1 = base snapshot + delta; written from the v0 SINK (not the source)
+    # so the chain is what a real table-format commit would do
+    spark.read.parquet(root + "/v0").unionByName(delta).write.mode(
+        "overwrite"
+    ).parquet(root + "/v1")
+    out = []
+    for ver in (0, 1):
+        snap = spark.read.parquet(f"{root}/v{ver}")
+        out.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("revenue"),
+            ).select(F.lit(ver).alias("version"), "n_orders", "revenue")
+        )
+    return out[0].unionByName(out[1])
+
+
 QUERIES = {
+    "sink_time_travel": q_sink_time_travel,
     "sink_compact_small_files": q_sink_compact_small_files,
     "scan_full": q_scan_full,
     "source_json_nested": q_source_json_nested,
@@ -429,6 +475,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_time_travel": (
+        "SELECT 0 AS version, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS revenue FROM orders "
+        f"WHERE o_orderdate < TIMESTAMP '{TT_CUTOFF} 00:00:00' "
+        "UNION ALL "
+        "SELECT 1 AS version, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS revenue FROM orders"
+    ),
     "sink_compact_small_files": (
         "SELECT o_orderpriority, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total FROM orders "

@@ -242,7 +242,63 @@ def q_ts_ohlc_bars(spark, sf_dir):
     )
 
 
+def q_ts_autocorr(spark, sf_dir):
+    """Serial correlation of the hourly mean series per event type —
+    lag-1 and lag-2 Pearson autocorrelation, the first question asked of
+    any metric stream (is it momentum or noise?).
+
+    Plan: the raw stream first collapses to one row per (type, hour)
+    (partial+final agg — the only pass over the fact table); the lag
+    pairing and corr then run over the tiny hourly series.  corr parity
+    with DuckDB is the same moment arithmetic agg_corr_covar already
+    hash-checks."""
+    load_tables(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "m",
+        F.lag("m", 1).over(w).alias("m1"),
+        F.lag("m", 2).over(w).alias("m2"),
+    )
+    return lagged.groupBy("event_type").agg(
+        (F.round(F.corr("m", "m1"), 4) + F.lit(0.0)).alias("acf1"),
+        (F.round(F.corr("m", "m2"), 4) + F.lit(0.0)).alias("acf2"),
+        F.count("m1").alias("n_lag1_pairs"),
+    )
+
+
+def q_ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type: mean value, event
+    count, and each hour's share of the type's events — the additive
+    seasonal component of a classic decomposition.
+
+    Plan: one partial+final agg to (type, hour-of-day), then a window
+    over the 24-row-per-type aggregate for the share; the integer
+    count quotient makes the share exact before rounding."""
+    load_tables(spark, sf_dir)
+    by_hour = (
+        spark.table("events")
+        .groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+    )
+    w = Window.partitionBy("event_type")
+    return by_hour.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round("mean_value", 4).alias("mean_value"),
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share_of_type"),
+    )
+
+
 QUERIES = {
+    "ts_autocorr": q_ts_autocorr,
+    "ts_seasonal_profile": q_ts_seasonal_profile,
     "ts_ohlc_bars": q_ts_ohlc_bars,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "window_robust_zscore": q_window_robust_zscore,
@@ -252,6 +308,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_autocorr": (
+        "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+        "avg(value) AS m FROM events GROUP BY event_type, h), "
+        "lagged AS (SELECT event_type, m, "
+        "lag(m, 1) OVER (PARTITION BY event_type ORDER BY h) AS m1, "
+        "lag(m, 2) OVER (PARTITION BY event_type ORDER BY h) AS m2 "
+        "FROM hourly) "
+        "SELECT event_type, "
+        "round(corr(m, m1), 4) + 0.0 AS acf1, "
+        "round(corr(m, m2), 4) + 0.0 AS acf2, "
+        "count(m1) AS n_lag1_pairs "
+        "FROM lagged GROUP BY event_type"
+    ),
+    "ts_seasonal_profile": (
+        "WITH bh AS (SELECT event_type, "
+        "CAST(hour(ts) AS INT) AS hod, count(*) AS n, "
+        "avg(value) AS mean_value FROM events GROUP BY event_type, hod) "
+        "SELECT event_type, hod, n, round(mean_value, 4) AS mean_value, "
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 4) "
+        "AS share_of_type FROM bh"
+    ),
     "ts_ohlc_bars": (
         "WITH e AS (SELECT event_id, event_type, value, ts, "
         "date_trunc('hour', ts) AS bar FROM events), "

@@ -524,7 +524,46 @@ def q_window_percent_of_total(spark, sf_dir):
     )
 
 
+#: window_interval_merge: each event spans [ts, ts + 5 minutes)
+IVL_SPAN_US = 300_000_000
+
+
+def q_window_interval_merge(spark, sf_dir):
+    """Interval union (merge overlapping ranges) — the scheduling/uptime
+    staple: each event claims [ts, ts+5min); overlapping or touching
+    claims per user merge into maximal busy intervals.
+
+    Plan: one ordered window pass per user — a new island starts
+    whenever an event begins after the running max end of everything
+    before it; a running sum of starts numbers the islands; one agg
+    collapses to (user, island).  All arithmetic is integer microseconds
+    (exact), no self-join and no explode of the ranges."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + IVL_SPAN_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = e.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
+    "window_interval_merge": q_window_interval_merge,
     "window_percent_of_total": q_window_percent_of_total,
     "window_top_paths": q_window_top_paths,
     "window_drawdown": q_window_drawdown,
@@ -545,6 +584,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_interval_merge": (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + {IVL_SPAN_US} AS e FROM events), "
+        "f AS (SELECT *, CASE WHEN max(e) OVER "
+        "(PARTITION BY user_id ORDER BY s, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        "OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "THEN 1 ELSE 0 END AS new_island FROM e), "
+        "i AS (SELECT *, CAST(sum(new_island) OVER (PARTITION BY user_id "
+        "ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS island FROM f) "
+        "SELECT user_id, island, min(s) AS start_us, max(e) AS end_us, "
+        "count(*) AS n_events FROM i GROUP BY user_id, island"
+    ),
     "window_percent_of_total": (
         "WITH pn AS (SELECT r_name, n_name, "
         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "

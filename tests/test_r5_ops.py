@@ -156,3 +156,90 @@ def test_ohlc_bars_invariants(spark, sf_dir):
     ones = pdf[pdf.n_events == 1]
     assert (ones.open_v == ones.close_v).all()
     assert (ones.high_v == ones.low_v).all()
+
+
+def test_hll_union_estimates_and_merge_losslessness(spark, sf_dir):
+    from i2mapreduce_spark.queries.aggregates import q_agg_hll_union
+
+    pdf = q_agg_hll_union(spark, sf_dir).toPandas()
+    per_nation = pdf[pdf.c_nationkey >= 0]
+    # HLL at these cardinalities (tens per nation) is near-exact; 5% is
+    # a loose ceiling
+    for r in per_nation.itertuples():
+        assert abs(r.est_distinct - r.exact_distinct) <= max(
+            1, 0.05 * r.exact_distinct
+        )
+    load_tables(spark, sf_dir)
+    total_exact = spark.table("customer").select("c_custkey").distinct().count()
+    global_row = pdf[pdf.c_nationkey == -1]
+    assert len(global_row) == 1
+    g = int(global_row.global_est.iloc[0])
+    assert abs(g - total_exact) <= max(1, 0.05 * total_exact)
+    # merge losslessness: union of per-nation sketches == one global sketch
+    direct = (
+        spark.table("customer")
+        .selectExpr("hll_sketch_estimate(hll_sketch_agg(c_custkey)) AS est")
+        .collect()[0]
+        .est
+    )
+    assert g == direct
+
+
+def test_interval_merge_islands_are_disjoint_and_cover(spark, sf_dir):
+    from i2mapreduce_spark.queries.windows_q import (
+        IVL_SPAN_US,
+        q_window_interval_merge,
+    )
+
+    pdf = q_window_interval_merge(spark, sf_dir).toPandas()
+    load_tables(spark, sf_dir)
+    assert pdf.n_events.sum() == spark.table("events").count()
+    assert (pdf.end_us - pdf.start_us >= IVL_SPAN_US).all()
+    # islands within a user must be strictly separated (no touching)
+    for _, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("island")
+        starts, ends = g.start_us.values, g.end_us.values
+        assert (starts[1:] > ends[:-1]).all()
+
+
+def test_mr_counters_match_declarative_counts(spark, sf_dir):
+    from i2mapreduce_spark.queries.mapred_q import q_mr_counters
+
+    got = {
+        r.counter: r.value for r in q_mr_counters(spark, sf_dir).collect()
+    }
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    assert got["records_in"] == o.count()
+    assert got["high_value"] == o.filter(F.col("o_totalprice") > 300000).count()
+    assert got["urgent_or_high"] == o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+
+
+def test_time_travel_versions_are_independent(spark, sf_dir):
+    from i2mapreduce_spark.queries.scans import TT_CUTOFF, q_sink_time_travel
+
+    pdf = (
+        q_sink_time_travel(spark, sf_dir)
+        .toPandas()
+        .set_index("version")
+        .sort_index()
+    )
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    n_base = o.filter(
+        F.col("o_orderdate") < F.lit(TT_CUTOFF).cast("timestamp_ntz")
+    ).count()
+    assert pdf.loc[0, "n_orders"] == n_base          # v0 intact after v1
+    assert pdf.loc[1, "n_orders"] == o.count()       # v1 = base + delta
+    assert pdf.loc[1, "revenue"] >= pdf.loc[0, "revenue"]
+
+
+def test_seasonal_profile_shares_sum_to_one(spark, sf_dir):
+    from i2mapreduce_spark.queries.timeseries import q_ts_seasonal_profile
+
+    pdf = q_ts_seasonal_profile(spark, sf_dir).toPandas()
+    for _, grp in pdf.groupby("event_type"):
+        assert abs(grp.share_of_type.sum() - 1.0) < 0.01
+        assert set(grp.hod) <= set(range(24))
