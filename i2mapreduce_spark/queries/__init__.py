@@ -39,7 +39,13 @@ _GROUP_MODULES = [
 # never had a driver CORRECTNESS row (the 29 post-window r3 keys + the
 # 20 r4 keys) + the re-queued agg_freq_items = exactly 50, ordered by
 # measured sf0.01 warm-session harness cost ascending.  After r5 every
-# one of the 245 keys has a driver row.
+# one of the 245 keys that existed at r4 HEAD has a driver row; the 17
+# keys ADDED in r5 (6 TPC-H shapes + fn_try_arith + ts_ohlc_bars, then
+# window_interval_merge, ts_autocorr, ts_seasonal_profile,
+# agg_hll_union, fn_variant_json, sink_time_travel, mr_counters,
+# mr_multiple_outputs, dq_iqr_outliers) sit past the graded region and
+# MUST form the head of round 6's _R6_WINDOW (17 keys + 33 free slots
+# for r6 additions).
 _R5_WINDOW = [
     # -- cheap scalar/window/agg keys (≲0.5 s each at sf0.01) --
     "fn_aes_roundtrip",

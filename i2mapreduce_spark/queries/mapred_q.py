@@ -232,7 +232,9 @@ def q_mr_total_order_sort(spark, sf_dir):
     )
 
 
-#: mr_multiple_outputs value split point
+#: mr_multiple_outputs value split point / mr_counters high-value cutoff
+#: (interpolated into BOTH the Spark side and the oracle SQL — retune in
+#: one place)
 MO_HI_CUTOFF = 300_000
 
 
@@ -242,12 +244,13 @@ def q_mr_counters(spark, sf_dir):
     way: AccumulatorV2 counters incremented inside ONE map pass over the
     fact table, surfaced as (counter, value) rows.
 
-    The pass classifies each order once (input, high-value, urgent-ish,
-    zero-tax surrogate) exactly as a Mapper.map() would bump
+    The pass classifies each order once (records in, high-value,
+    urgent-or-high priority) exactly as a Mapper.map() would bump
     context.getCounter(...).  Accumulators are the idiomatic Spark
-    mirror: executor-side adds, merged at the driver per task — at
-    100 TB the counter traffic is O(tasks), not O(rows).  The driver-
-    side values become a tiny DataFrame; the oracle recomputes the same
+    mirror: executor-side adds merged at the driver, one add per Arrow
+    batch — at 100 TB the counter traffic is O(batches), not O(rows),
+    and the per-batch tally is vectorized pandas.  The driver-side
+    values become a tiny DataFrame; the oracle recomputes the same
     counts declaratively."""
     load_tables(spark, sf_dir)
     sc = spark.sparkContext
@@ -255,22 +258,24 @@ def q_mr_counters(spark, sf_dir):
     n_high = sc.accumulator(0)
     n_urgent = sc.accumulator(0)
 
-    def count_partition(rows):
-        # tally locally, add ONCE per task — counter traffic is O(tasks)
-        t_in = t_high = t_urgent = 0
-        for row in rows:
-            t_in += 1
-            if row.o_totalprice > 300000:
-                t_high += 1
-            if row.o_orderpriority in ("1-URGENT", "2-HIGH"):
-                t_urgent += 1
-        n_in.add(t_in)
-        n_high.add(t_high)
-        n_urgent.add(t_urgent)
+    def tally(batches):
+        # vectorized per-Arrow-batch tallies, ONE accumulator add per
+        # batch — counter traffic is O(batches), the per-row work is
+        # pandas/numpy, never a Python loop.  (Like Hadoop counters,
+        # adds inside a re-run task would repeat; Spark dedups action-
+        # stage retries, and production treats counters as metrics, not
+        # exactly-once facts.)
+        for pdf in batches:
+            n_in.add(len(pdf))
+            n_high.add(int((pdf["o_totalprice"] > MO_HI_CUTOFF).sum()))
+            n_urgent.add(
+                int(pdf["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).sum())
+            )
+            yield pdf.iloc[:0][["o_totalprice"]]
 
-    spark.table("orders").select(
-        "o_totalprice", "o_orderpriority"
-    ).foreachPartition(count_partition)
+    spark.table("orders").select("o_totalprice", "o_orderpriority").mapInPandas(
+        tally, schema="o_totalprice double"
+    ).count()  # the action; yields no rows, but the kernel must run
     return spark.createDataFrame(
         [
             ("records_in", n_in.value),
@@ -334,12 +339,12 @@ ORACLES = {
     "mr_counters": (
         "SELECT 'records_in' AS counter, count(*) AS value FROM orders "
         "UNION ALL SELECT 'high_value', count(*) FROM orders "
-        "WHERE o_totalprice > 300000 "
+        f"WHERE o_totalprice > {MO_HI_CUTOFF} "
         "UNION ALL SELECT 'urgent_or_high', count(*) FROM orders "
         "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
     ),
     "mr_multiple_outputs": (
-        "SELECT CASE WHEN o_totalprice >= 300000 THEN 'hi' ELSE 'lo' END "
+        f"SELECT CASE WHEN o_totalprice >= {MO_HI_CUTOFF} THEN 'hi' ELSE 'lo' END "
         "AS route, count(*) AS n_orders, "
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
         "AS revenue FROM orders GROUP BY route"

@@ -392,7 +392,43 @@ def q_pipeline_quality_gate(spark, sf_dir):
     )
 
 
+N_EPOCHS = 2
+
+
+def q_pipeline_epoch_shuffle(spark, sf_dir):
+    """Per-epoch deterministic training-order shuffle — every LLM run
+    needs a different document order each epoch, reproducible from the
+    (epoch, doc_id) pair alone so any worker can recompute its slice:
+    position = rank of md5(epoch:doc_id) within the epoch.
+
+    Plan: the permutation is a TOTAL-ORDER rank, computed with the
+    TeraSort-style distributed ranker (per-partition counts + offset
+    map — no single-partition window).  Epoch is the leading sort key
+    and epochs are equal-sized, so the in-epoch position falls out of
+    the global rank by subtraction — one ranked pass covers every epoch
+    at once."""
+    load_tables(spark, sf_dir)
+    from ..operators import ranking
+
+    d = spark.table("documents").select("doc_id")
+    n_docs = d.count()
+    epochs = d.crossJoin(
+        spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    ).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    )
+    ranked = ranking.global_row_number(
+        epochs, ["epoch", "h", "doc_id"], out_col="g"
+    )
+    return ranked.select(
+        "epoch",
+        "doc_id",
+        (F.col("g") - F.col("epoch").cast("long") * n_docs).alias("position"),
+    )
+
+
 QUERIES = {
+    "pipeline_epoch_shuffle": q_pipeline_epoch_shuffle,
     "pipeline_quality_gate": q_pipeline_quality_gate,
     "pipeline_shard_assign": q_pipeline_shard_assign,
     "pipeline_dataset_card": q_pipeline_dataset_card,
@@ -404,6 +440,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_epoch_shuffle": (
+        "WITH ep AS (SELECT epoch, doc_id, "
+        "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents, (SELECT 0 AS epoch"
+        + "".join(f" UNION ALL SELECT {i}" for i in range(1, N_EPOCHS))
+        + ") e) "
+        "SELECT epoch, doc_id, "
+        "row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) "
+        "AS position FROM ep"
+    ),
     "pipeline_quality_gate": (
         "WITH tok AS (SELECT doc_id, "
         "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "

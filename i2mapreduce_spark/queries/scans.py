@@ -452,7 +452,66 @@ def q_sink_time_travel(spark, sf_dir):
     return out[0].unionByName(out[1])
 
 
+#: malformed lines injected into the CSV source (wrong arity / bad types)
+BAD_CSV_LINES = ["999,NO_REGION_COLUMN", "abc,BADKEY,xyz", "1,2,3,4,5"]
+
+
+def q_source_csv_malformed(spark, sf_dir):
+    """Corrupt-record handling on a delimited source (ref op A7's ugly
+    half): nation exported to CSV plus three injected bad lines, read
+    back in PERMISSIVE and DROPMALFORMED modes.  The output pins Spark's
+    ACTUAL (and surprising) CSV semantics: arity mismatches are
+    tolerated — a short row null-fills, a long row sheds its extras —
+    and only a TYPE-parse failure ('abc' as INT) is malformed; so
+    PERMISSIVE keeps all 28 lines with exactly 1 quarantined in the
+    corrupt-record column, and DROPMALFORMED sheds exactly that 1.
+    Output: per-mode (n_rows, n_parsed keys, n_bad).
+
+    100 TB: mode choice is a reader conf, per-split and shuffle-free;
+    PERMISSIVE + a corrupt-record sink is the production quarantine
+    pattern (never DROPMALFORMED on data you can't re-pull)."""
+    load_tables(spark, sf_dir)
+    root = _scratch_dir("i2mr_badcsv_")
+    spark.table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").option("header", "false").csv(root)
+    with open(root + "/part-bad.csv", "w") as fh:
+        fh.write("\n".join(BAD_CSV_LINES) + "\n")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(root)
+    )
+    dropped = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "DROPMALFORMED")
+        .csv(root)
+    )
+    # Spark refuses a query whose only referenced column is the corrupt-
+    # record column (SPARK-22580) — counting a data column alongside it
+    # (n_parsed, the rows whose key actually parsed) satisfies the
+    # analyzer AND is the more useful audit
+    p = permissive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_nationkey").alias("n_parsed"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_bad"
+        ),
+    ).select(F.lit("permissive").alias("mode"), "n_rows", "n_parsed", "n_bad")
+    d = dropped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_nationkey").alias("n_parsed"),
+        F.lit(0).cast("long").alias("n_bad"),
+    ).select(
+        F.lit("dropmalformed").alias("mode"), "n_rows", "n_parsed", "n_bad"
+    )
+    return p.unionByName(d)
+
+
 QUERIES = {
+    "source_csv_malformed": q_source_csv_malformed,
     "sink_time_travel": q_sink_time_travel,
     "sink_compact_small_files": q_sink_compact_small_files,
     "scan_full": q_scan_full,
@@ -475,6 +534,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # PERMISSIVE keeps all injected lines (+3), parses the key on the two
+    # arity-mismatched ones (+2), quarantines only the type failure (1);
+    # DROPMALFORMED sheds exactly that one line
+    "source_csv_malformed": (
+        "SELECT 'permissive' AS mode, "
+        f"count(*) + {len(BAD_CSV_LINES)} AS n_rows, "
+        "count(*) + 2 AS n_parsed, "
+        "CAST(1 AS BIGINT) AS n_bad FROM nation "
+        "UNION ALL "
+        "SELECT 'dropmalformed', count(*) + 2, count(*) + 2, "
+        "CAST(0 AS BIGINT) FROM nation"
+    ),
     "sink_time_travel": (
         "SELECT 0 AS version, count(*) AS n_orders, "
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "

@@ -9,10 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from i2mapreduce_spark.catalog import load_tables
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from tests.plan_util import plan_str as _plan
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -140,6 +137,12 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
 #: as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas, which the sweep
 #: deliberately permits — only row-at-a-time BatchEvalPython is flagged.
 _HYGIENE_SKIP = ("iter_", "inc_", "stream_")
+#: non-prefix keys whose BUILDER also executes: dedup_embedding_cosine
+#: runs the similarity kernel + CC fixpoint eagerly (localCheckpoint) and
+#: the surviving plan is a post-checkpoint RDD scan — sweeping it would
+#: pay the full pipeline cost to audit an empty plan.  Its kernel
+#: discipline is covered by the cosine_pairs/CC plan tests instead.
+_HYGIENE_SKIP_KEYS = {"dedup_embedding_cosine"}
 #: deliberate exceptions, each a declared surface of its own
 _ALLOW_CARTESIAN = {"join_cross"}
 _ALLOW_ROW_PYTHON = {"udf_python_scalar", "udtf_python_native", "udtf_split_props"}
@@ -156,7 +159,7 @@ def test_declared_plans_have_no_accidental_cartesian_or_row_udf(spark, sf_dir):
     queries, _ = build_registry()
     bad = {}
     for key, fn in sorted(queries.items()):
-        if key.startswith(_HYGIENE_SKIP):
+        if key.startswith(_HYGIENE_SKIP) or key in _HYGIENE_SKIP_KEYS:
             continue
         plan = _plan(fn(spark, sf_dir))
         if "CartesianProduct" in plan and key not in _ALLOW_CARTESIAN:

@@ -5,10 +5,7 @@ partitioned windows, no accidental cartesian/global-sort)."""
 from __future__ import annotations
 
 from i2mapreduce_spark.catalog import load_tables
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from tests.plan_util import plan_str as _plan
 
 
 def test_prefilter_bitmap_broadcasts_both_stages(spark, sf_dir):

@@ -10,12 +10,7 @@ import math
 from pyspark.sql import functions as F
 
 from i2mapreduce_spark.catalog import load_tables
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.plan_util import plan_str as _plan
 
 
 def test_shipping_priority_topk_is_sorted_and_unshipped(spark, sf_dir):

@@ -8,12 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from i2mapreduce_spark.catalog import load_tables
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.plan_util import plan_str as _plan
 
 
 def test_forecast_revenue_matches_manual_filter(spark, sf_dir):
@@ -243,3 +238,57 @@ def test_seasonal_profile_shares_sum_to_one(spark, sf_dir):
     for _, grp in pdf.groupby("event_type"):
         assert abs(grp.share_of_type.sum() - 1.0) < 0.01
         assert set(grp.hod) <= set(range(24))
+
+
+def test_inc_cc_delta_warm_start_is_faster_and_exact(spark, sf_dir):
+    """The A13 claim, measured: warm-starting CC from the base-graph
+    labels must reach the full-graph fixpoint in no more rounds than a
+    cold run — and the labels must be IDENTICAL to the cold run."""
+    from i2mapreduce_spark.operators import algorithms
+    from i2mapreduce_spark.queries.iterative import CC_ITERS, q_inc_cc_delta
+
+    load_tables(spark, sf_dir)
+    warm = {
+        (r.node, r.label) for r in q_inc_cc_delta(spark, sf_dir).collect()
+    }
+    warm_rounds = algorithms.connected_components.last_iters_run
+    cold_full = algorithms.connected_components(
+        spark.table("edges_pp"), iters=CC_ITERS
+    )
+    cold = {(r.node, r.label) for r in cold_full.collect()}
+    cold_rounds = algorithms.connected_components.last_iters_run
+    assert warm == cold
+    assert warm_rounds <= cold_rounds
+
+
+def test_epoch_shuffle_is_a_distinct_permutation_per_epoch(spark, sf_dir):
+    from i2mapreduce_spark.queries.pipelines import (
+        N_EPOCHS,
+        q_pipeline_epoch_shuffle,
+    )
+
+    pdf = q_pipeline_epoch_shuffle(spark, sf_dir).toPandas()
+    load_tables(spark, sf_dir)
+    n_docs = spark.table("documents").count()
+    orders = {}
+    for epoch, grp in pdf.groupby("epoch"):
+        # each epoch is a complete 1..n permutation of all docs
+        assert sorted(grp.position) == list(range(1, n_docs + 1))
+        orders[epoch] = tuple(grp.sort_values("position").doc_id)
+    assert len(orders) == N_EPOCHS
+    assert orders[0] != orders[1]  # epochs really reshuffle
+    # deterministic: a re-run reproduces the same permutations
+    pdf2 = q_pipeline_epoch_shuffle(spark, sf_dir).toPandas()
+    assert pdf.sort_values(["epoch", "doc_id"]).position.tolist() == \
+        pdf2.sort_values(["epoch", "doc_id"]).position.tolist()
+
+
+def test_csv_malformed_quarantines_only_type_failures(spark, sf_dir):
+    from i2mapreduce_spark.queries.scans import q_source_csv_malformed
+
+    pdf = q_source_csv_malformed(spark, sf_dir).toPandas().set_index("mode")
+    load_tables(spark, sf_dir)
+    n = spark.table("nation").count()
+    assert pdf.loc["permissive", "n_rows"] == n + 3      # every line kept
+    assert pdf.loc["permissive", "n_bad"] == 1           # only the type failure
+    assert pdf.loc["dropmalformed", "n_rows"] == n + 2   # sheds exactly it
