@@ -260,6 +260,89 @@ def q_stream_stream_join(spark, sf_dir):
     return interval_join_transform(views, purchases)
 
 
+def left_outer_join_transform(views, purchases):
+    """LEFT OUTER stream-stream interval join — the attribution query
+    that must also report the views that converted to NOTHING: matched
+    pairs emit like the inner join; an unmatched view emits once, with
+    null purchase, after the purchase-side watermark passes vts + window
+    (that deferred null emission is the whole point of the outer
+    streaming join, and why both watermarks are mandatory).  Works
+    identically on batch frames — the hash-checked surface — while
+    tests replay it over two live file-source streams."""
+    v = views.withColumn("vts", F.col("vts").cast("timestamp")).withWatermark(
+        "vts", JOIN_WATERMARK
+    )
+    p = purchases.withColumn("pts", F.col("pts").cast("timestamp")).withWatermark(
+        "pts", JOIN_WATERMARK
+    )
+    cond = (
+        (v.user_id == p.user_id)
+        & (p.pts >= v.vts)
+        & (p.pts <= v.vts + F.expr(f"INTERVAL {JOIN_WINDOW}"))
+    )
+    us = F.unix_micros
+    return v.join(p, cond, "leftOuter").select(
+        v.user_id.alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("matched"),
+        (us(p.pts) - us(v.vts)).alias("lag_us"),
+    )
+
+
+def q_stream_left_outer_join(spark, sf_dir):
+    """Batch surface of the LEFT OUTER stream-stream interval join
+    (hash-checked); tests/test_streaming.py replays it over two live
+    file-source streams and asserts the matched pairs are identical and
+    the null-emissions appear exactly for the views the final watermark
+    has sealed."""
+    load_tables(spark, sf_dir)
+    views, purchases = _views_purchases(spark)
+    return left_outer_join_transform(views, purchases)
+
+
+#: dedup-within-watermark state bound (>= the duplicate arrival spread)
+DEDUP_WM = "2 hours"
+
+
+def dedup_minute_transform(ev, streaming: bool = False):
+    """Idempotent-ingestion dedup with BOUNDED state: collapse repeated
+    (user_id, event_type) arrivals within the same minute to one row.
+    Batch picks the earliest (ts, event_id) deterministically; the
+    streaming twin uses dropDuplicatesWithinWatermark, whose state
+    evicts after DEDUP_WM — the operational difference from plain
+    dropDuplicates, whose state grows forever at 100 TB."""
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts2"),
+    ).withColumn("minute", F.date_trunc("minute", F.col("ts2")))
+    if streaming:
+        return (
+            e.withWatermark("ts2", DEDUP_WM)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+            .select("event_id", "user_id", "event_type", "minute")
+        )
+    w = Window.partitionBy("user_id", "event_type", "minute").orderBy(
+        "ts2", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "minute")
+    )
+
+
+def q_stream_dedup_watermark(spark, sf_dir):
+    """Batch surface of the bounded-state minute-bucket dedup
+    (hash-checked: deterministic earliest-arrival pick per bucket);
+    tests/test_streaming.py runs the dropDuplicatesWithinWatermark twin
+    over live chunks and asserts it keeps exactly one row per bucket."""
+    load_tables(spark, sf_dir)
+    return dedup_minute_transform(spark.table("events"))
+
+
 def q_stream_static_join(spark, sf_dir):
     """Stream-static dimension enrichment: each event joined against a
     small static per-user dim (first-seen timestamp) to emit the event's
@@ -546,6 +629,8 @@ QUERIES = {
     "inc_mapreduce_wordcount": q_inc_mapreduce_wordcount,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
+    "stream_left_outer_join": q_stream_left_outer_join,
+    "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_late_watermark": q_stream_late_watermark,
     "stream_complete_totals": q_stream_complete_totals,
 }
@@ -599,6 +684,25 @@ ORACLES = {
         "SELECT e.user_id, e.event_id,"
         " epoch_us(e.ts) - epoch_us(d.first_seen) AS age_us"
         " FROM events e JOIN dim d ON e.user_id = d.user_id"
+    ),
+    "stream_left_outer_join": (
+        "WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts"
+        " FROM events WHERE event_type = 'view'),"
+        " p AS (SELECT user_id, event_id AS purchase_id, ts AS pts"
+        " FROM events WHERE event_type = 'purchase')"
+        " SELECT v.user_id, v.view_id, p.purchase_id,"
+        " p.purchase_id IS NOT NULL AS matched,"
+        " epoch_us(p.pts) - epoch_us(v.vts) AS lag_us"
+        " FROM v LEFT JOIN p ON v.user_id = p.user_id"
+        " AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL '4 hours'"
+    ),
+    "stream_dedup_watermark": (
+        "WITH r AS (SELECT event_id, user_id, event_type,"
+        " date_trunc('minute', ts) AS minute,"
+        " row_number() OVER (PARTITION BY user_id, event_type,"
+        " date_trunc('minute', ts) ORDER BY ts, event_id) AS rn"
+        " FROM events)"
+        " SELECT event_id, user_id, event_type, minute FROM r WHERE rn = 1"
     ),
     "stream_stream_join": (
         "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,"

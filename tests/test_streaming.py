@@ -403,3 +403,61 @@ def test_windowed_topk_stream_equals_batch(spark, sf_dir):
         .filter(F.col("rank") <= STREAM_TOPK)
     )
     assert _rows(ranked) == _rows(q_stream_windowed_topk(spark, sf_dir))
+
+
+def test_stream_left_outer_join_matches_and_seals_nulls(spark, sf_dir):
+    """LEFT OUTER stream-stream join over two live file-source streams:
+    the matched pairs must equal the batch join exactly (chronological
+    arrival keeps matchable views in state, as in the inner-join test),
+    and the null emissions must be a non-empty subset of the batch
+    unmatched views — exactly the ones whose vts + window the final
+    purchase-side watermark passed (the tail stays buffered when the
+    finite stream ends, which is correct streaming semantics, not loss)."""
+    from i2mapreduce_spark.queries.streaming_q import left_outer_join_transform
+
+    load_tables(spark, sf_dir)
+    views, purchases = _views_purchases(spark)
+    streamed = stream_over_two_sources(
+        spark,
+        _chunk_by(views, "vts"),
+        _chunk_by(purchases, "pts"),
+        left_outer_join_transform,
+        "append",
+        "lojoin_sink",
+    )
+    batch = left_outer_join_transform(views, purchases)
+    s_matched = {tuple(r) for r in streamed.filter("matched").collect()}
+    b_matched = {tuple(r) for r in batch.filter("matched").collect()}
+    assert s_matched == b_matched
+    s_null = {r.view_id for r in streamed.filter("NOT matched").collect()}
+    b_null = {r.view_id for r in batch.filter("NOT matched").collect()}
+    assert s_null, "watermark never sealed any unmatched view"
+    assert s_null <= b_null
+
+
+def test_dedup_within_watermark_keeps_one_row_per_bucket(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over live chunks must keep exactly
+    one row per (user, type, minute) bucket — the same bucket SET as the
+    deterministic batch pick (the kept event_id may differ: streaming
+    keeps the first ARRIVAL, batch the earliest timestamp)."""
+    from i2mapreduce_spark.queries.streaming_q import dedup_minute_transform
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events")
+    chunks = chunk_events(spark, ev, n=3)
+    streamed = stream_over_chunks(
+        spark,
+        chunks,
+        lambda df: dedup_minute_transform(df, streaming=True),
+        "append",
+        "dedupwm_sink",
+    )
+    skeys = [
+        (r.user_id, r.event_type, r.minute) for r in streamed.collect()
+    ]
+    bkeys = {
+        (r.user_id, r.event_type, r.minute)
+        for r in dedup_minute_transform(ev).collect()
+    }
+    assert len(skeys) == len(set(skeys))  # exactly one per bucket
+    assert set(skeys) == bkeys
