@@ -602,3 +602,92 @@ def kmeans(
             break
 
     return assign, centroids
+
+
+def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Borůvka minimum spanning forest over SYMMETRIC weighted edges
+    (src, dst, w) — the classic O(log n)-round distributed MST: every
+    round each component picks its minimum outgoing edge under the TOTAL
+    order (w, a, b) (a<b the canonical endpoints; the total order makes
+    ties safe — a pick-graph cycle would have to traverse its maximal
+    edge twice), the picked edges join the forest, and components
+    contract via the connected-components operator over the forest so
+    far.  Rounds halve the component count, so `max_rounds`=8 covers
+    forests to 256 components per tree — and the loop exits at the true
+    fixpoint (no outgoing edges) regardless.
+
+    Returns the forest edges (a, b, w).  100 TB shape: each round is one
+    comp-label join + a partial-aggregatable per-component `min(struct)`
+    (map-side combine, no window sort), then contraction by CC over the
+    COMPONENT-LEVEL pick graph — at most one edge per live component,
+    a graph that at least halves every round — never over the full node
+    set.  Three actions per round (pick checkpoint, emptiness probe via
+    the checkpointed pick, comp checkpoint) plus the tiny CC loop.
+    """
+    spark = edges.sparkSession
+    comp = None  # (node, label); None = every node its own component
+    chosen = spark.createDataFrame([], "a long, b long, w double")
+    for _ in range(max_rounds):
+        if comp is None:
+            e = edges.select(
+                F.col("src").alias("cs"), F.col("dst").alias("cd"),
+                "w",
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+        else:
+            # LEFT joins: nodes not yet in the forest have no label row
+            # and remain their own singleton component — an inner join
+            # would silently drop their outgoing edges
+            c1 = comp.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+            c2 = comp.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+            e = (
+                edges.join(c1, "src", "left")
+                .join(c2, "dst", "left")
+                .select(
+                    F.coalesce("ls", "src").alias("cs"),
+                    F.coalesce("ld", "dst").alias("cd"),
+                    "w",
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .filter(F.col("cs") != F.col("cd"))
+            )
+        # min(struct) is lexicographic over (w, a, b) = the total order;
+        # cd rides along for the contraction graph
+        pick = (
+            e.groupBy("cs")
+            .agg(F.min(F.struct("w", "a", "b", "cd")).alias("m"))
+            .select("cs", "m.w", "m.a", "m.b", "m.cd")
+            .localCheckpoint(eager=True)
+        )
+        if pick.isEmpty():
+            break
+        chosen = (
+            chosen.unionByName(pick.select("a", "b", "w"))
+            # within a round both endpoint components can pick the same
+            # edge; across rounds re-picks are impossible once contraction
+            # converged — the dedup also makes a CC-cap under-merge
+            # degrade to a duplicate-free (if cyclic) pick, never a
+            # double-counted edge
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        # contract on component LABELS: every picked (cs, cd) pair merges
+        pick_sym = pick.select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        pick_sym = pick_sym.union(
+            pick_sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # iters is a safety cap only — CC exits at its true fixpoint; 16
+        # pointer-doubling rounds cover pick-graph chains to depth 2^16
+        m = connected_components(pick_sym, iters=16).select(
+            F.col("node").alias("old"), F.col("label").alias("new")
+        )
+        if comp is None:
+            comp = m.select(F.col("old").alias("node"), F.col("new").alias("label"))
+        else:
+            comp = comp.join(m, comp.label == m.old, "left").select(
+                "node", F.coalesce("new", "label").alias("label")
+            )
+        comp = comp.localCheckpoint(eager=True)
+    return chosen

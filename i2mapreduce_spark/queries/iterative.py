@@ -400,6 +400,42 @@ def q_inc_iter_warmstart(spark, sf_dir):
     return warm.state.select("node", F.round("rank", 6).alias("rank"))
 
 
+MST_MIN_COPURCHASE = 2
+
+
+def q_iter_mst_forest(spark, sf_dir):
+    """Borůvka minimum spanning forest over the thresholded co-purchase
+    graph (same graph as k-core: parts co-bought in >= 2 orders), edge
+    distance = 1/co-purchase-count — the strongest-links backbone a
+    recommender keeps from a dense similarity graph.  O(log n) Borůvka
+    rounds, each one comp-join + per-component min + CC contraction
+    (operators/algorithms.py:boruvka_msf).
+
+    Rows-only by design (MST is not reasonably SQL-expressible); pytest
+    checks the edge set against a Kruskal union-find golden under the
+    identical (w, a, b) total order and asserts the forest invariant
+    |edges| = |nodes| - |components|."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    weighted = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= MST_MIN_COPURCHASE)
+        .select("src", "dst", (F.lit(1.0) / F.col("c")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    forest = algorithms.boruvka_msf(weighted, max_rounds=8)
+    return forest.select("a", "b", F.round("w", 6).alias("dist"))
+
+
 def q_inc_cc_delta(spark, sf_dir):
     """Incremental connected components under edge ADDITIONS (ref op
     A13, second incremental-iterative app next to the PageRank warm
@@ -511,6 +547,7 @@ QUERIES = {
     "iter_sssp": q_iter_sssp,
     "iter_connected_components": q_iter_connected_components,
     "inc_cc_delta": q_inc_cc_delta,
+    "iter_mst_forest": q_iter_mst_forest,
     "iter_kmeans": q_iter_kmeans,
     "iter_apriori_pairs": q_iter_apriori_pairs,
     "iter_apriori_triples": q_iter_apriori_triples,

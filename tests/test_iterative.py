@@ -253,3 +253,59 @@ def test_sssp_parents_form_valid_tree(spark, sf_dir):
             steps += 1
             assert steps <= d
         assert steps == d
+
+
+def _kruskal_forest(weighted_edges):
+    """Union-find Kruskal under the total order (w, a, b); with a total
+    order the minimum spanning forest is UNIQUE, so Boruvka must produce
+    the identical edge set."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for w, a, b in sorted(weighted_edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            chosen.append((a, b))
+    return set(chosen)
+
+
+def test_mst_forest_matches_kruskal(spark, sf_dir):
+    from i2mapreduce_spark.queries.iterative import (
+        MST_MIN_COPURCHASE,
+        q_iter_mst_forest,
+    )
+
+    load_tables(spark, sf_dir)
+    # replicate the co-purchase graph in pure python
+    li = [(r.l_orderkey, r.l_partkey)
+          for r in spark.table("lineitem").select("l_orderkey", "l_partkey").collect()]
+    by_order = {}
+    for ok, pk in li:
+        by_order.setdefault(ok, []).append(pk)
+    counts = {}
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+    weighted = {(1.0 / c, min(a, b), max(a, b))
+                for (a, b), c in counts.items() if c >= MST_MIN_COPURCHASE}
+    want = _kruskal_forest(weighted)
+
+    got_rows = q_iter_mst_forest(spark, sf_dir).collect()
+    got = {(r.a, r.b) for r in got_rows}
+    assert got == want, (
+        f"boruvka vs kruskal: extra={got - want} missing={want - got}")
+
+    # forest invariant: |edges| = |nodes| - |components|
+    nodes = {x for _, a, b in weighted for x in (a, b)}
+    comps = len(nodes) - len(want)
+    assert len(got) == len(nodes) - comps

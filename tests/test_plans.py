@@ -233,3 +233,30 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = q_filter_dynamic_partition_pruning(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_boruvka_pick_is_partial_aggregate(spark):
+    """The Borůvka per-component min-edge pick must compile to a
+    partial+final aggregate (map-side combine on min(struct); Spark
+    plans struct-min as SortAggregate, which still combines map-side),
+    not a window — at 100 TB the pick is the per-round hot path and a
+    row_number window would shuffle ALL edges to the exchange, where the
+    partial agg ships at most one row per (partition, component)."""
+    e = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5), (2, 3, 0.25), (3, 2, 0.25)],
+        "src long, dst long, w double",
+    ).select(
+        F.col("src").alias("cs"), F.col("dst").alias("cd"), "w",
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+    )
+    pick = (
+        e.groupBy("cs")
+        .agg(F.min(F.struct("w", "a", "b", "cd")).alias("m"))
+        .select("cs", "m.w", "m.a", "m.b", "m.cd")
+    )
+    plan = _plan(pick)
+    n_agg = sum(plan.count(k) for k in
+                ("HashAggregate", "SortAggregate", "ObjectHashAggregate"))
+    assert n_agg >= 2, plan
+    assert "Exchange" in plan, plan
+    assert "Window" not in plan, plan
