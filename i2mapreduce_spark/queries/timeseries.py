@@ -278,21 +278,39 @@ def q_ts_seasonal_profile(spark, sf_dir):
     seasonal component of a classic decomposition.
 
     Plan: one partial+final agg to (type, hour-of-day), then a window
-    over the 24-row-per-type aggregate for the share; the integer
-    count quotient makes the share exact before rounding."""
+    over the 24-row-per-type aggregate for the share.  Both 4-dp
+    outputs are rounded HALF-UP in exact INTEGER arithmetic
+    (floor((2a+b)/2b) over cent-scaled sums) — value is 2-dp currency,
+    so mean = cents/100n is often an exact 5-dp decimal tie, where
+    Spark (rounds the shortest decimal string) and DuckDB (rounds the
+    binary double) disagree by one ulp; integer rounding makes both
+    engines produce the identical exact 4-dp quotient."""
     load_tables(spark, sf_dir)
     by_hour = (
         spark.table("events")
         .groupBy("event_type", F.hour("ts").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents"),
+        )
     )
     w = Window.partitionBy("event_type")
-    return by_hour.select(
-        "event_type",
-        "hod",
-        "n",
-        F.round("mean_value", 4).alias("mean_value"),
-        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share_of_type"),
+    return (
+        by_hour.withColumn("tot", F.sum("n").over(w))
+        .withColumn(
+            # mean = cents/(100*n); x10^4, round-half-up in integer space
+            "mean_q", F.expr("(2 * cents * 100 + n) div (2 * n)")
+        )
+        .withColumn("share_q", F.expr("(2 * n * 10000 + tot) div (2 * tot)"))
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            (F.col("mean_q") / 10000.0).alias("mean_value"),
+            (F.col("share_q") / 10000.0).alias("share_of_type"),
+        )
     )
 
 
@@ -324,10 +342,14 @@ ORACLES = {
     "ts_seasonal_profile": (
         "WITH bh AS (SELECT event_type, "
         "CAST(hour(ts) AS INT) AS hod, count(*) AS n, "
-        "avg(value) AS mean_value FROM events GROUP BY event_type, hod) "
-        "SELECT event_type, hod, n, round(mean_value, 4) AS mean_value, "
-        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 4) "
-        "AS share_of_type FROM bh"
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents "
+        "FROM events GROUP BY event_type, hod), "
+        "t AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS tot "
+        "FROM bh) "
+        "SELECT event_type, hod, n, "
+        "((2 * cents * 100 + n) // (2 * n)) / 10000.0 AS mean_value, "
+        "((2 * n * 10000 + tot) // (2 * tot)) / 10000.0 AS share_of_type "
+        "FROM t"
     ),
     "ts_ohlc_bars": (
         "WITH e AS (SELECT event_id, event_type, value, ts, "
