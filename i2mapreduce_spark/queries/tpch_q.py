@@ -515,6 +515,213 @@ def q_join_min_cost_supplier(spark, sf_dir):
     )
 
 
+#: Q12-shape lateness threshold (days past order date)
+Q12_LATE_DAYS = 60
+#: Q9-shape product-name scope
+Q9_NAME_PART = "widget"
+#: Q11-shape concentration threshold: part revenue > total/Q11_FRAC_DENOM
+Q11_FRAC_DENOM = 1000
+#: Q16-shape part sizes under study
+Q16_SIZES = (1, 3, 5, 7)
+#: Q16-shape "complaint" supplier name suffix (NOT IN exclusion)
+Q16_EXCLUDE_SUFFIX = "7"
+#: Q20-shape part-name scope and dominant-shipper quantity threshold
+Q20_NAME_PART = "gear"
+Q20_MIN_QTY = 90
+#: Q21-shape lateness threshold (days past order date)
+Q21_LATE_DAYS = 90
+
+
+def q_agg_priority_lateness(spark, sf_dir):
+    """TPC-H Q12 shape — did cheap shipping hurt urgent orders?  Per
+    line status, among lines shipped more than 60 days after the order
+    date, how many belong to urgent-priority orders vs everything else
+    (the fixture has no shipmode column; linestatus plays the
+    category).
+
+    Plan: the lateness predicate is evaluated on the joined row (it
+    spans both tables, so no scan pushdown is possible — the join
+    itself shuffles on orderkey), both CASE sums land in one
+    partial+final aggregate over 2 groups."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent.cast("long")).alias("high_line_count"),
+            F.sum((~urgent).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q_agg_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — profit by supplier nation and order year for one
+    product family: revenue minus the part's retail value (the fixture's
+    stand-in for ps_supplycost*quantity).  The widest join tree in the
+    group: lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation.
+
+    Plan: the name filter prunes part BEFORE its broadcast join (the
+    planner's only chance to kill 90% of the fact early), nation
+    broadcasts, profit terms are exact DECIMAL products so the per-group
+    sums are addition-order-independent, one partial+final agg."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    p = spark.table("part").filter(F.col("p_name").contains(Q9_NAME_PART))
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(9,0)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            # round while still exact DECIMAL (scale-6 differences land on
+            # true 3-dp ties that double-then-round would flip per engine),
+            # THEN cast the exact 2-dp result to double
+            F.round(F.sum(rev) - F.sum(cost), 2)
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+def q_agg_part_concentration(spark, sf_dir):
+    """TPC-H Q11 shape — inventory concentration: the parts whose
+    lineitem revenue exceeds 1/1000 of TOTAL revenue (HAVING vs a
+    scalar-subquery threshold).  The comparison runs entirely in exact
+    DECIMAL (pv*1000 > total) so no float knife-edge can flip
+    membership on either engine.
+
+    Plan: one partial+final agg to part grain; the global total is a
+    second tiny aggregate of the SAME subtree (exchange reuse), joined
+    back as a 1-row broadcast."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
+    )
+    total = pv.agg(F.sum("val").alias("total_val"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * Q11_FRAC_DENOM > F.col("total_val"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def q_join_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape — supplier breadth per part spec: for the small
+    sizes, how many DISTINCT suppliers shipped each (brand, type, size),
+    excluding blacklisted suppliers (name ending '7' — the complaints
+    NOT-IN of the original).
+
+    Plan: the size filter prunes part before the broadcast join, the
+    blacklist is a broadcast anti join (never a shuffled NOT IN), and
+    the distinct count aggregates partial+final on the spec key."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part").filter(F.col("p_size").isin(*Q16_SIZES))
+    bad = spark.table("supplier").filter(
+        F.col("s_name").endswith(Q16_EXCLUDE_SUFFIX)
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_join_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape — which suppliers are dominant shippers of a
+    product family (candidates for a promotion partnership): suppliers
+    with at least one 'gear' part of which they shipped more than 90
+    units total.  Nested-IN decorrelated to aggregate-then-semi-join.
+
+    Plan: name filter prunes part before its broadcast join, quantity
+    sums reduce to (supp, part) grain BEFORE the supplier join, the
+    final semi join ships only surviving suppkeys; supplier and nation
+    broadcast."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part").filter(F.col("p_name").contains(Q20_NAME_PART))
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    dominant = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q_join_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    waiting: per supplier, the number of orders where THIS supplier
+    shipped >90 days after the order date while every other supplier on
+    the order shipped on time.  Top 20 by count.
+
+    Plan: the correlated EXISTS/NOT-EXISTS pair decorrelates into one
+    (order, supplier) lateness rollup + one order-grain rollup joined
+    back — two partial+final aggregates and a single shuffle key
+    (orderkey), instead of two extra self-joins of the fact; top-20 is
+    a TakeOrderedAndProject."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).cast("long")
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    s = spark.table("supplier")
+    return (
+        per_os.filter(F.col("was_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "agg_shipping_priority": q_agg_shipping_priority,
     "join_exists_priority": q_join_exists_priority,
@@ -531,6 +738,12 @@ QUERIES = {
     "join_large_volume_customers": q_join_large_volume_customers,
     "agg_bracket_revenue": q_agg_bracket_revenue,
     "join_min_cost_supplier": q_join_min_cost_supplier,
+    "agg_priority_lateness": q_agg_priority_lateness,
+    "agg_product_profit": q_agg_product_profit,
+    "agg_part_concentration": q_agg_part_concentration,
+    "join_parts_supplier_counts": q_join_parts_supplier_counts,
+    "join_potential_promotion": q_join_potential_promotion,
+    "join_waiting_suppliers": q_join_waiting_suppliers,
 }
 
 _Q19_SQL_BRACKETS = " OR ".join(
@@ -690,6 +903,70 @@ ORACLES = {
         "AND NOT EXISTS (SELECT 1 FROM orders o "
         f"WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {Q22_BIG}) "
         "GROUP BY c_mktsegment"
+    ),
+    "agg_priority_lateness": (
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY "
+        "GROUP BY l_linestatus"
+    ),
+    "agg_product_profit": (
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(1 - l_discount AS DECIMAL(8,4))) - "
+        "sum(CAST(p_retailprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(9,0))), 2) AS DOUBLE) AS profit "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE p_name LIKE '%{Q9_NAME_PART}%' "
+        "GROUP BY n_name, year(o_orderdate)"
+    ),
+    "agg_part_concentration": (
+        "WITH pv AS (SELECT l_partkey, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
+        "FROM lineitem GROUP BY l_partkey), "
+        "t AS (SELECT sum(val) AS total_val FROM pv) "
+        "SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value "
+        f"FROM pv, t WHERE val * {Q11_FRAC_DENOM} > total_val"
+    ),
+    "join_parts_supplier_counts": (
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE p_size IN {Q16_SIZES} "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        f"WHERE s_name LIKE '%{Q16_EXCLUDE_SUFFIX}') "
+        "GROUP BY p_brand, p_type, p_size"
+    ),
+    "join_potential_promotion": (
+        "SELECT s_suppkey, s_name, n_name AS nation "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE s_suppkey IN (SELECT l_suppkey "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE p_name LIKE '%{Q20_NAME_PART}%' "
+        "GROUP BY l_suppkey, l_partkey "
+        f"HAVING sum(l_quantity) > {Q20_MIN_QTY})"
+    ),
+    "join_waiting_suppliers": (
+        "WITH pos AS (SELECT l_orderkey, l_suppkey, "
+        "max(CASE WHEN l_shipdate > o_orderdate + "
+        f"INTERVAL {Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END) AS was_late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_orderkey, l_suppkey), "
+        "po AS (SELECT l_orderkey, count(*) AS n_supp, "
+        "sum(was_late) AS n_late FROM pos GROUP BY l_orderkey) "
+        "SELECT s_name, count(*) AS numwait "
+        "FROM pos JOIN po USING (l_orderkey) "
+        "JOIN supplier ON pos.l_suppkey = s_suppkey "
+        "WHERE pos.was_late = 1 AND po.n_supp >= 2 AND po.n_late = 1 "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
     ),
     "join_top_supplier": (
         "WITH rev AS (SELECT l_suppkey, "
