@@ -321,7 +321,89 @@ def q_mr_multiple_outputs(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+#: inverted-index document-frequency floor (drops hapax noise; keeps the
+#: posting strings bounded at fixture scale and the key cheap to grade)
+II_MIN_DF = 3
+
+
+def q_mr_inverted_index(spark, sf_dir):
+    """The OTHER canonical MapReduce program (after wordcount): build an
+    inverted index — per term, the sorted posting list of documents that
+    contain it, plus document frequency.  map = (word, doc_id) pairs,
+    reduce = merge postings; Spark-first that is ONE partial+final
+    aggregate over distinct (word, doc_id) pairs, with the posting list
+    as sort_array(collect_set(...)) flattened to a comma-joined string
+    (flat-columns grading contract).
+
+    100 TB shape: the pair-distinct and the posting agg share one
+    shuffle key (word); stopword-grade terms make giant postings — a
+    production index shards those by (term, doc_id range); here the
+    df floor plus fixture vocab keeps lists bounded.  No driver-side
+    merge: postings concatenate distributed, exactly the reducer's
+    merge step."""
+    load_tables(spark, sf_dir)
+    pairs = _words(spark).select("word", "doc_id").distinct()
+    return (
+        pairs.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= II_MIN_DF)
+    )
+
+
+#: matrix-multiply dimensions: A is (i = orderkey%MM_I) x (k = partkey%MM_K),
+#: B is (k = partkey%MM_K) x (j = size%MM_J)
+MM_I, MM_K, MM_J = 50, 40, 10
+
+
+def q_mr_matrix_multiply(spark, sf_dir):
+    """Sparse matrix multiplication, the textbook two-job MapReduce
+    (map: emit by shared dimension k; reduce: multiply+sum) and the
+    GIM-V building block.  A is built from lineitem (i=orderkey mod 50,
+    k=partkey mod 40, v=quantity), B from part (k=partkey mod 40,
+    j=size mod 10, w=partkey mod 7 + 1); C[i,j] = Σ_k A[i,k]·B[k,j].
+    All-integer values make every product and sum exact.
+
+    Spark-first: BOTH matrices pre-aggregate to their cell grain before
+    the join (the classic combiner step), so the k-join fans out
+    |A_cells|x|B_cells per k| not raw-rows², then one partial+final agg
+    on (i,j).  At 100 TB the same plan holds with k as the shuffle key;
+    a dense-k hot spot would salt k exactly like mr_salted_skew_agg."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    a = (
+        li.select(
+            (F.col("l_orderkey") % MM_I).alias("i"),
+            (F.col("l_partkey") % MM_K).alias("k"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("i", "k")
+        .agg(F.sum("v").alias("a_val"))
+    )
+    b = (
+        p.select(
+            (F.col("p_partkey") % MM_K).alias("k"),
+            (F.col("p_size") % MM_J).alias("j"),
+            ((F.col("p_partkey") % 7) + 1).alias("w"),
+        )
+        .groupBy("k", "j")
+        .agg(F.sum("w").alias("b_val"))
+    )
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("c_val"))
+    )
+
+
 QUERIES = {
+    "mr_inverted_index": q_mr_inverted_index,
+    "mr_matrix_multiply": q_mr_matrix_multiply,
     "mr_counters": q_mr_counters,
     "mr_multiple_outputs": q_mr_multiple_outputs,
     "mr_distributed_cache": q_mr_distributed_cache,
@@ -336,6 +418,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mr_inverted_index": (
+        "WITH pairs AS (SELECT DISTINCT w AS word, doc_id "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) t WHERE w <> '') "
+        "SELECT word, count(*) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS postings FROM pairs GROUP BY word "
+        f"HAVING count(*) >= {II_MIN_DF}"
+    ),
+    "mr_matrix_multiply": (
+        "WITH a AS (SELECT l_orderkey % "
+        f"{MM_I} AS i, l_partkey % {MM_K} AS k, "
+        "sum(CAST(l_quantity AS BIGINT)) AS a_val "
+        "FROM lineitem GROUP BY 1, 2), "
+        f"b AS (SELECT p_partkey % {MM_K} AS k, p_size % {MM_J} AS j, "
+        "sum(p_partkey % 7 + 1) AS b_val FROM part GROUP BY 1, 2) "
+        "SELECT i, j, CAST(sum(a_val * b_val) AS BIGINT) AS c_val "
+        "FROM a JOIN b USING (k) GROUP BY i, j"
+    ),
     "mr_counters": (
         "SELECT 'records_in' AS counter, count(*) AS value FROM orders "
         "UNION ALL SELECT 'high_value', count(*) FROM orders "

@@ -562,7 +562,156 @@ def q_window_interval_merge(spark, sf_dir):
     )
 
 
+#: Bollinger window length (days) and band width (standard deviations)
+BOLL_N, BOLL_K = 20, 2
+#: RSI lookback (day-over-day revenue changes)
+RSI_N = 14
+#: rolling-correlation window length (days) and the two series
+CORR_N = 30
+CORR_A, CORR_B = "click", "purchase"
+
+
+def q_window_bollinger(spark, sf_dir):
+    """Bollinger bands over the daily-revenue series: 20-day moving mean
+    ± 2σ, with each day classified in/above/below band.  The volatility
+    envelope every trading dashboard draws, over the orders fact.
+
+    Float discipline: the frame aggregates exact DECIMAL sums (s1, s2),
+    variance comes from the integer identity n·s2 − s1² BEFORE any
+    float, and the only doubles are one division and one IEEE-exact
+    sqrt of the same exact operands on both engines — no accumulation
+    order anywhere.  Ramp-up rows (n<20) are dropped, which also makes
+    mid = s1/20 an exact 4-dp decimal.
+
+    Plan: orders pre-aggregate to day grain (partial+final) BEFORE the
+    window, so the single-partition ordered window sees ~1.5k rows at
+    any data scale — the percent_of_total pattern."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(BOLL_N - 1), 0)
+    framed = daily.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev").over(w).alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).alias("s2"),
+    ).filter(F.col("n") == BOLL_N)
+    mid = F.col("s1").cast("double") / BOLL_N
+    sd = F.sqrt((BOLL_N * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")) / BOLL_N
+    upper = mid + BOLL_K * sd
+    lower = mid - BOLL_K * sd
+    revd = F.col("rev").cast("double")
+    return framed.select(
+        "day",
+        revd.alias("revenue"),
+        F.round(mid, 4).alias("mid"),
+        F.round(upper, 4).alias("upper"),
+        F.round(lower, 4).alias("lower"),
+        F.when(revd > upper, "above")
+        .when(revd < lower, "below")
+        .otherwise("in")
+        .alias("band"),
+    )
+
+
+def q_window_rsi(spark, sf_dir):
+    """Relative Strength Index (simple-average RSI-14) over the daily
+    revenue series: rsi = 100·gains/(gains+losses) over the last 14
+    day-over-day changes.  The momentum oscillator, windowed.
+
+    Float discipline: revenue is summed in exact integer CENTS, the
+    day-over-day diff and the gain/loss frame sums stay integers, and
+    the final ratio is rounded HALF-UP in integer space (the
+    ts_seasonal_profile trick) — the output is an exact 4-dp decimal on
+    both engines, no float path at all.  Flat 14-day stretches (no
+    gains, no losses) emit the conventional RSI 50."""
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    wo = Window.orderBy("day")
+    diffed = daily.select(
+        "day",
+        (F.col("cents") - F.lag("cents", 1).over(wo)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    wf = Window.orderBy("day").rowsBetween(-(RSI_N - 1), 0)
+    framed = diffed.select(
+        "day",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum(F.greatest(F.col("d"), F.lit(0))).over(wf).alias("g"),
+        F.sum(F.greatest(-F.col("d"), F.lit(0))).over(wf).alias("l"),
+    ).filter(F.col("n") == RSI_N)
+    # rsi*10^4 = g*10^6/(g+l), rounded half-up in integer space
+    return framed.select(
+        "day",
+        F.when(F.col("g") + F.col("l") == 0, F.lit(50.0))
+        .otherwise(
+            F.expr("(2 * g * 1000000 + (g + l)) div (2 * (g + l))") / 10000.0
+        )
+        .alias("rsi"),
+    )
+
+
+def q_window_rolling_corr(spark, sf_dir):
+    """Rolling 30-day correlation between the daily click count and the
+    daily purchase count — the co-movement analytic behind every pair
+    of KPIs on a dashboard.  corr is built from its integer-sum
+    identity (n·Σxy−ΣxΣy over the sqrt product), NOT corr()-the-
+    aggregate, so both engines evaluate the identical exact integer
+    operands and the only floats are one division of one sqrt product;
+    zero-variance frames yield NULL by definition.
+
+    Plan: events pre-aggregate to (day, type) counts, pivot to two int
+    columns on the day spine, then one ordered window over ~700 rows —
+    fact-scale work is all in the first partial+final agg."""
+    load_tables(spark, sf_dir)
+    e = spark.table("events")
+    daily = (
+        e.filter(F.col("event_type").isin(CORR_A, CORR_B))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == CORR_A).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == CORR_B).cast("long")).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(CORR_N - 1), 0)
+    framed = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).filter(F.col("n") == CORR_N)
+    num = (CORR_N * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (CORR_N * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (CORR_N * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return framed.select(
+        "day",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4) + F.lit(0.0),
+        ).alias("corr30"),
+    )
+
+
 QUERIES = {
+    "window_bollinger": q_window_bollinger,
+    "window_rsi": q_window_rsi,
+    "window_rolling_corr": q_window_rolling_corr,
     "window_interval_merge": q_window_interval_merge,
     "window_percent_of_total": q_window_percent_of_total,
     "window_top_paths": q_window_top_paths,
