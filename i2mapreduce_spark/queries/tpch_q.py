@@ -393,14 +393,17 @@ def q_agg_small_qty_revenue(spark, sf_dir):
 
     Plan: the per-part average is a full-fact partial+final agg joined
     back by partkey (the standard decorrelation of Q17's correlated
-    subquery); the brand dimension filter broadcasts.  The global sum
-    runs over DECIMAL(18,2) so it is exact in any addition order."""
+    subquery).  ``part`` is SF-scaled, so the brand slice is NOT force-
+    broadcast — AQE converts the join from runtime stats when the slice
+    is genuinely small, and falls back to shuffle join at scale.  The
+    global sum runs over DECIMAL(18,2) so it is exact in any addition
+    order."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part").filter(F.col("p_brand") == Q17_BRAND)
     part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     picked = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
@@ -454,8 +457,10 @@ def q_agg_bracket_revenue(spark, sf_dir):
     a planner's disjunction handling.
 
     Plan: Catalyst pushes the common l_quantity/p_size bounds and keeps
-    the disjunction as a post-join filter on a broadcast part join; the
-    single global sum runs over exact DECIMAL products."""
+    the disjunction as a post-join filter; ``part`` is SF-scaled so the
+    join strategy is left to AQE (shuffle join at scale, runtime
+    broadcast conversion when small).  The single global sum runs over
+    exact DECIMAL products."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part")
@@ -471,7 +476,7 @@ def q_agg_bracket_revenue(spark, sf_dir):
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
@@ -485,8 +490,11 @@ def q_join_min_cost_supplier(spark, sf_dir):
     every small part, the supplier who shipped it at the lowest observed
     unit price (extendedprice/quantity), with the supplier's nation.
 
-    Plan: part filter broadcasts; the per-part argmin is a ranked window
-    over the joined fact, partitioned by partkey — ties broken by
+    Plan: ``part`` and ``supplier`` are both SF-scaled, so neither is
+    force-broadcast — AQE picks broadcast from runtime stats when the
+    size slice is small and degrades to shuffle join at scale; only the
+    25-row ``nation`` dim keeps a hint.  The per-part argmin is a ranked
+    window over the joined fact, partitioned by partkey — ties broken by
     (suppkey, orderkey, linenumber) so the kept row is deterministic on
     any engine and any partitioning."""
     load_tables(spark, sf_dir)
@@ -495,8 +503,8 @@ def q_join_min_cost_supplier(spark, sf_dir):
     s = spark.table("supplier")
     n = spark.table("nation")
     u = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("unit", F.col("l_extendedprice") / F.col("l_quantity"))
     )
@@ -519,8 +527,15 @@ def q_join_min_cost_supplier(spark, sf_dir):
 Q12_LATE_DAYS = 60
 #: Q9-shape product-name scope
 Q9_NAME_PART = "widget"
-#: Q11-shape concentration threshold: part revenue > total/Q11_FRAC_DENOM
-Q11_FRAC_DENOM = 1000
+#: Q11-shape concentration threshold: part revenue > Q11_MEAN_MULT x the
+#: MEAN part revenue.  SF-invariant by construction: the original
+#: fixed-fraction-of-total cut (total/1000) emitted 0 rows at sf0.01
+#: (2000 parts => mean share 1/2000) and shrinks further as parts grow,
+#: making the oracle comparison vacuous at grading scale (same defect
+#: class as the r5 window_rolling_corr finding).  3/2 as an exact
+#: integer ratio (the fixture's per-part revenue tops out at ~1.8x the
+#: mean, so 2x was still empty).
+Q11_MULT_NUM, Q11_MULT_DEN = 3, 2
 #: Q16-shape part sizes under study
 Q16_SIZES = (1, 3, 5, 7)
 #: Q16-shape "complaint" supplier name suffix (NOT IN exclusion)
@@ -567,10 +582,12 @@ def q_agg_product_profit(spark, sf_dir):
     stand-in for ps_supplycost*quantity).  The widest join tree in the
     group: lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation.
 
-    Plan: the name filter prunes part BEFORE its broadcast join (the
-    planner's only chance to kill 90% of the fact early), nation
-    broadcasts, profit terms are exact DECIMAL products so the per-group
-    sums are addition-order-independent, one partial+final agg."""
+    Plan: the name filter prunes part BEFORE its join (the planner's
+    only chance to kill 90% of the fact early); ``part`` is SF-scaled so
+    its join strategy is left to AQE rather than force-broadcast; the
+    25-row nation dim broadcasts; profit terms are exact DECIMAL
+    products so the per-group sums are addition-order-independent, one
+    partial+final agg."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     o = spark.table("orders")
@@ -585,7 +602,7 @@ def q_agg_product_profit(spark, sf_dir):
     ).cast("decimal(9,0)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -605,23 +622,30 @@ def q_agg_product_profit(spark, sf_dir):
 
 def q_agg_part_concentration(spark, sf_dir):
     """TPC-H Q11 shape — inventory concentration: the parts whose
-    lineitem revenue exceeds 1/1000 of TOTAL revenue (HAVING vs a
-    scalar-subquery threshold).  The comparison runs entirely in exact
-    DECIMAL (pv*1000 > total) so no float knife-edge can flip
-    membership on either engine.
+    lineitem revenue exceeds 3/2 x the mean part revenue
+    (HAVING vs a scalar-subquery threshold).  The comparison runs
+    entirely in exact integer/DECIMAL space (2*val*n_parts > 3*total) so
+    no float knife-edge can flip membership on either engine, and the
+    threshold is scale-invariant so the result is non-empty at every SF.
 
-    Plan: one partial+final agg to part grain; the global total is a
-    second tiny aggregate of the SAME subtree (exchange reuse), joined
+    Plan: one partial+final agg to part grain; the global total+count is
+    a second tiny aggregate of the SAME subtree (exchange reuse), joined
     back as a 1-row broadcast."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
     )
-    total = pv.agg(F.sum("val").alias("total_val"))
+    total = pv.agg(
+        F.sum("val").alias("total_val"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("val") * Q11_FRAC_DENOM > F.col("total_val"))
+        .filter(
+            Q11_MULT_DEN * F.col("val") * F.col("n_parts")
+            > Q11_MULT_NUM * F.col("total_val")
+        )
         .select(
             "l_partkey",
             F.round(F.col("val").cast("double"), 2).alias("part_value"),
@@ -635,9 +659,11 @@ def q_join_parts_supplier_counts(spark, sf_dir):
     excluding blacklisted suppliers (name ending '7' — the complaints
     NOT-IN of the original).
 
-    Plan: the size filter prunes part before the broadcast join, the
-    blacklist is a broadcast anti join (never a shuffled NOT IN), and
-    the distinct count aggregates partial+final on the spec key."""
+    Plan: the size filter prunes part before the join and the blacklist
+    is an anti join (never a shuffled NOT IN); both tables are SF-scaled
+    so neither is force-broadcast — AQE converts to broadcast from
+    runtime stats when the slices are small.  The distinct count
+    aggregates partial+final on the spec key."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part").filter(F.col("p_size").isin(*Q16_SIZES))
@@ -645,8 +671,8 @@ def q_join_parts_supplier_counts(spark, sf_dir):
         F.col("s_name").endswith(Q16_EXCLUDE_SUFFIX)
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -658,17 +684,18 @@ def q_join_potential_promotion(spark, sf_dir):
     with at least one 'gear' part of which they shipped more than 90
     units total.  Nested-IN decorrelated to aggregate-then-semi-join.
 
-    Plan: name filter prunes part before its broadcast join, quantity
-    sums reduce to (supp, part) grain BEFORE the supplier join, the
-    final semi join ships only surviving suppkeys; supplier and nation
-    broadcast."""
+    Plan: name filter prunes part before its join (part is SF-scaled so
+    the strategy is AQE's call, not a forced broadcast), quantity sums
+    reduce to (supp, part) grain BEFORE the supplier join, the final
+    semi join ships only surviving suppkeys; the 25-row nation dim
+    broadcasts."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part").filter(F.col("p_name").contains(Q20_NAME_PART))
     s = spark.table("supplier")
     n = spark.table("nation")
     dominant = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > Q20_MIN_QTY)
@@ -715,7 +742,7 @@ def q_join_waiting_suppliers(spark, sf_dir):
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
@@ -932,9 +959,10 @@ ORACLES = {
         "WITH pv AS (SELECT l_partkey, "
         "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
         "FROM lineitem GROUP BY l_partkey), "
-        "t AS (SELECT sum(val) AS total_val FROM pv) "
+        "t AS (SELECT sum(val) AS total_val, count(*) AS n_parts FROM pv) "
         "SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value "
-        f"FROM pv, t WHERE val * {Q11_FRAC_DENOM} > total_val"
+        f"FROM pv, t WHERE {Q11_MULT_DEN} * val * n_parts > "
+        f"{Q11_MULT_NUM} * total_val"
     ),
     "join_parts_supplier_counts": (
         "SELECT p_brand, p_type, p_size, "

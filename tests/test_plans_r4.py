@@ -61,6 +61,8 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/llmops.py", "q_text_collocations_pmi"),  # 2 totals
     ("i2mapreduce_spark/queries/mapred_q.py", "q_mr_heavy_hitters"),  # total + <=k*parts candidates
     ("i2mapreduce_spark/queries/quality.py", "q_dq_drift_psi"),  # 1-row min/max range
+    ("i2mapreduce_spark/queries/quality.py", "q_dq_iqr_outliers"),  # per-event-type quantile fences: cardinality = #distinct event types (enum-like, 6 at any SF)
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_part_concentration"),  # 1-row global total
     ("i2mapreduce_spark/queries/iterative.py", "q_iter_markov_walk"),  # 1-row frontier
     # fixed-size dimension tables (nation=25, region=5, supplier dim)
     ("i2mapreduce_spark/queries/aggregates.py", "q_agg_having"),  # nation dim
@@ -76,6 +78,9 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/tpch_q.py", "q_join_nation_trade_volume"),  # 2-nation dim slices
     ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_returned_revenue"),  # nation dim (25)
     ("i2mapreduce_spark/queries/tpch_q.py", "q_join_untapped_customers"),  # 1-row global avg
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_join_min_cost_supplier"),  # nation dim (25) only; part/supplier hints dropped in r6
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_agg_product_profit"),  # nation dim (25) only
+    ("i2mapreduce_spark/queries/tpch_q.py", "q_join_potential_promotion"),  # nation dim (25) only
     ("i2mapreduce_spark/queries/windows_q.py", "q_window_percent_of_total"),  # nation+region dims
     # k-bounded candidate / block tables
     ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs

@@ -70,7 +70,8 @@ def test_product_profit_broadcasts_dims_and_is_decimal_exact(spark, sf_dir):
 
 def test_part_concentration_membership_is_exact(spark, sf_dir):
     from i2mapreduce_spark.queries.tpch_q import (
-        Q11_FRAC_DENOM,
+        Q11_MULT_DEN,
+        Q11_MULT_NUM,
         q_agg_part_concentration,
     )
 
@@ -82,8 +83,15 @@ def test_part_concentration_membership_is_exact(spark, sf_dir):
     )
     rows = pv.collect()
     total = sum(r.v for r in rows)
-    want = {r.l_partkey for r in rows if r.v * Q11_FRAC_DENOM > total}
+    want = {
+        r.l_partkey
+        for r in rows
+        if Q11_MULT_DEN * r.v * len(rows) > Q11_MULT_NUM * total
+    }
     assert got == want
+    # the SF-invariant threshold must not be vacuous (r6 fix: the old
+    # 1/1000-of-total cut returned 0 rows at every SF)
+    assert len(got) > 0
 
 
 def test_parts_supplier_counts_uses_anti_join_and_excludes(spark, sf_dir):
