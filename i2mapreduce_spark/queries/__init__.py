@@ -31,74 +31,54 @@ _GROUP_MODULES = [
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
-# (r1-r4 each produced exactly-50-key CORRECTNESS files cut at the 50th
-# key in registry order).  Rounds 1-4 covered 196 distinct keys; all
-# green except agg_freq_items (array-column output crashed the driver's
-# canonicalizer — fixed this round by flattening to comma-joined
-# strings, re-queued below).  Round 5's window = the 49 keys that have
-# never had a driver CORRECTNESS row (the 29 post-window r3 keys + the
-# 20 r4 keys) + the re-queued agg_freq_items = exactly 50, ordered by
-# measured sf0.01 warm-session harness cost ascending.  After r5 every
-# one of the 245 keys that existed at r4 HEAD has a driver row; the 17
-# keys ADDED in r5 (6 TPC-H shapes + fn_try_arith + ts_ohlc_bars, then
-# window_interval_merge, ts_autocorr, ts_seasonal_profile,
-# agg_hll_union, fn_variant_json, sink_time_travel, mr_counters,
-# mr_multiple_outputs, dq_iqr_outliers) sit past the graded region and
-# MUST form the head of round 6's _R6_WINDOW (17 keys + 33 free slots
-# for r6 additions).
-_R5_WINDOW = [
-    # -- cheap scalar/window/agg keys (≲0.5 s each at sf0.01) --
-    "fn_aes_roundtrip",
-    "agg_freq_items",
-    "stream_windowed_topk",
-    "mr_distributed_cache",
-    "pipeline_shard_assign",
-    "embedding_norm_stats",
-    "agg_promo_share",
-    "agg_bitmap_distinct",
-    "join_untapped_customers",
-    "join_top_supplier",
-    "agg_returned_revenue",
-    "agg_shipping_priority",
-    "agg_local_supplier_volume",
-    "agg_market_share",
-    "window_percent_of_total",
-    "join_nation_trade_volume",
-    "join_exists_priority",
-    "pipeline_quality_gate",
-    "sink_dynamic_partition_overwrite",
-    "mr_total_order_sort",
-    "window_top_paths",
-    "mr_heavy_hitters",
-    "join_geo_radius",
-    "window_drawdown",
-    "text_bigram_lm_score",
-    "window_funnel_stages",
-    "text_repetition_ratio",
-    "pipeline_decontaminate",
-    "inc_join_delta",
-    "source_json_nested",
-    "dq_referential_integrity",
-    "text_collocations_pmi",
-    "join_spatial_knn",
-    "sink_compact_small_files",
-    "dedup_url_canonicalize",
-    "filter_dynamic_partition_pruning",
-    "dedup_ensemble_vote",
-    "window_running_distinct",
-    "dq_profile",
-    "text_boilerplate_ratio",
-    "udaf_kmv_distinct",
-    # -- iterative / streaming keys (fixpoint-loop scheduling floor) --
-    "iter_label_propagation",
-    "iter_kcore",
-    "iter_markov_walk",
-    "stream_foreachbatch_upsert",
-    "pipeline_split_leakage_safe",
-    "window_robust_zscore",
-    "iter_sssp_parents",
-    "iter_pagerank_personalized",
-    "iter_hits",
+# (r1-r5 each produced exactly-50-key CORRECTNESS files cut at the 50th
+# key in registry order).  After r5 all 245 keys that existed at r4 HEAD
+# have a green driver row (CORRECTNESS_r01-r05 union; agg_freq_items
+# rows-only by design).  Round 6's window = the 34 keys that have never
+# had a driver CORRECTNESS row (the 17 r5 additions + the 11 late-r5
+# TPC-H shapes + the TA-window trio and mr_inverted_index/
+# mr_matrix_multiply/pipeline_epoch_shuffle/inc_cc_delta) ordered by
+# measured sf0.01 warm harness cost ascending, then every key ADDED in
+# round 6 (16 free slots).  Keys past slot 50 get graded in r7.
+_R6_WINDOW = [
+    # -- cheap keys (<0.5 s warm each at sf0.01, measured 2026-08-14) --
+    "agg_forecast_revenue",
+    "agg_hll_union",
+    "ts_seasonal_profile",
+    "stream_left_outer_join",
+    "agg_customer_distribution",
+    "join_large_volume_customers",
+    "agg_priority_lateness",
+    "agg_bracket_revenue",
+    "join_potential_promotion",
+    "join_min_cost_supplier",
+    "agg_part_concentration",
+    "join_parts_supplier_counts",
+    "ts_autocorr",
+    "agg_small_qty_revenue",
+    "agg_product_profit",
+    "stream_dedup_watermark",
+    "source_csv_malformed",
+    "ts_ohlc_bars",
+    "dq_iqr_outliers",
+    "fn_try_arith",
+    # -- 0.5-1.5 s --
+    "mr_inverted_index",
+    "window_interval_merge",
+    "mr_matrix_multiply",
+    "fn_variant_json",
+    "window_rsi",
+    "window_rolling_corr",
+    "join_waiting_suppliers",
+    "sink_time_travel",
+    "window_bollinger",
+    "mr_multiple_outputs",
+    "pipeline_epoch_shuffle",
+    # -- heavy (accumulator merge / delta warm-start / Boruvka loop) --
+    "mr_counters",
+    "inc_cc_delta",
+    "iter_mst_forest",
+    # -- round-6 additions (fill toward slot 50, cheap-first) --
 ]
 
 
@@ -116,7 +96,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R5_WINDOW:
+    for k in _R6_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles
