@@ -38,6 +38,18 @@ DERIVED_SQL = {
         "FROM lineitem a JOIN lineitem b "
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
     ),
+    # weighted variant: co-purchase count per pair.  One shared view for
+    # every graph key that thresholds/weights by co-purchase count
+    # (MST, k-core) — registered CACHE LAZY so a multi-query session
+    # (the driver harness, drive_entry) materializes the lineitem
+    # self-join once instead of once per graph query; single queries pay
+    # nothing until first use.
+    "edges_pp_w": (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+        "GROUP BY 1, 2"
+    ),
     # order -> set-of-parts baskets for APriori
     "baskets": (
         "SELECT l_orderkey AS basket, l_partkey AS item "
@@ -80,8 +92,24 @@ def load_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
         return
     for name in TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    # drop any prior sf_dir's cached co-purchase graph BEFORE the view
+    # is replaced (uncache resolves the view to find the cache entry)
+    try:
+        spark.catalog.uncacheTable("edges_pp_w")
+    except Exception:
+        pass
     for view, sql in DERIVED_SQL.items():
         spark.sql(sql).createOrReplaceTempView(view)
+    # lazy cache: first graph query pays the lineitem self-join, every
+    # later graph query in the session reuses it
+    spark.sql("CACHE LAZY TABLE edges_pp_w")
+    # Spark-side edges_pp reads THROUGH the cached weighted view (the
+    # group-by keys are exactly the distinct pairs), so CC/LPA/SSSP/
+    # triangle/markov reuse the same materialization; the DERIVED_SQL
+    # string above stays self-contained for the DuckDB cte() helper.
+    spark.table("edges_pp_w").select("src", "dst").createOrReplaceTempView(
+        "edges_pp"
+    )
     # invalidate caches for other sf_dirs on the same session
     for k in [k for k in _loaded if k[0] == id(spark)]:
         _loaded.pop(k, None)

@@ -604,29 +604,74 @@ def kmeans(
     return assign, centroids
 
 
+#: contracted-graph size below which Borůvka finishes with one driver
+#: Kruskal instead of further distributed rounds.  The probe is a
+#: `limit`-bounded collect of the min-edge-per-component-pair graph
+#: (5 longs/doubles x 4M rows ~ 160 MB), not a scan of base data — the
+#: standard "local finish" of distributed MST: early rounds with
+#: billions of components run distributed; the tail, where fixed
+#: job-scheduling overhead dwarfs the data, collapses into one bounded
+#: collect + an O(E α(E)) union-find.
+BORUVKA_LOCAL_EDGES_MAX = 4_000_000
+
+
+def _local_kruskal(rows: list[tuple]) -> list[tuple[int, int, float]]:
+    """Exact Kruskal MSF over component-level edges (w, a, b, cs, cd):
+    ascending (w, a, b) total order, union on component labels, emit the
+    canonical endpoints (a, b, w).  The same total order the distributed
+    rounds and the test golden use, so the forest is bit-identical."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    out: list[tuple[int, int, float]] = []
+    for w, a, b, cs, cd in sorted(rows):
+        ra, rb = find(cs), find(cd)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return out
+
+
 def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     """Borůvka minimum spanning forest over SYMMETRIC weighted edges
-    (src, dst, w) — the classic O(log n)-round distributed MST: every
-    round each component picks its minimum outgoing edge under the TOTAL
-    order (w, a, b) (a<b the canonical endpoints; the total order makes
-    ties safe — a pick-graph cycle would have to traverse its maximal
-    edge twice), the picked edges join the forest, and components
-    contract via the connected-components operator over the forest so
-    far.  Rounds halve the component count, so `max_rounds`=8 covers
-    forests to 256 components per tree — and the loop exits at the true
-    fixpoint (no outgoing edges) regardless.
+    (src, dst, w), distributed rounds + a bounded local Kruskal finish.
 
-    Returns the forest edges (a, b, w).  100 TB shape: each round is one
-    comp-label join + a partial-aggregatable per-component `min(struct)`
-    (map-side combine, no window sort), then contraction by CC over the
-    COMPONENT-LEVEL pick graph — at most one edge per live component,
-    a graph that at least halves every round — never over the full node
-    set.  Three actions per round (pick checkpoint, emptiness probe via
-    the checkpointed pick, comp checkpoint) plus the tiny CC loop.
+    Distributed rounds (the at-scale path): every round each component
+    picks its minimum outgoing edge under the TOTAL order (w, a, b)
+    (a<b the canonical endpoints; the total order makes ties safe — a
+    pick-graph cycle would have to traverse its maximal edge twice),
+    the picked edges join the forest, and components contract via the
+    connected-components operator over the COMPONENT-LEVEL pick graph —
+    at most one edge per live component, a graph that at least halves
+    every round.  Each round starts by pre-aggregating the live edges
+    to min-per-(component pair) — a partial-aggregatable shuffle that
+    also at least halves round over round.
+
+    Local finish: the MST-of-contraction property says the MSF of the
+    original graph = chosen edges so far + the MSF of the contracted
+    min-edge-per-component-pair graph, and under a total order that MSF
+    is UNIQUE — so once the contracted graph fits in
+    BORUVKA_LOCAL_EDGES_MAX rows (a `limit`-bounded probe, never an
+    unbounded collect), one driver-side Kruskal finishes the forest
+    exactly.  At 100 TB early rounds run distributed (billions of
+    components); the tail — where per-round data is tiny and fixed
+    job-scheduling overhead dominates — collapses into one bounded
+    collect + an O(E α(E)) union-find.  Correctness does not depend on
+    WHEN the switch happens, only the constant factor does.
+
+    Returns the forest edges (a, b, w).
     """
     spark = edges.sparkSession
     comp = None  # (node, label); None = every node its own component
     chosen = spark.createDataFrame([], "a long, b long, w double")
+    local_rows: list[tuple] = []
     for _ in range(max_rounds):
         if comp is None:
             e = edges.select(
@@ -653,27 +698,40 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
                 )
                 .filter(F.col("cs") != F.col("cd"))
             )
-        # min(struct) is lexicographic over (w, a, b) = the total order;
-        # cd rides along for the contraction graph
+        # min edge per component PAIR under the total order — safe by
+        # the cycle property (a non-minimal parallel edge is never in
+        # the MSF) and partial-aggregatable (map-side combine)
+        contracted = (
+            e.groupBy("cs", "cd")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select("cs", "cd", "m.w", "m.a", "m.b")
+            .localCheckpoint(eager=True)
+        )
+        # bounded probe: limit pushes into the plan, so this collects AT
+        # MOST BORUVKA_LOCAL_EDGES_MAX+1 rows however large the graph is
+        probe = contracted.limit(BORUVKA_LOCAL_EDGES_MAX + 1).collect()
+        if not probe:
+            break
+        if len(probe) <= BORUVKA_LOCAL_EDGES_MAX:
+            local_rows = probe
+            break
+        # distributed Borůvka round
         pick = (
-            e.groupBy("cs")
+            contracted.groupBy("cs")
             .agg(F.min(F.struct("w", "a", "b", "cd")).alias("m"))
             .select("cs", "m.w", "m.a", "m.b", "m.cd")
             .localCheckpoint(eager=True)
         )
-        if pick.isEmpty():
-            break
         chosen = (
             chosen.unionByName(pick.select("a", "b", "w"))
             # within a round both endpoint components can pick the same
-            # edge; across rounds re-picks are impossible once contraction
-            # converged — the dedup also makes a CC-cap under-merge
-            # degrade to a duplicate-free (if cyclic) pick, never a
-            # double-counted edge
+            # edge; across rounds re-picks are impossible once
+            # contraction converged — the dedup also makes a CC-cap
+            # under-merge degrade to a duplicate-free (if cyclic) pick,
+            # never a double-counted edge
             .dropDuplicates(["a", "b"])
             .localCheckpoint(eager=True)
         )
-        # contract on component LABELS: every picked (cs, cd) pair merges
         pick_sym = pick.select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
         pick_sym = pick_sym.union(
             pick_sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -683,6 +741,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         m = connected_components(pick_sym, iters=16).select(
             F.col("node").alias("old"), F.col("label").alias("new")
         )
+        # contract on component LABELS: every picked (cs, cd) pair merges
         if comp is None:
             comp = m.select(F.col("old").alias("node"), F.col("new").alias("label"))
         else:
@@ -690,4 +749,12 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
                 "node", F.coalesce("new", "label").alias("label")
             )
         comp = comp.localCheckpoint(eager=True)
+    if local_rows:
+        finish = _local_kruskal(
+            [(r["w"], r["a"], r["b"], r["cs"], r["cd"]) for r in local_rows]
+        )
+        if finish:
+            chosen = chosen.unionByName(
+                spark.createDataFrame(finish, "a long, b long, w double")
+            )
     return chosen

@@ -166,18 +166,8 @@ def q_iter_kcore(spark, sf_dir):
     against 12 unrolled peel rounds in DuckDB (equal by monotonicity
     wherever the fixpoint lands)."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("c"))
+        spark.table("edges_pp_w")  # shared lazily-cached co-purchase view
         .filter(F.col("c") >= KCORE_MIN_COPURCHASE)
         .select("src", "dst")
     )
@@ -416,18 +406,8 @@ def q_iter_mst_forest(spark, sf_dir):
     identical (w, a, b) total order and asserts the forest invariant
     |edges| = |nodes| - |components|."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem")
-    a, b = li.alias("a"), li.alias("b")
     weighted = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("c"))
+        spark.table("edges_pp_w")  # shared lazily-cached co-purchase view
         .filter(F.col("c") >= MST_MIN_COPURCHASE)
         .select("src", "dst", (F.lit(1.0) / F.col("c")).alias("w"))
         .localCheckpoint(eager=True)
