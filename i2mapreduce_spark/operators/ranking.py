@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["global_row_number"]
+__all__ = ["global_row_number", "global_running_sum"]
 
 
 def global_row_number(
@@ -68,3 +68,60 @@ def global_row_number(
     return ranged.withColumn(
         out_col, (F.row_number().over(wp) + off_expr).cast("long")
     ).drop("_pid")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append running ``SUM(c)`` for each ``c`` in ``sum_cols`` under the
+    unique total order ``order_cols`` as ``cum_<c>`` — the prefix-sum
+    twin of :func:`global_row_number`, and the distributed replacement
+    for an unpartitioned cumulative window:
+
+    1. range-partition + sort locally (parallel);
+    2. per-partition RUNNING sums (parallel, partition-local);
+    3. add the total of all earlier partitions — one bounded collect of
+       ``num_partitions`` partial sums per column, independent of rows.
+
+    Identical to ``SUM(c) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    for any placement of the range boundaries, because integer/decimal
+    addition is associative (use only exact-typed columns here — float
+    prefix sums would be boundary-dependent).
+    """
+    if num_partitions is None:
+        n_conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        num_partitions = int(n_conf)
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids with the data
+    )
+    totals = {
+        r["_pid"]: r
+        for r in ranged.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    out = ranged
+    wp = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in sum_cols:
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid][c] or 0
+        off_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            ),
+            F.col("_pid"),
+        )
+        out = out.withColumn(f"cum_{c}", (F.sum(c).over(wp) + off_expr).cast("long"))
+    return out.drop("_pid")

@@ -28,6 +28,7 @@ _GROUP_MODULES = [
     "quality",      # Q  — data-quality audits (r3)
     "timeseries",   # T  — time-series analytics (r3)
     "tpch_q",       # H  — TPC-H-shaped composite analytics (r4)
+    "r6_ops",       # mixed groups — round-6 additions
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
@@ -79,6 +80,22 @@ _R6_WINDOW = [
     "inc_cc_delta",
     "iter_mst_forest",
     # -- round-6 additions (fill toward slot 50, cheap-first) --
+    "fn_uuid_deterministic",
+    "pipeline_importance_sample",
+    "ts_gap_stats",
+    "ts_cross_correlation",
+    "ts_mann_kendall",
+    "ts_cusum_changepoint",
+    "window_donchian",
+    "window_vwap",
+    "agg_weighted_percentile",
+    "fn_zorder_interleave",
+    "text_vocab_growth",
+    "embedding_matryoshka_truncate",
+    "dedup_paragraph",
+    "agg_count_min_sketch",
+    "source_csv_multiline",
+    "join_bloom_prefilter",
 ]
 
 

@@ -84,6 +84,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/windows_q.py", "q_window_percent_of_total"),  # nation+region dims
     # k-bounded candidate / block tables
     ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
+    ("i2mapreduce_spark/queries/r6_ops.py", "q_sim_mmr_rerank"),  # fixed MMR_N_QUERIES=20-row query block
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }

@@ -1,0 +1,180 @@
+"""Round-6 surface tests: goldens/guarantees beyond the DuckDB oracles
+(the two rows-only keys get independent replays; the hash-checked ones
+get the invariants the oracle can't express)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i2mapreduce_spark.catalog import load_tables
+from i2mapreduce_spark.queries.r6_ops import (
+    BLOOM_TOPN,
+    CMS_WIDTH,
+    MMR_CANDS,
+    MMR_K,
+    MMR_LAMBDA,
+    MMR_N_QUERIES,
+    PARA_CHUNK_WORDS,
+    q_agg_count_min_sketch,
+    q_dedup_paragraph,
+    q_join_bloom_prefilter,
+    q_pipeline_importance_sample,
+    q_sim_mmr_rerank,
+)
+
+
+def _md5_le_py(s: str, n_bytes: int) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8 : 8 + n_bytes],
+                          "little")
+
+
+def test_mmr_matches_numpy_greedy_golden(spark, sf_dir):
+    got = (
+        q_sim_mmr_rerank(spark, sf_dir)
+        .orderBy("q_id", "rank")
+        .collect()
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb["embedding"].map(np.asarray)).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims_all = Vn @ Vn.T
+    want = []
+    for q in sorted(ids[ids < MMR_N_QUERIES]):
+        qi = int(np.where(ids == q)[0][0])
+        order = [
+            i
+            for i in np.lexsort((ids, -sims_all[qi]))
+            if ids[i] != q
+        ][:MMR_CANDS]
+        picked: list[int] = []
+        for _ in range(MMR_K):
+            best, best_score = None, None
+            for i in order:
+                if i in picked:
+                    continue
+                div = max(sims_all[i][j] for j in picked) if picked else 0.0
+                score = MMR_LAMBDA * sims_all[qi][i] - (1 - MMR_LAMBDA) * div
+                if best is None or score > best_score:
+                    best, best_score = i, score
+            picked.append(best)
+        for rank, i in enumerate(picked, 1):
+            want.append((int(q), rank, int(ids[i])))
+    assert [(r.q_id, r.rank, r.picked_id) for r in got] == want
+
+
+def test_cms_guarantees(spark, sf_dir):
+    """est >= true always (CMS never undercounts); overshoot bounded by
+    2N/W (generous vs the e/W expectation, tight enough to catch a
+    broken hash/bucketing)."""
+    rows = q_agg_count_min_sketch(spark, sf_dir).collect()
+    load_tables(spark, sf_dir)
+    n_total = spark.table("lineitem").count()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt, r
+        assert r.est_cnt - r.true_cnt <= 2 * n_total / CMS_WIDTH, r
+
+
+def test_importance_sample_matches_python_replay(spark, sf_dir):
+    got = q_pipeline_importance_sample(spark, sf_dir).collect()[0]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    keep = d[
+        d.apply(
+            lambda r: _md5_le_py(str(r["doc_id"]), 2) * 1000
+            < min(r["n_chars"], 1000) * 65536,
+            axis=1,
+        )
+    ]
+    assert got.n_sampled == len(keep)
+    assert got.sampled_chars == int(keep["n_chars"].sum())
+
+
+def test_dedup_paragraph_conservation(spark, sf_dir):
+    """Sum of kept chunks == number of DISTINCT chunks in the corpus;
+    every doc keeps at least 0 and at most its own chunk count."""
+    rows = q_dedup_paragraph(spark, sf_dir).collect()
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    chunks = set()
+    n_chunks_total = 0
+    for t in d["text"]:
+        ws = t.split(" ")
+        for i in range(0, len(ws), PARA_CHUNK_WORDS):
+            chunks.add(" ".join(ws[i : i + PARA_CHUNK_WORDS]))
+            n_chunks_total += 1
+    assert sum(r.n_kept for r in rows) == len(chunks)
+    assert sum(r.n_chunks for r in rows) == n_chunks_total
+    assert all(0 <= r.n_kept <= r.n_chunks for r in rows)
+
+
+def test_bloom_prefilter_equals_plain_semijoin(spark, sf_dir):
+    """The bloom stage must not change the RESULT (false positives are
+    removed by the exact join; false negatives are impossible)."""
+    from pyspark.sql import Window, functions as F
+
+    got = {
+        (r.o_custkey, r.n_orders)
+        for r in q_join_bloom_prefilter(spark, sf_dir).collect()
+    }
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("v").desc(), "o_custkey")),
+        )
+        .filter(F.col("rn") <= BLOOM_TOPN)
+        .select("o_custkey")
+    )
+    want = {
+        (r.o_custkey, r.n_orders)
+        for r in o.join(top, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    assert got == want and len(got) == BLOOM_TOPN
+
+
+def test_global_running_sum_matches_global_window(spark, sf_dir):
+    """The chunked-offset prefix sum is bit-identical to
+    SUM() OVER (ORDER BY ...) for a unique total order (exact types)."""
+    from pyspark.sql import Window, functions as F
+
+    from i2mapreduce_spark.operators.ranking import global_running_sum
+
+    load_tables(spark, sf_dir)
+    per_cust = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("cents"),
+        )
+    )
+    got = (
+        global_running_sum(per_cust, ["o_custkey"], ["n", "cents"])
+        .orderBy("o_custkey")
+        .select("o_custkey", "cum_n", "cum_cents")
+        .collect()
+    )
+    w = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        per_cust.select(
+            "o_custkey",
+            F.sum("n").over(w).cast("long").alias("cum_n"),
+            F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        )
+        .orderBy("o_custkey")
+        .collect()
+    )
+    assert got == want
