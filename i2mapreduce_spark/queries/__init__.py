@@ -29,6 +29,7 @@ _GROUP_MODULES = [
     "timeseries",   # T  — time-series analytics (r3)
     "tpch_q",       # H  — TPC-H-shaped composite analytics (r4)
     "r6_ops",       # mixed groups — round-6 additions
+    "r6b_ops",      # mixed groups — round-6 additions, batch 2 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

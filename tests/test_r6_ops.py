@@ -178,3 +178,83 @@ def test_global_running_sum_matches_global_window(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_macd_fixed_point_matches_python_replay(spark, sf_dir):
+    """The fixed-point EMA recursion replayed in pure-python ints."""
+    from i2mapreduce_spark.queries.r6b_ops import (
+        MACD_FAST,
+        MACD_SIGNAL,
+        MACD_SLOW,
+        MACD_TRUNC,
+        q_window_macd,
+    )
+
+    got = {r.day: r for r in q_window_macd(spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    day = pd.to_datetime(o["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    cents = ((o["o_totalprice"].round(2) * 100).round().astype("int64")
+             .groupby(day).sum().sort_index())
+
+    def ema_fix(xs, span):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = (2 * (2 * x + (span - 1) * acc) + (span + 1)) // (
+                2 * (span + 1)
+            )
+        return acc
+
+    days = cents.index.to_numpy()
+    vals = [int(v) for v in cents.to_numpy()]
+    mc = {}
+    for i in range(MACD_TRUNC - 1, len(vals)):
+        xs = vals[i - MACD_TRUNC + 1 : i + 1]
+        mc[days[i]] = ema_fix(xs, MACD_FAST) - ema_fix(xs, MACD_SLOW)
+    mdays = sorted(mc)
+    assert len(got) == max(len(mdays) - MACD_TRUNC + 1, 0)
+    OFF = 10 ** 12
+    for i in range(MACD_TRUNC - 1, len(mdays)):
+        ms = [mc[d] + OFF for d in mdays[i - MACD_TRUNC + 1 : i + 1]]
+        sc = ema_fix(ms, MACD_SIGNAL) - OFF
+        r = got[mdays[i]]
+        assert r.macd == mc[mdays[i]] / 100.0, mdays[i]
+        assert r.signal == sc / 100.0, mdays[i]
+        want = ("bullish" if mc[mdays[i]] > sc
+                else "bearish" if mc[mdays[i]] < sc else "cross")
+        assert r.stance == want
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    from i2mapreduce_spark.queries.r6b_ops import TT_A, TT_B, q_agg_welch_ttest
+
+    r = q_agg_welch_ttest(spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+    x = e[e.event_type == TT_A]["value"].to_numpy(dtype=np.float64)
+    y = e[e.event_type == TT_B]["value"].to_numpy(dtype=np.float64)
+    se1 = x.var(ddof=1) / len(x)
+    se2 = y.var(ddof=1) / len(y)
+    t = (x.mean() - y.mean()) / np.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1 ** 2 / (len(x) - 1) + se2 ** 2 / (len(y) - 1))
+    assert r.n1 == len(x) and r.n2 == len(y)
+    assert r.t_stat == pytest.approx(t, abs=2e-4)
+    assert r.df == pytest.approx(df, rel=1e-4)
+
+
+def test_chi_square_cells_match_numpy(spark, sf_dir):
+    from i2mapreduce_spark.queries.r6b_ops import q_agg_chi_square
+
+    rows = q_agg_chi_square(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    dow = pd.to_datetime(e["ts"]).dt.dayofweek  # Mon=0
+    # Spark dayofweek: Sun=1..Sat=7
+    spark_dow = ((dow + 1) % 7) + 1
+    ct = pd.crosstab(e["event_type"], spark_dow)
+    n = ct.to_numpy().sum()
+    for r in rows:
+        o = ct.loc[r.event_type, r.dow]
+        exp = ct.loc[r.event_type].sum() * ct[r.dow].sum() / n
+        assert r.o == o
+        assert r.expected == pytest.approx(exp, abs=1e-6)
+        assert r.contribution == pytest.approx((o - exp) ** 2 / exp, abs=1e-6)
