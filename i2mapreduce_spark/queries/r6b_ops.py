@@ -322,3 +322,131 @@ ORACLES = {
         "AS cum_share FROM ranked, t"
     ),
 }
+
+
+def q_agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov between the click and purchase
+    `value` distributions: D = max_v |F1(v) - F2(v)|, the
+    distribution-shift detector behind data-drift monitoring.  Exact
+    formulation: maximize |c1(v)*n2 - c2(v)*n1| in INTEGERS over the
+    distinct-value spine (cumulative counts via the distributed
+    chunked-offset prefix sum - the spine scales with data, so no
+    unpartitioned window), one double division at the end.  Argmax ties
+    break to the smallest value via a lexicographic min(struct).
+    Output: one row (n1, n2, d_num, ks_d, at_value)."""
+    from ..operators.ranking import global_running_sum
+
+    load_tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("event_type").isin(TT_A, TT_B))
+    g = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == TT_A).cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == TT_B).cast("long")).alias("c2"),
+    )
+    pref = global_running_sum(g, ["value"], ["c1", "c2"])
+    tot = g.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    scored = pref.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
+        ).alias("score"),
+    )
+    best = scored.groupBy("n1", "n2").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("value").alias("v"))).alias("m")
+    )
+    return best.select(
+        "n1",
+        "n2",
+        (-F.col("m.ns")).alias("d_num"),
+        F.round(
+            (-F.col("m.ns")).cast("double") / (F.col("n1") * F.col("n2")), 6
+        ).alias("ks_d"),
+        F.col("m.v").alias("at_value"),
+    )
+
+
+def q_agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) between click and purchase values with
+    tie-corrected normal approximation — the non-parametric A/B test.
+    All rank arithmetic in exact integers on the distinct-value spine:
+    tied groups contribute c1·(a+b) to 2·R1 (twice the average rank is
+    the integer a+b), U from 2U1 = 2R1 − n1(n1+1), tie term T = Σ(t³−t);
+    prefix positions via the distributed chunked-offset sum.  The z
+    statistic is a handful of double ops on those identical exact
+    integers.  Output: one row (n1, n2, u1, z)."""
+    from ..operators.ranking import global_running_sum
+
+    load_tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("event_type").isin(TT_A, TT_B))
+    g = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == TT_A).cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == TT_B).cast("long")).alias("c2"),
+    ).withColumn("t", F.col("c1") + F.col("c2"))
+    pref = global_running_sum(g, ["value"], ["t"])
+    terms = pref.select(
+        "c1",
+        "t",
+        # tied group occupies ranks [cum_t - t + 1 .. cum_t]; a+b below
+        (2 * F.col("cum_t") - F.col("t") + 1).alias("ab"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("c1") * F.col("ab")).alias("two_r1"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).alias("n2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u1 = (F.col("two_r1") - n1 * (n1 + 1)) / 2.0
+    mu = n1.cast("double") * n2 / 2.0
+    var = (
+        n1.cast("double") * n2 / 12.0
+        * ((nn + 1) - F.col("tie_t").cast("double") / (nn * (nn - 1)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+QUERIES["agg_ks_test"] = q_agg_ks_test
+QUERIES["agg_mann_whitney"] = q_agg_mann_whitney
+
+ORACLES["agg_ks_test"] = (
+    "WITH g AS (SELECT value, "
+    f"sum(CASE WHEN event_type = '{TT_A}' THEN 1 ELSE 0 END) AS c1, "
+    f"sum(CASE WHEN event_type = '{TT_B}' THEN 1 ELSE 0 END) AS c2 "
+    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') GROUP BY 1), "
+    "pref AS (SELECT value, "
+    "sum(c1) OVER (ORDER BY value) AS cc1, sum(c2) OVER (ORDER BY value) AS cc2 "
+    "FROM g), "
+    "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
+    "scored AS (SELECT value, n1, n2, abs(cc1 * n2 - cc2 * n1) AS score "
+    "FROM pref, tot) "
+    "SELECT n1, n2, CAST(score AS BIGINT) AS d_num, "
+    "round(CAST(score AS DOUBLE) / (n1 * n2), 6) AS ks_d, value AS at_value "
+    "FROM scored ORDER BY score DESC, value LIMIT 1"
+)
+
+ORACLES["agg_mann_whitney"] = (
+    "WITH g AS (SELECT value, "
+    f"sum(CASE WHEN event_type = '{TT_A}' THEN 1 ELSE 0 END) AS c1, "
+    f"sum(CASE WHEN event_type = '{TT_B}' THEN 1 ELSE 0 END) AS c2, "
+    "count(*) AS t "
+    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') GROUP BY 1), "
+    "pref AS (SELECT c1, t, 2 * sum(t) OVER (ORDER BY value) - t + 1 AS ab "
+    "FROM g), "
+    "agg AS (SELECT CAST(sum(c1 * ab) AS BIGINT) AS two_r1, "
+    "CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(t - c1) AS BIGINT) AS n2, "
+    "CAST(sum(t * t * t - t) AS BIGINT) AS tie_t FROM pref) "
+    "SELECT n1, n2, (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1, "
+    "round(((two_r1 - n1 * (n1 + 1)) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / "
+    "sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - "
+    "CAST(tie_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z "
+    "FROM agg"
+)

@@ -86,6 +86,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
     ("i2mapreduce_spark/queries/r6_ops.py", "q_sim_mmr_rerank"),  # fixed MMR_N_QUERIES=20-row query block
     ("i2mapreduce_spark/queries/r6b_ops.py", "q_text_ngram_coverage"),  # 1-row global bigram total
+    ("i2mapreduce_spark/queries/r6b_ops.py", "q_agg_ks_test"),  # 1-row (n1, n2) totals
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }

@@ -258,3 +258,42 @@ def test_chi_square_cells_match_numpy(spark, sf_dir):
         assert r.o == o
         assert r.expected == pytest.approx(exp, abs=1e-6)
         assert r.contribution == pytest.approx((o - exp) ** 2 / exp, abs=1e-6)
+
+
+def test_ks_test_matches_numpy(spark, sf_dir):
+    from i2mapreduce_spark.queries.r6b_ops import q_agg_ks_test
+
+    r = q_agg_ks_test(spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+    x = np.sort(e[e.event_type == "click"]["value"].to_numpy())
+    y = np.sort(e[e.event_type == "purchase"]["value"].to_numpy())
+    grid = np.unique(np.concatenate([x, y]))
+    f1 = np.searchsorted(x, grid, side="right") / len(x)
+    f2 = np.searchsorted(y, grid, side="right") / len(y)
+    d = np.abs(f1 - f2).max()
+    assert r.n1 == len(x) and r.n2 == len(y)
+    assert r.ks_d == pytest.approx(d, abs=1e-6)
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir):
+    from i2mapreduce_spark.queries.r6b_ops import q_agg_mann_whitney
+
+    r = q_agg_mann_whitney(spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+    x = e[e.event_type == "click"]["value"].to_numpy()
+    y = e[e.event_type == "purchase"]["value"].to_numpy()
+    pooled = np.concatenate([x, y])
+    order = pd.Series(pooled).rank(method="average").to_numpy()
+    r1 = order[: len(x)].sum()
+    u1 = r1 - len(x) * (len(x) + 1) / 2
+    n1, n2 = len(x), len(y)
+    nn = n1 + n2
+    _, counts = np.unique(pooled, return_counts=True)
+    tie_t = (counts ** 3 - counts).sum()
+    var = n1 * n2 / 12 * ((nn + 1) - tie_t / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2) / np.sqrt(var)
+    assert r.n1 == n1 and r.n2 == n2
+    assert r.u1 == pytest.approx(u1, abs=1e-9)
+    assert r.z == pytest.approx(z, abs=1e-6)
