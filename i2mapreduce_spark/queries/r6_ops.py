@@ -301,22 +301,32 @@ def q_agg_count_min_sketch(spark, sf_dir):
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     key = F.col("l_partkey").cast("string")
-    # sketch: one agg pass producing all d rows via explode of d hashes
-    hashed = li.select(
-        *[
-            (_md5_le(F.concat(key, F.lit(f"#{i}")), 4) % CMS_WIDTH).alias(
-                f"b{i}"
-            )
-            for i in range(CMS_DEPTH)
-        ]
+
+    def depth_buckets(key_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    (
+                        _md5_le(F.concat(key_col, F.lit(f"#{i}")), 4)
+                        % CMS_WIDTH
+                    ).alias("bucket"),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+
+    # sketch build: ONE fact scan — the d bucket choices explode to
+    # (depth, bucket) rows (x d, but map-side combine collapses each
+    # task's output to <= d*w partial cells), one partial+final agg.
+    # A per-depth groupBy would re-scan the fact d times.
+    cells = (
+        li.select(F.explode(depth_buckets(key)).alias("db"))
+        .groupBy("db.depth", "db.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cells = None
-    for i in range(CMS_DEPTH):
-        c = hashed.groupBy(F.col(f"b{i}").alias("bucket")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).select(F.lit(i).alias("depth"), "bucket", "cnt")
-        cells = c if cells is None else cells.unionByName(c)
-    # exact top-10 parts (ties -> smaller key) and their per-depth buckets
+    # exact top-10 parts (ties -> smaller key): the second (and last)
+    # fact scan; the d probe buckets explode from the 10-row result
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -329,20 +339,13 @@ def q_agg_count_min_sketch(spark, sf_dir):
         .filter(F.col("rn") <= CMS_TOPK)
         .drop("rn")
     )
-    probes = None
-    for i in range(CMS_DEPTH):
-        p = top.select(
-            "l_partkey",
-            "true_cnt",
-            F.lit(i).alias("depth"),
-            (
-                _md5_le(
-                    F.concat(F.col("l_partkey").cast("string"), F.lit(f"#{i}")), 4
-                )
-                % CMS_WIDTH
-            ).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = top.select(
+        "l_partkey",
+        "true_cnt",
+        F.explode(depth_buckets(F.col("l_partkey").cast("string"))).alias(
+            "db"
+        ),
+    ).select("l_partkey", "true_cnt", "db.depth", "db.bucket")
     return (
         probes.join(cells, ["depth", "bucket"])
         .groupBy("l_partkey", "true_cnt")
