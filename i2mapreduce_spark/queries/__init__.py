@@ -30,6 +30,8 @@ _GROUP_MODULES = [
     "tpch_q",       # H  — TPC-H-shaped composite analytics (r4)
     "r6_ops",       # mixed groups — round-6 additions
     "r6b_ops",      # mixed groups — round-6 additions, batch 2 (graded r7)
+    "r6c_ops",      # mixed groups — round-6 additions, batch 3 (graded r7)
+    "r6d_ops",      # mixed groups — round-6 additions, batch 4 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

@@ -87,6 +87,9 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6_ops.py", "q_sim_mmr_rerank"),  # fixed MMR_N_QUERIES=20-row query block
     ("i2mapreduce_spark/queries/r6b_ops.py", "q_text_ngram_coverage"),  # 1-row global bigram total
     ("i2mapreduce_spark/queries/r6b_ops.py", "q_agg_ks_test"),  # 1-row (n1, n2) totals
+    ("i2mapreduce_spark/queries/r6c_ops.py", "q_ts_burst_days"),  # per-event-type moment rows: cardinality = #distinct event types (enum-like, ~6 at any SF)
+    ("i2mapreduce_spark/queries/r6d_ops.py", "q_agg_decile_lift"),  # 1-row (n, total) aggregate
+    ("i2mapreduce_spark/queries/r6d_ops.py", "q_pipeline_curriculum"),  # 1-row corpus count
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
