@@ -758,3 +758,95 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
                 spark.createDataFrame(finish, "a long, b long, w double")
             )
     return chosen
+
+
+def scc(edges: DataFrame, max_passes: int = 8,
+        max_trim_rounds: int = 32) -> DataFrame:
+    """Strongly connected components of a directed graph via
+    Trim + Forward-Backward min-label coloring (the FW-BW-Trim scheme of
+    the parallel-SCC literature, with Orzan-style coloring as the reach
+    primitive):
+
+    1. TRIM to fixpoint: a node with no in-edges or no out-edges inside
+       the active subgraph is its own singleton SCC — peel until stable
+       (kills the DAG periphery, which is what makes pure coloring
+       O(#SCC) passes in the worst case).
+    2. One coloring pass: fwd[v] = min id reachable FROM v, bwd[v] = min
+       id reaching v; both are computed with the SAME pointer-doubling
+       min-label kernel as `connected_components` (directed propagation
+       is sound for doubling because a node's current label is always a
+       node it can reach, so label-of-label is still reachable) —
+       O(log diameter) rounds, monotone-sum fixpoint detection.
+       fwd[v] == bwd[v] == m proves v and m mutually reachable, so every
+       such v is labeled scc = m (this always finishes at least the SCC
+       of the active minimum, so passes <= #SCC and in practice 1-2
+       after trimming).
+    3. Remove labeled nodes + incident edges, repeat.
+
+    Returns (node, scc) for every node incident to an edge; scc = the
+    minimum member id.  Deterministic — no randomness, fixpoints only.
+
+    100TB: every step is an equi-join/agg on node id; the trim fixpoint
+    and coloring fixpoint are each one cheap count/sum action per round
+    (the reference's global barrier); state never leaves the cluster.
+    """
+    active = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    active_nodes = _nodes(active).localCheckpoint(eager=True)
+    labeled_parts: list[DataFrame] = []
+    for _ in range(max_passes):
+        # --- trim singleton SCCs (no in- or no out-edges, including
+        # nodes isolated by earlier peels) to fixpoint
+        for _t in range(max_trim_rounds):
+            # one fused shuffle computes both degree flags
+            deg = (
+                active.select(F.col("src").alias("node"),
+                              F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .unionByName(
+                    active.select(F.col("dst").alias("node"),
+                                  F.lit(0).alias("o"), F.lit(1).alias("i")))
+                .groupBy("node")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+            )
+            both = deg.filter((F.col("o") == 1) & (F.col("i") == 1)).select(
+                "node"
+            )  # nodes with >=1 in AND >=1 out
+            trimmed = active_nodes.join(both, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            # trimmed derives from the just-checkpointed `active`;
+            # no extra checkpoint needed to keep it computable
+            labeled_parts.append(
+                trimmed.select("node", F.col("node").alias("scc"))
+            )
+            active_nodes = both.localCheckpoint(eager=True)
+            active = (
+                active.join(both.withColumnRenamed("node", "src"), "src")
+                .join(both.withColumnRenamed("node", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if active_nodes.isEmpty():
+            break
+        # --- FW-BW coloring pass on the trimmed core (every active node
+        # now has >=1 in- and >=1 out-edge, so the colorings cover all)
+        fwd = connected_components(
+            active.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).withColumnRenamed("label", "f")
+        bwd = connected_components(active).withColumnRenamed("label", "b")
+        j = fwd.join(bwd, "node").localCheckpoint(eager=True)
+        done = j.filter(F.col("f") == F.col("b"))
+        labeled_parts.append(done.select("node", F.col("f").alias("scc")))
+        rest = j.filter(F.col("f") != F.col("b")).select("node")
+        if rest.isEmpty():
+            break
+        active_nodes = rest.localCheckpoint(eager=True)
+        active = (
+            active.join(rest.withColumnRenamed("node", "src"), "src")
+            .join(rest.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    out = labeled_parts[0]
+    for part in labeled_parts[1:]:
+        out = out.unionByName(part)
+    return out
