@@ -90,6 +90,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6c_ops.py", "q_ts_burst_days"),  # per-event-type moment rows: cardinality = #distinct event types (enum-like, ~6 at any SF)
     ("i2mapreduce_spark/queries/r6d_ops.py", "q_agg_decile_lift"),  # 1-row (n, total) aggregate
     ("i2mapreduce_spark/queries/r6d_ops.py", "q_pipeline_curriculum"),  # 1-row corpus count
+    ("i2mapreduce_spark/queries/r6f_ops.py", "q_text_js_divergence"),  # 1-row (na, nb) totals
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
