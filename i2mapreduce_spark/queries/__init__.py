@@ -34,6 +34,7 @@ _GROUP_MODULES = [
     "r6d_ops",      # mixed groups — round-6 additions, batch 4 (graded r7)
     "r6e_ops",      # mixed groups — round-6 additions, batch 5 (graded r7)
     "r6f_ops",      # mixed groups — round-6 additions, batch 6 (graded r7)
+    "r6g_ops",      # mixed groups — round-6 additions, batch 7 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
