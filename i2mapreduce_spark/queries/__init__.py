@@ -35,6 +35,7 @@ _GROUP_MODULES = [
     "r6e_ops",      # mixed groups — round-6 additions, batch 5 (graded r7)
     "r6f_ops",      # mixed groups — round-6 additions, batch 6 (graded r7)
     "r6g_ops",      # mixed groups — round-6 additions, batch 7 (graded r7)
+    "r6h_ops",      # mixed groups — round-6 additions, batch 8 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
