@@ -164,3 +164,37 @@ def test_fold_delta_ops_equals_from_scratch(spark, inserts, delete_idx):
         agg[k] = (n + 1, t + v)
     want = {(k, n, t) for k, (n, t) in agg.items()}
     assert got == want
+
+
+#: positive integer cents series for the fixed-point EMA fold
+cents_strategy = st.lists(st.integers(1, 10**12), min_size=2, max_size=40)
+
+
+@given(xs=cents_strategy)
+@settings(**SETTINGS)
+def test_fixed_point_ema_fold_is_engine_identical(spark, xs):
+    """The half-up integer EMA fold (r6b_ops._ema_fix) must produce the
+    SAME integer in Spark `aggregate`, DuckDB `list_reduce`, and a pure
+    python loop — on arbitrary magnitudes, not just fixture data.  This
+    is the foundation under window_macd and window_keltner; a drift of
+    even 1 here would flap their hashes."""
+    import duckdb
+
+    from i2mapreduce_spark.queries.r6b_ops import MACD_FAST, _ema_fix
+
+    span = MACD_FAST
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = (2 * (2 * x + (span - 1) * acc) + (span + 1)) // (
+            2 * (span + 1)
+        )
+    lit = "array(" + ", ".join(f"{x}L" for x in xs) + ")"
+    got_spark = spark.sql(
+        f"SELECT {_ema_fix('xs', span, 'spark')} AS v FROM "
+        f"(SELECT {lit} AS xs)"
+    ).collect()[0]["v"]
+    got_duck = duckdb.sql(
+        f"SELECT {_ema_fix('xs', span, 'duckdb')} AS v FROM "
+        f"(SELECT {list(xs)!r} AS xs)"
+    ).fetchone()[0]
+    assert got_spark == got_duck == acc
