@@ -91,6 +91,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6d_ops.py", "q_agg_decile_lift"),  # 1-row (n, total) aggregate
     ("i2mapreduce_spark/queries/r6d_ops.py", "q_pipeline_curriculum"),  # 1-row corpus count
     ("i2mapreduce_spark/queries/r6f_ops.py", "q_text_js_divergence"),  # 1-row (na, nb) totals
+    ("i2mapreduce_spark/queries/r6j_ops.py", "q_agg_rfm_segments"),  # 1-row max-date/count/total aggregates
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
