@@ -38,6 +38,7 @@ _GROUP_MODULES = [
     "r6h_ops",      # mixed groups — round-6 additions, batch 8 (graded r7)
     "r6i_ops",      # mixed groups — round-6 additions, batch 9 (graded r7)
     "r6j_ops",      # mixed groups — round-6 additions, batch 10 (graded r7)
+    "r6k_ops",      # mixed groups — round-6 additions, batch 11 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
