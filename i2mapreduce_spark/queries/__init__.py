@@ -39,6 +39,7 @@ _GROUP_MODULES = [
     "r6i_ops",      # mixed groups — round-6 additions, batch 9 (graded r7)
     "r6j_ops",      # mixed groups — round-6 additions, batch 10 (graded r7)
     "r6k_ops",      # mixed groups — round-6 additions, batch 11 (graded r7)
+    "r6l_ops",      # mixed groups — round-6 additions, batch 12 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

@@ -92,6 +92,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6d_ops.py", "q_pipeline_curriculum"),  # 1-row corpus count
     ("i2mapreduce_spark/queries/r6f_ops.py", "q_text_js_divergence"),  # 1-row (na, nb) totals
     ("i2mapreduce_spark/queries/r6j_ops.py", "q_agg_rfm_segments"),  # 1-row max-date/count/total aggregates
+    ("i2mapreduce_spark/queries/r6l_ops.py", "q_agg_pareto_concentration"),  # 1-row (n,total) + 1-row top-decile aggregates
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
