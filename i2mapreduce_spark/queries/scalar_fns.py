@@ -69,7 +69,12 @@ def q_fn_array(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_el"),
+        # + 0.0 folds IEEE -0.0 to +0.0 — a first element like -3e-5
+        # rounds to the negative-zero double in one engine and positive
+        # zero in the other; the add makes both print "0.0".
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "first_el"
+        ),
         l2_norm_expr("embedding").alias("l2_norm"),
     )
 
@@ -671,7 +676,7 @@ ORACLES = {
     ),
     "fn_array": (
         "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
-        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_el, "
+        "round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_el, "
         "round(sqrt(list_sum(list_transform(embedding, "
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm "
         "FROM embeddings"

@@ -170,13 +170,29 @@ def q_window_robust_zscore(spark, sf_dir):
         F.expr("percentile(abs(value - med), 0.5)").alias("mad")
     )
     j = with_med.join(mad, "user_id").filter(F.col("mad") > 0)
-    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    # Engine-exact scoring: value is cent-valued and medians are at
+    # worst midpoints of midpoints, so value/med/mad are all exact
+    # multiples of 1/400.  rz = 0.6745·(v-m)/mad then becomes the pure
+    # integer ratio 6745·(v400-m400)/mad400 (already ×10^4), rounded
+    # half-away-from-zero in integer space — round(double, 4) on the
+    # raw quotient lands 1 ulp apart across engines at some SFs.
+    j = (
+        j.withColumn("v400", F.round(F.col("value") * 400).cast("long"))
+        .withColumn("m400", F.round(F.col("med") * 400).cast("long"))
+        .withColumn("mad400", F.round(F.col("mad") * 400).cast("long"))
+        .withColumn("num", F.lit(6745) * (F.col("v400") - F.col("m400")))
+    )
+    rzx = F.expr(
+        "CASE WHEN num < 0 THEN -((2 * -num + mad400) div (2 * mad400)) "
+        "ELSE (2 * num + mad400) div (2 * mad400) END"
+    )
     return j.select(
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        (F.round(rz, 4) + F.lit(0.0)).alias("robust_z"),
-        (F.abs(rz) > RZ_THRESH).alias("is_outlier"),
+        (rzx / F.lit(10000.0) + F.lit(0.0)).alias("robust_z"),
+        # |rz| > 3.5  <=>  2·|num| > 7·10^4·mad400, exactly
+        (2 * F.abs(F.col("num")) > 70000 * F.col("mad400")).alias("is_outlier"),
     )
 
 
@@ -381,12 +397,18 @@ ORACLES = {
         "WITH med AS (SELECT user_id, median(value) AS med FROM events "
         "GROUP BY user_id), "
         "mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad "
-        "FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id) "
-        "SELECT e.user_id, e.event_id, round(e.value, 4) AS value, "
-        "round(0.6745 * (e.value - m.med) / d.mad, 4) + 0.0 AS robust_z, "
-        f"abs(0.6745 * (e.value - m.med) / d.mad) > {RZ_THRESH} AS is_outlier "
+        "FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id), "
+        "fx AS (SELECT e.user_id, e.event_id, e.value, "
+        "6745 * (CAST(round(e.value * 400) AS BIGINT) "
+        "- CAST(round(m.med * 400) AS BIGINT)) AS num, "
+        "CAST(round(d.mad * 400) AS BIGINT) AS mad400 "
         "FROM events e JOIN med m ON e.user_id = m.user_id "
-        "JOIN mad d ON e.user_id = d.user_id WHERE d.mad > 0"
+        "JOIN mad d ON e.user_id = d.user_id WHERE d.mad > 0) "
+        "SELECT user_id, event_id, round(value, 4) AS value, "
+        "(CASE WHEN num < 0 THEN -((2 * -num + mad400) // (2 * mad400)) "
+        "ELSE (2 * num + mad400) // (2 * mad400) END) / 10000.0 + 0.0 "
+        "AS robust_z, "
+        "2 * abs(num) > 70000 * mad400 AS is_outlier FROM fx"
     ),
     "window_anomaly_zscore": (
         f"WITH s AS (SELECT user_id, event_id, value, "

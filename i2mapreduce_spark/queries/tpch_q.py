@@ -511,14 +511,24 @@ def q_join_min_cost_supplier(spark, sf_dir):
     w = Window.partitionBy("p_partkey").orderBy(
         "unit", "s_suppkey", "l_orderkey", "l_linenumber"
     )
+    # Display rounding in integer space: round(unit, 4) on the double
+    # quotient lands 1 ulp apart across engines at some SFs.  Prices are
+    # cent-valued and quantities integer-valued, so unit*10^4 half-up is
+    # the exact integer (200*cents + q) div (2*q); /10000.0 is then one
+    # IEEE division — identical on any engine.  Ranking stays on the raw
+    # double quotient (same bits both sides).
     return (
         u.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .withColumn("cents", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .withColumn("q", F.col("l_quantity").cast("long"))
         .select(
             "p_partkey",
             "s_name",
             "n_name",
-            F.round("unit", 4).alias("min_unit_cost"),
+            (F.expr("(200 * cents + q) div (2 * q)") / F.lit(10000.0)).alias(
+                "min_unit_cost"
+            ),
         )
     )
 
@@ -823,7 +833,8 @@ ORACLES = {
     ),
     "join_min_cost_supplier": (
         "WITH u AS (SELECT p_partkey, s_name, n_name, "
-        "l_extendedprice / l_quantity AS unit, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "CAST(l_quantity AS BIGINT) AS q, "
         "row_number() OVER (PARTITION BY p_partkey "
         "ORDER BY l_extendedprice / l_quantity, s_suppkey, l_orderkey, "
         "l_linenumber) AS rn "
@@ -832,7 +843,8 @@ ORACLES = {
         "JOIN supplier ON l_suppkey = s_suppkey "
         "JOIN nation ON s_nationkey = n_nationkey "
         f"WHERE p_size <= {Q2_MAX_SIZE}) "
-        "SELECT p_partkey, s_name, n_name, round(unit, 4) AS min_unit_cost "
+        "SELECT p_partkey, s_name, n_name, "
+        "((200 * cents + q) // (2 * q)) / 10000.0 AS min_unit_cost "
         "FROM u WHERE rn = 1"
     ),
     "agg_shipping_priority": (
