@@ -93,6 +93,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6f_ops.py", "q_text_js_divergence"),  # 1-row (na, nb) totals
     ("i2mapreduce_spark/queries/r6j_ops.py", "q_agg_rfm_segments"),  # 1-row max-date/count/total aggregates
     ("i2mapreduce_spark/queries/r6l_ops.py", "q_agg_pareto_concentration"),  # 1-row (n,total) + 1-row top-decile aggregates
+    ("i2mapreduce_spark/queries/r6m_ops.py", "q_text_bpe_merge_pairs"),  # 1-row global pair-count total
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
