@@ -41,6 +41,7 @@ _GROUP_MODULES = [
     "r6k_ops",      # mixed groups — round-6 additions, batch 11 (graded r7)
     "r6l_ops",      # mixed groups — round-6 additions, batch 12 (graded r7)
     "r6m_ops",      # mixed groups — round-6 additions, batch 13 (graded r7)
+    "r6n_ops",      # mixed groups — round-6 additions, batch 14 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

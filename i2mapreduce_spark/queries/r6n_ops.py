@@ -1,0 +1,146 @@
+"""Round-6 additions, batch 14: privacy auditing (k-anonymity) and ML
+feature engineering (smoothed target encoding) — the two remaining
+pipeline-adjacent classes: "may I release this projection" and "turn
+categories into leak-free numeric features".
+
+Same float discipline as the rest of the repo: exact integer counts and
+cents, half-up per-mille quotients, one final double division per
+displayed ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+#: k-anonymity threshold under audit
+K_ANON = 5
+
+#: target-encoding smoothing pseudo-count (additive / Laplace-style):
+#: enc(c) = (sum_c + m * global_mean) / (n_c + m) — an integer-exact
+#: blend once revenues are cents and the global mean is a cents ratio
+TE_SMOOTH_M = 20
+
+
+def q_dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the customer projection (mktsegment,
+    nation, acctbal sign) — the pre-release privacy check: for each
+    quasi-identifier combination, its equivalence-class size; flagged
+    when below k=5 (a released row in such a class re-identifies to ≤ 4
+    candidates).  Reports per-class sizes plus each class's share of
+    the table — the analyst's risk summary.
+
+    One partial+final agg on the quasi-identifier tuple (a single
+    shuffle at any scale; class count is bounded by the QI domain, not
+    the row count), one broadcastable 1-row total for the share."""
+    load_tables(spark, sf_dir)
+    c = spark.table("customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg").alias(
+            "bal_sign"
+        ),
+    )
+    classes = qi.groupBy("c_mktsegment", "c_nationkey", "bal_sign").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    total = classes.agg(F.sum("class_size").alias("total"))
+    return classes.crossJoin(F.broadcast(total)).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_sign",
+        "class_size",
+        (F.col("class_size") < K_ANON).alias("violates_k"),
+        F.expr("(2000 * class_size + total) div (2 * total)")
+        .cast("long")
+        .alias("share_pm"),
+    )
+
+
+def q_pipeline_target_encode(spark, sf_dir):
+    """Smoothed target encoding of order priority against the
+    late-shipment label — the categorical-feature transform used when
+    one-hot is too wide: enc(c) = (positives_c + m·global_rate) /
+    (n_c + m) with pseudo-count m=20, shrinking rare categories toward
+    the global rate (the leak-control that makes target encoding safe).
+
+    Exact arithmetic: label sums and counts are integers, the global
+    rate enters as the integer pair (P, N), so the encoding is the
+    single rational (N·pos_c + m·P) / (N·(n_c + m)) — evaluated as a
+    half-up x10^6 integer quotient, one double division for display.
+    Two aggs and one 1-row broadcast; the category spine is the
+    priority enum (bounded at any SF)."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    lab = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.when(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    per_cat = lab.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum("late").alias("pos_c"),
+    )
+    glob = lab.agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("late").alias("pos_g")
+    )
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        "n_c",
+        "pos_c",
+        # enc x1e6 half-up: (pos_c + m*pos_g/n_g) / (n_c + m)
+        #   = (n_g*pos_c + m*pos_g) / (n_g*(n_c + m))
+        (
+            F.expr(
+                f"(2 * 1000000 * (n_g * pos_c + {TE_SMOOTH_M} * pos_g) "
+                f"+ n_g * (n_c + {TE_SMOOTH_M})) "
+                f"div (2 * n_g * (n_c + {TE_SMOOTH_M}))"
+            )
+            / 1000000.0
+        ).alias("target_enc"),
+        (
+            F.expr("(2 * 1000000 * pos_g + n_g) div (2 * n_g)") / 1000000.0
+        ).alias("global_rate"),
+    )
+
+
+QUERIES = {
+    "dq_k_anonymity": q_dq_k_anonymity,
+    "pipeline_target_encode": q_pipeline_target_encode,
+}
+
+ORACLES = {
+    "dq_k_anonymity": (
+        "WITH qi AS (SELECT c_mktsegment, c_nationkey, "
+        "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign "
+        "FROM customer), "
+        "classes AS (SELECT c_mktsegment, c_nationkey, bal_sign, "
+        "count(*) AS class_size FROM qi GROUP BY 1, 2, 3), "
+        "t AS (SELECT sum(class_size) AS total FROM classes) "
+        "SELECT c_mktsegment, c_nationkey, bal_sign, class_size, "
+        f"class_size < {K_ANON} AS violates_k, "
+        "CAST((2000 * class_size + total) // (2 * total) AS BIGINT) "
+        "AS share_pm FROM classes, t"
+    ),
+    "pipeline_target_encode": (
+        "WITH lab AS (SELECT o_orderpriority, "
+        "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+        "THEN 1 ELSE 0 END AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "per_cat AS (SELECT o_orderpriority, count(*) AS n_c, "
+        "sum(late) AS pos_c FROM lab GROUP BY 1), "
+        "gtot AS (SELECT count(*) AS n_g, sum(late) AS pos_g FROM lab) "
+        "SELECT o_orderpriority, n_c, CAST(pos_c AS BIGINT) AS pos_c, "
+        f"((2 * 1000000 * (n_g * pos_c + {TE_SMOOTH_M} * pos_g) "
+        f"+ n_g * (n_c + {TE_SMOOTH_M})) "
+        f"// (2 * n_g * (n_c + {TE_SMOOTH_M}))) / 1000000.0 AS target_enc, "
+        "((2 * 1000000 * pos_g + n_g) // (2 * n_g)) / 1000000.0 "
+        "AS global_rate FROM per_cat, gtot"
+    ),
+}

@@ -94,6 +94,8 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6j_ops.py", "q_agg_rfm_segments"),  # 1-row max-date/count/total aggregates
     ("i2mapreduce_spark/queries/r6l_ops.py", "q_agg_pareto_concentration"),  # 1-row (n,total) + 1-row top-decile aggregates
     ("i2mapreduce_spark/queries/r6m_ops.py", "q_text_bpe_merge_pairs"),  # 1-row global pair-count total
+    ("i2mapreduce_spark/queries/r6n_ops.py", "q_dq_k_anonymity"),  # 1-row class-size total
+    ("i2mapreduce_spark/queries/r6n_ops.py", "q_pipeline_target_encode"),  # 1-row (n_g, pos_g) global label moments
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
