@@ -633,7 +633,7 @@ ORACLES.update(
             "strftime(o_orderdate, '%Y-%m-%d') AS day, "
             "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
             "AS cents FROM orders GROUP BY 1), "
-            "idx AS (SELECT day, cents, "
+            "idx AS MATERIALIZED (SELECT day, cents, "
             "row_number() OVER (ORDER BY day) AS i FROM daily), "
             # walk carries (l, b); lp must appear twice (no let-binding in
             # SQL), a plain functional projection per recursion step
