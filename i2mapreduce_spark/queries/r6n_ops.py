@@ -144,3 +144,68 @@ ORACLES = {
         "AS global_rate FROM per_cat, gtot"
     ),
 }
+
+
+# =================================================================
+# Group C — blocked fuzzy join (entity resolution)
+# =================================================================
+
+FUZZY_T = 3  #: max edit distance for a match
+
+
+def q_join_fuzzy_blocked(spark, sf_dir):
+    """Entity-resolution fuzzy join over the part-name vocabulary:
+    candidate pairs are generated ONLY within a blocking key (the name's
+    last token — the head noun), then scored by exact Levenshtein and
+    kept at distance ≤ 3 — the blocking+scoring shape of every record-
+    linkage pipeline (never the quadratic all-pairs).
+
+    Plan: names dedupe to the vocabulary first (64 names at any SF —
+    name count is a fixture vocabulary, part count scales), so the pair
+    join runs on the TINY distinct spine and the per-name part counts
+    join back.  At 100 TB the same plan holds: block-keyed equi-join on
+    the deduped vocabulary; a skewed block is re-blocked by a second key
+    (length bucket), the standard ER mitigation.  Levenshtein semantics
+    already hash-checked cross-engine by fn_levenshtein."""
+    load_tables(spark, sf_dir)
+    p = spark.table("part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("parts_a"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("parts_b"),
+        "blk",
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_T)
+    )
+    return pairs.select("blk", "name_a", "name_b", "dist", "parts_a", "parts_b")
+
+
+QUERIES["join_fuzzy_blocked"] = q_join_fuzzy_blocked
+
+ORACLES["join_fuzzy_blocked"] = (
+    "WITH names AS (SELECT p_name, count(*) AS n_parts FROM part "
+    "GROUP BY p_name), "
+    "blocked AS (SELECT p_name, n_parts, "
+    "string_split(p_name, ' ')[-1] AS blk FROM names), "
+    "pairs AS (SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b, "
+    "levenshtein(a.p_name, b.p_name) AS dist, "
+    "a.n_parts AS parts_a, b.n_parts AS parts_b "
+    "FROM blocked a JOIN blocked b ON a.blk = b.blk "
+    "AND a.p_name < b.p_name) "
+    f"SELECT blk, name_a, name_b, CAST(dist AS BIGINT) AS dist, "
+    f"parts_a, parts_b FROM pairs WHERE dist <= {FUZZY_T}"
+)
