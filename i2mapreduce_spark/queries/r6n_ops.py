@@ -209,3 +209,122 @@ ORACLES["join_fuzzy_blocked"] = (
     f"SELECT blk, name_a, name_b, CAST(dist AS BIGINT) AS dist, "
     f"parts_a, parts_b FROM pairs WHERE dist <= {FUZZY_T}"
 )
+
+
+# =================================================================
+# Group W — Parabolic SAR (nonlinear 4-field state machine)
+# =================================================================
+
+SAR_AF0 = 2    #: initial/post-flip acceleration (x0.01)
+SAR_AFS = 2    #: acceleration step on a new extreme (x0.01)
+SAR_AFM = 20   #: acceleration cap (x0.01)
+
+
+def _sar_step(t: str, sar: str, ep: str, af: str, h: str, l: str,
+              dialect: str) -> dict[str, str]:
+    """One Parabolic SAR transition as four field expressions over the
+    previous state (t=trend ±1, sar, ep, af x0.01 — all exact integer
+    cents) and the day's bar (h, l).  The raw stop
+    sar + af·(ep−sar)/100 uses the signed half-up integer quotient; the
+    flip test and extreme updates are pure integer comparisons, so the
+    machine is deterministic on any engine.  Variant notes (documented,
+    both sides identical): seed long with sar=low₁/ep=high₁, no
+    prior-low clamp."""
+    d = "div" if dialect == "spark" else "//"
+    v = f"({af} * ({ep} - {sar}))"
+    raw = (
+        f"({sar} + (CASE WHEN {v} < 0 THEN -((2 * -{v} + 100) {d} 200) "
+        f"ELSE (2 * {v} + 100) {d} 200 END))"
+    )
+    flip = f"(({t} = 1 AND {l} < {raw}) OR ({t} = -1 AND {h} > {raw}))"
+    new_ext = f"(({t} = 1 AND {h} > {ep}) OR ({t} = -1 AND {l} < {ep}))"
+    return {
+        "t": f"(CASE WHEN {flip} THEN -{t} ELSE {t} END)",
+        "sar": f"(CASE WHEN {flip} THEN {ep} ELSE {raw} END)",
+        "ep": (
+            f"(CASE WHEN {t} = 1 AND {l} < {raw} THEN {l} "
+            f"WHEN {t} = -1 AND {h} > {raw} THEN {h} "
+            f"WHEN {t} = 1 AND {h} > {ep} THEN {h} "
+            f"WHEN {t} = -1 AND {l} < {ep} THEN {l} ELSE {ep} END)"
+        ),
+        "af": (
+            f"(CASE WHEN {flip} THEN {SAR_AF0} "
+            f"WHEN {new_ext} THEN least({af} + {SAR_AFS}, {SAR_AFM}) "
+            f"ELSE {af} END)"
+        ),
+    }
+
+
+def q_window_parabolic_sar(spark, sf_dir):
+    """Parabolic SAR over ship-day bars of lineitem prices — the
+    trend-following stop-and-reverse system, and the one classic
+    indicator that is a genuine nonlinear STATE MACHINE (trend flips,
+    accelerating stop, extreme-point memory) rather than a smoothing:
+    state (trend, sar, ep, af) evolves from the series start; outputs
+    the stop level, trend and acceleration per day.
+
+    Exactness: the whole machine is integer cents + the signed half-up
+    quotient for af·(ep−sar)/100 — no float enters any branch decision.
+    Spark folds the day-prefix per row (O(days²) integer steps, bounded
+    by the ship calendar at any SF); the DuckDB oracle walks the same
+    transitions with a RECURSIVE CTE over the MATERIALIZED day series
+    (the ts_holt_linear lessons).  Python replay in pytest pins both."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bars = li.groupBy("day").agg(
+        F.max("cents").alias("h"), F.min("cents").alias("l")
+    )
+    from pyspark.sql import Window as W
+
+    wf = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    framed = bars.select(
+        "day",
+        F.collect_list(F.struct("h", "l")).over(wf).alias("arr"),
+    )
+    s = _sar_step("acc.t", "acc.sar", "acc.ep", "acc.af", "x.h", "x.l",
+                  "spark")
+    fold = (
+        "aggregate(slice(arr, 2, size(arr) - 1), "
+        "named_struct('t', 1L, 'sar', element_at(arr, 1).l, "
+        f"'ep', element_at(arr, 1).h, 'af', cast({SAR_AF0} as bigint)), "
+        f"(acc, x) -> named_struct('t', cast({s['t']} as bigint), "
+        f"'sar', {s['sar']}, 'ep', {s['ep']}, "
+        f"'af', cast({s['af']} as bigint)))"
+    )
+    st = F.expr(fold)
+    return framed.select(
+        "day",
+        st["t"].alias("trend"),
+        (st["sar"] / 100.0).alias("sar"),
+        (st["ep"] / 100.0).alias("ep"),
+        st["af"].alias("af_x100"),
+    )
+
+
+QUERIES["window_parabolic_sar"] = q_window_parabolic_sar
+
+_SAR_D = _sar_step("w.t", "w.sar", "w.ep", "w.af", "n.h", "n.l", "duckdb")
+
+ORACLES["window_parabolic_sar"] = (
+    "WITH RECURSIVE bars AS MATERIALIZED (SELECT "
+    "strftime(l_shipdate, '%Y-%m-%d') AS day, "
+    "max(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS h, "
+    "min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS l "
+    "FROM lineitem GROUP BY 1), "
+    "idx AS MATERIALIZED (SELECT day, h, l, "
+    "row_number() OVER (ORDER BY day) AS i FROM bars), "
+    "walk(i, day, t, sar, ep, af) AS ("
+    "SELECT i, day, CAST(1 AS BIGINT), l, h, "
+    f"CAST({SAR_AF0} AS BIGINT) FROM idx WHERE i = 1 "
+    "UNION ALL SELECT n.i, n.day, "
+    f"CAST({_SAR_D['t']} AS BIGINT), {_SAR_D['sar']}, {_SAR_D['ep']}, "
+    f"CAST({_SAR_D['af']} AS BIGINT) "
+    "FROM walk w JOIN idx n ON n.i = w.i + 1) "
+    "SELECT day, t AS trend, sar / 100.0 AS sar, ep / 100.0 AS ep, "
+    "af AS af_x100 FROM walk"
+)

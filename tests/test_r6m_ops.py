@@ -126,3 +126,64 @@ def test_sax_words_shape(spark, sf_dir):
         assert set(r["sax"]) <= set("abcd")
         assert len(r["sax"]) == min(SAX_W, r["n_events"])
     assert len({r["sax"] for r in rows}) > 1
+
+
+def test_parabolic_sar_matches_python_replay(spark, sf_dir):
+    """The SAR state machine replays exactly in python from the same
+    day bars — trend, stop, extreme and acceleration on every day."""
+    from i2mapreduce_spark.queries.r6n_ops import (
+        SAR_AF0,
+        SAR_AFM,
+        SAR_AFS,
+        q_window_parabolic_sar,
+    )
+
+    load_tables(spark, sf_dir)
+    bars = (
+        spark.table("lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("h"),
+            F.min(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("l"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+
+    def dhalf(v):
+        return -((2 * -v + 100) // 200) if v < 0 else (2 * v + 100) // 200
+
+    t, sar, ep, af = 1, bars[0]["l"], bars[0]["h"], SAR_AF0
+    want = {bars[0]["day"]: (t, sar, ep, af)}
+    for r in bars[1:]:
+        h, l = r["h"], r["l"]
+        raw = sar + dhalf(af * (ep - sar))
+        flip = (t == 1 and l < raw) or (t == -1 and h > raw)
+        if flip:
+            t, sar, ep, af = -t, ep, (l if t == 1 else h), SAR_AF0
+        else:
+            if t == 1 and h > ep:
+                ep, af = h, min(af + SAR_AFS, SAR_AFM)
+            elif t == -1 and l < ep:
+                ep, af = l, min(af + SAR_AFS, SAR_AFM)
+            sar = raw
+        want[r["day"]] = (t, sar, ep, af)
+
+    got = q_window_parabolic_sar(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wt, ws, we, wa = want[r["day"]]
+        assert (
+            r["trend"],
+            round(r["sar"] * 100),
+            round(r["ep"] * 100),
+            r["af_x100"],
+        ) == (wt, ws, we, wa), r["day"]
