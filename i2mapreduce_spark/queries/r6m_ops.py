@@ -41,14 +41,16 @@ def q_dedup_ngram_spans(spark, sf_dir):
     repeated-n-gram contamination signal behind C4-style span dedup
     ("how much of this page is boilerplate shared with other pages").
 
-    Plan: one generate (shingles via a sequence/slice lambda — no
-    self-join), one count-distinct-docs per shingle, one join back on
-    the shingle key, one per-doc agg.  Both shuffles key on the shingle
-    string; at 100 TB the grouping key would be xxhash64(shingle)
-    (16-byte key, bodies never shuffled) — kept as the raw string here
-    so the oracle comparison is collision-free by construction.  The
-    ratio is a half-up per-mille integer; docs shorter than 8 tokens
-    report 0 shingles and 0 coverage."""
+    Plan: ONE generate (shingles via a sequence/slice lambda — no
+    self-join, and the explode is never repeated: an earlier join-back
+    formulation made Spark regenerate the shingle stream twice), then
+    (doc, shingle) occurrence counts, a shingle-partitioned window for
+    the cross-doc flag (no join), and one per-doc agg.  Both shuffles
+    key on the shingle string; at 100 TB the grouping key would be
+    xxhash64(shingle) (16-byte key, bodies never shuffled) — kept as
+    the raw string here so the oracle comparison is collision-free by
+    construction.  The ratio is a half-up per-mille integer; docs
+    shorter than 8 tokens report 0 shingles and 0 coverage."""
     load_tables(spark, sf_dir)
     d = spark.table("documents")
     toks = F.array_remove(F.split(F.col("text"), " "), "")
@@ -64,21 +66,18 @@ def q_dedup_ngram_spans(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
-    # a shingle repeated WITHIN one doc is not cross-doc duplication:
-    # count distinct docs per shingle, flag > 1
-    dup = (
-        sh.distinct()
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select("shingle", (F.col("n_docs") > 1).alias("is_dup"))
-    )
-    per_doc = (
-        sh.join(dup, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
-        )
+    # collapse to per-(doc, shingle) occurrence counts first; a shingle
+    # repeated WITHIN one doc is not cross-doc duplication, so the dup
+    # flag is "this shingle has >1 (doc, shingle) row" — a count over
+    # the shingle partition, no join back
+    occ = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("occ"))
+    wsh = Window.partitionBy("shingle")
+    flagged = occ.withColumn("n_docs", F.count(F.lit(1)).over(wsh))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_shingles"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0)).alias(
+            "n_dup"
+        ),
     )
     base = d.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
