@@ -24,6 +24,13 @@ ALS_RANK = 8     #: latent dimensions
 ALS_ITERS = 3    #: alternating sweeps
 ALS_LAMBDA = 0.1  #: L2 regularization
 
+_FCOLS = [f"f{i}" for i in range(ALS_RANK)]
+
+_FAC_SCHEMA = StructType(
+    [StructField("id", LongType())]
+    + [StructField(c, DoubleType()) for c in _FCOLS]
+)
+
 
 def _init_item_factors() -> np.ndarray:
     """Deterministic item-factor init: a fixed rational lattice in
@@ -34,36 +41,56 @@ def _init_item_factors() -> np.ndarray:
     return ((j * f) % 97) / 97.0 - 0.5
 
 
-def _solve_side(ratings, key_col, other_col, other_factors, spark):
-    """One ALS half-sweep: for each `key_col` entity, ridge-solve its
-    factor against the fixed `other` side.  other_factors is a
-    {id: vector} broadcast (bounded: items always; users only appear
-    as the DISTRIBUTED join side).  Rows are sorted inside each group
-    so float sums are order-deterministic."""
-    bc = spark.sparkContext.broadcast(other_factors)
+def _ridge(V: np.ndarray, r: np.ndarray) -> np.ndarray:
+    A = V.T @ V + ALS_LAMBDA * len(r) * np.eye(ALS_RANK)
+    return np.linalg.solve(A, V.T @ r)
 
-    out_schema = StructType(
-        [StructField("id", LongType())]
-        + [StructField(f"f{i}", DoubleType()) for i in range(ALS_RANK)]
-    )
+
+def _solve_users(ratings, item_fac, spark):
+    """U half-sweep: per-user ridge solve against the BROADCAST item
+    factors (the item side is bounded by the top-k cut).  Returns a
+    DISTRIBUTED (user, f0..f7) frame — user factors never land on the
+    driver.  Rows sort inside each group so float sums are
+    order-deterministic under any partitioning."""
+    bc = spark.sparkContext.broadcast(item_fac)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         fac = bc.value
-        pdf = pdf.sort_values(other_col)
-        V = np.stack([fac[o] for o in pdf[other_col].values])
-        r = pdf["rating"].values.astype(np.float64)
-        A = V.T @ V + ALS_LAMBDA * len(r) * np.eye(ALS_RANK)
-        u = np.linalg.solve(A, V.T @ r)
-        row = {"id": [int(pdf[key_col].iloc[0])]}
-        for i in range(ALS_RANK):
-            row[f"f{i}"] = [float(u[i])]
+        pdf = pdf.sort_values("item")
+        V = np.stack([fac[i] for i in pdf["item"].values])
+        u = _ridge(V, pdf["rating"].values.astype(np.float64))
+        row = {"id": [int(pdf["user"].iloc[0])]}
+        for i, c in enumerate(_FCOLS):
+            row[c] = [float(u[i])]
         return pd.DataFrame(row)
 
     return (
-        ratings.groupBy(key_col)
-        .applyInPandas(solve, out_schema)
-        .collect()
+        ratings.groupBy("user")
+        .applyInPandas(solve, _FAC_SCHEMA)
+        .withColumnRenamed("id", "user")
+        .localCheckpoint(eager=True)
     )
+
+
+def _solve_items(ratings, user_fac_df):
+    """V half-sweep, FULLY DISTRIBUTED: user factors join onto the
+    ratings (both sides shuffle on `user`), then one
+    groupBy(item).applyInPandas ridge solve per item — no collect of
+    the unbounded user side anywhere; only the resulting ITEM factors
+    (bounded by the top-k cut) ever reach the driver."""
+    joined = ratings.join(user_fac_df, "user")
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("user")
+        U = pdf[_FCOLS].to_numpy(dtype=np.float64)
+        v = _ridge(U, pdf["rating"].values.astype(np.float64))
+        row = {"id": [int(pdf["item"].iloc[0])]}
+        for i, c in enumerate(_FCOLS):
+            row[c] = [float(v[i])]
+        return pd.DataFrame(row)
+
+    rows = joined.groupBy("item").applyInPandas(solve, _FAC_SCHEMA).collect()
+    return {r["id"]: np.array([r[c] for c in _FCOLS]) for r in rows}
 
 
 def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
@@ -74,16 +101,15 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
     training RMSE — the model artifact a recommender pipeline ships.
 
     Scale shape: the item side is BOUNDED by construction (top-k
-    popularity cut → its factor matrix broadcasts), the user side is
-    unbounded and stays DISTRIBUTED — each half-sweep is one
-    groupBy(entity).applyInPandas ridge solve (8×8 normal equations per
-    group, rows sorted for order-deterministic float sums).  User
-    factors are collected here only because the item side needs them as
-    a broadcast for the NEXT half-sweep — at 100 TB the V-step instead
-    joins user factors to ratings and groups by item (both distributed),
-    which this key's item-grouped solve already demonstrates.  Rows-only
-    key (a trained float artifact SQL can't replay); pytest pins
-    convergence (RMSE strictly decreases) and run-to-run determinism."""
+    popularity cut → its 64×8 factor matrix broadcasts), the user side
+    is unbounded and stays DISTRIBUTED end-to-end — the U-step is a
+    per-user grouped solve against broadcast item factors, the V-step
+    joins the user-factor frame to the ratings and groups by item, and
+    only item factors (bounded) are ever collected.  In-group rows sort
+    before each solve, so float sums are order-deterministic under any
+    partitioning.  Rows-only key (a trained float artifact SQL can't
+    replay); pytest pins convergence (RMSE strictly decreases over
+    sweeps) and bit-identical retrains."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     o = spark.table("orders")
@@ -108,19 +134,11 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
     V0 = _init_item_factors()
     item_fac = {iid: V0[k] for k, iid in enumerate(item_ids)}
 
+    user_fac_df = None
     for _ in range(iters):
-        u_rows = _solve_side(ratings, "user", "item", item_fac, spark)
-        user_fac = {
-            r["id"]: np.array([r[f"f{i}"] for i in range(ALS_RANK)])
-            for r in u_rows
-        }
-        i_rows = _solve_side(ratings, "item", "user", user_fac, spark)
-        item_fac = {
-            r["id"]: np.array([r[f"f{i}"] for i in range(ALS_RANK)])
-            for r in i_rows
-        }
+        user_fac_df = _solve_users(ratings, item_fac, spark)
+        item_fac = _solve_items(ratings, user_fac_df)
 
-    bc_u = spark.sparkContext.broadcast(user_fac)
     bc_i = spark.sparkContext.broadcast(item_fac)
 
     err_schema = StructType(
@@ -132,12 +150,11 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
     )
 
     def per_item_err(pdf: pd.DataFrame) -> pd.DataFrame:
-        uf, itf = bc_u.value, bc_i.value
+        itf = bc_i.value
         pdf = pdf.sort_values("user")
         v = itf[int(pdf["item"].iloc[0])]
-        U = np.stack([uf[u] for u in pdf["user"].values])
-        pred = U @ v
-        err = pdf["rating"].values - pred
+        U = pdf[_FCOLS].to_numpy(dtype=np.float64)
+        err = pdf["rating"].values - U @ v
         return pd.DataFrame(
             {
                 "item": [int(pdf["item"].iloc[0])],
@@ -146,7 +163,11 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
             }
         )
 
-    errs = ratings.groupBy("item").applyInPandas(per_item_err, err_schema)
+    errs = (
+        ratings.join(user_fac_df, "user")
+        .groupBy("item")
+        .applyInPandas(per_item_err, err_schema)
+    )
     fac_rows = [
         (int(iid), *[round(float(x), 4) for x in item_fac[iid][:4]])
         for iid in item_ids
