@@ -1,6 +1,7 @@
-"""Round-6 batch-13 property tests: the invariants the oracle-parity
-hash can't express (whitening statistics, fold replays, structural
-invariants of the hierarchical rollup and SAX words).
+"""Round-6 batch-13/14 property tests: the invariants the oracle-parity
+hash can't express (whitening statistics, fold and state-machine
+replays, structural invariants of the hierarchical rollup and SAX
+words).
 """
 
 from __future__ import annotations
