@@ -43,6 +43,7 @@ _GROUP_MODULES = [
     "r6m_ops",      # mixed groups — round-6 additions, batch 13 (graded r7)
     "r6n_ops",      # mixed groups — round-6 additions, batch 14 (graded r7)
     "r6o_ops",      # mixed groups — round-6 additions, batch 15 (graded r7)
+    "r6p_ops",      # mixed groups — round-6 additions, batch 16 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round
