@@ -44,6 +44,7 @@ _GROUP_MODULES = [
     "r6n_ops",      # mixed groups — round-6 additions, batch 14 (graded r7)
     "r6o_ops",      # mixed groups — round-6 additions, batch 15 (graded r7)
     "r6p_ops",      # mixed groups — round-6 additions, batch 16 (graded r7)
+    "r6q_ops",      # mixed groups — round-6 additions, batch 17 (graded r7)
 ]
 
 # Ordering note: the driver grades the FIRST 50 registry keys each round

@@ -1,0 +1,169 @@
+"""Round-6 additions, batch 17: graph diameter estimation (double-sweep
+BFS), a data-freshness audit, and code-vs-prose detection — three more
+distinct capability classes (global graph metrics, staleness
+monitoring, LLM corpus code filtering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import cte, load_tables
+from ..operators import algorithms
+
+DIAM_HOPS = 6  #: BFS hop cap per sweep
+
+#: code-detection signal thresholds (per-mille)
+CODE_SYM_PM = 30      # symbol chars ({};()=<>) over all chars
+CODE_KW_MIN = 1       # distinct code keywords present
+
+
+def q_iter_graph_diameter(spark, sf_dir):
+    """Graph diameter lower bound via the classic DOUBLE-SWEEP BFS: one
+    hop-limited BFS from the minimum node, a second from the farthest
+    node the first sweep reached (ties → smallest id), reporting the
+    second sweep's eccentricity — the textbook 2-sweep estimator that
+    is exact on trees and near-exact on real graphs, at the cost of two
+    BFS passes instead of all-pairs.
+
+    Reuses the MapReduce-shaped frontier BFS (operators.algorithms.sssp:
+    per hop one co-partitioned join + min fold); the only driver
+    traffic is two 1-row argmax picks.  Hash-checked: DuckDB replays
+    both sweeps as chained recursive CTEs with the same hop cap and
+    tie-breaks."""
+    load_tables(spark, sf_dir)
+    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    s0 = int(edges.agg(F.min("src")).collect()[0][0])
+    d1 = algorithms.sssp(edges, s0, max_hops=DIAM_HOPS)
+    far = d1.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
+    u = int(far["node"])
+    d2 = algorithms.sssp(edges, u, max_hops=DIAM_HOPS)
+    return d2.agg(
+        F.lit(s0).alias("sweep1_source"),
+        F.lit(u).alias("peripheral_node"),
+        F.max("dist").alias("diameter_est"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+
+
+def q_dq_freshness(spark, sf_dir):
+    """Data-freshness audit per event type: last event timestamp, the
+    integer lag in hours behind the NEWEST event anywhere in the table,
+    and a staleness flag at > 24 h — the monitoring query under every
+    "is this feed still alive" alert.  One partial+final agg plus a
+    1-row global max joined back by cross-multiplication; lag stays in
+    exact integer microseconds until the final integer-hours division."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.max("us").alias("last_us"), F.count(F.lit(1)).alias("n_events")
+    )
+    glob = per_type.agg(F.max("last_us").alias("max_us"))
+    return per_type.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_events",
+        F.timestamp_micros(F.col("last_us"))
+        .cast("timestamp_ntz")
+        .alias("last_event"),
+        F.expr("(max_us - last_us) div 3600000000")
+        .cast("long")
+        .alias("lag_hours"),
+        (F.col("max_us") - F.col("last_us") > 24 * 3600 * 1000000).alias(
+            "is_stale"
+        ),
+    )
+
+
+def q_text_code_detect(spark, sf_dir):
+    """Code-vs-prose detection per document — the corpus-construction
+    filter that routes source code away from natural-language pipelines:
+    symbol density ({}();=<>[] chars per mille of text), code keywords
+    present (def/return/import/var/const/function), and the verdict
+    rule symbols ≥ 30‰ AND ≥ 1 keyword.
+    Every signal is an exact integer count or a half-up per-mille —
+    JVM-side regexp counts, no Python."""
+    load_tables(spark, sf_dir)
+    d = spark.table("documents")
+    n_chars = F.length("text")
+    n_sym = F.regexp_count("text", F.lit(r"[{}();=<>\[\]]"))
+    kw = F.regexp_count(
+        "text", F.lit(r"\b(def|return|import|var|const|function)\b")
+    )
+    sym_pm = F.expr(
+        "CASE WHEN length(text) = 0 THEN 0 "
+        "ELSE (2000 * n_sym + length(text)) div (2 * length(text)) END"
+    )
+    return (
+        d.select("doc_id", "text", n_sym.alias("n_sym"), kw.alias("n_kw"))
+        .select(
+            "doc_id",
+            "n_sym",
+            "n_kw",
+            sym_pm.cast("long").alias("sym_pm"),
+            (
+                (sym_pm >= CODE_SYM_PM) & (F.col("n_kw") >= CODE_KW_MIN)
+            ).alias("looks_like_code"),
+        )
+    )
+
+
+QUERIES = {
+    "iter_graph_diameter": q_iter_graph_diameter,
+    "dq_freshness": q_dq_freshness,
+    "text_code_detect": q_text_code_detect,
+}
+
+ORACLES = {
+    "iter_graph_diameter": (
+        cte("edges_pp")
+        + ", w1(node, dist) AS ( "
+        "SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT), 0 "
+        "UNION "
+        "SELECT e.dst, w.dist + 1 FROM w1 w JOIN edges_pp e ON e.src = w.node "
+        f"WHERE w.dist < {DIAM_HOPS}), "
+        "d1 AS (SELECT node, min(dist) AS dist FROM w1 GROUP BY node), "
+        "per AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1), "
+        "w2(node, dist) AS ( "
+        "SELECT CAST((SELECT node FROM per) AS BIGINT), 0 "
+        "UNION "
+        "SELECT e.dst, w.dist + 1 FROM w2 w JOIN edges_pp e ON e.src = w.node "
+        f"WHERE w.dist < {DIAM_HOPS}), "
+        "d2 AS (SELECT node, min(dist) AS dist FROM w2 GROUP BY node) "
+        "SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT) "
+        "AS sweep1_source, "
+        "CAST((SELECT node FROM per) AS BIGINT) AS peripheral_node, "
+        "CAST(max(dist) AS INT) AS diameter_est, "
+        "count(*) AS n_reached FROM d2"
+    ).replace("WITH ", "WITH RECURSIVE ", 1),
+    "dq_freshness": (
+        "WITH per_type AS (SELECT event_type, "
+        "max(epoch_us(ts)) AS last_us, count(*) AS n_events "
+        "FROM events GROUP BY 1), "
+        "g AS (SELECT max(last_us) AS max_us FROM per_type) "
+        "SELECT event_type, n_events, "
+        "make_timestamp(last_us) AS last_event, "
+        "CAST((max_us - last_us) // 3600000000 AS BIGINT) AS lag_hours, "
+        "max_us - last_us > CAST(86400 AS BIGINT) * 1000000 AS is_stale "
+        "FROM per_type, g"
+    ),
+    "text_code_detect": (
+        "WITH sig AS (SELECT doc_id, length(text) AS n_chars, "
+        "length(text) - length(regexp_replace(text, "
+        "'[{}();=<>\\[\\]]', '', 'g')) AS n_sym, "
+        "len(regexp_extract_all(text, "
+        "'\\b(def|return|import|var|const|function)\\b')) AS n_kw "
+        "FROM documents) "
+        "SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym, "
+        "CAST(n_kw AS BIGINT) AS n_kw, "
+        "CAST(CASE WHEN n_chars = 0 THEN 0 "
+        "ELSE (2000 * n_sym + n_chars) // (2 * n_chars) END AS BIGINT) "
+        "AS sym_pm, "
+        "(CASE WHEN n_chars = 0 THEN 0 "
+        f"ELSE (2000 * n_sym + n_chars) // (2 * n_chars) END) >= {CODE_SYM_PM} "
+        f"AND n_kw >= {CODE_KW_MIN} AS looks_like_code "
+        "FROM sig"
+    ),
+}
