@@ -167,3 +167,100 @@ ORACLES = {
         "FROM sig"
     ),
 }
+
+
+# =================================================================
+# Group D — Kaplan-Meier survival (churn analysis)
+# =================================================================
+
+KM_CHURN_DAYS = 90  #: quiet for 90+ days before the dataset edge = churned
+
+
+def q_agg_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer lifetime: T = days
+    between a customer's first and last order; the customer counts as a
+    CHURN EVENT at T if their last order is 90+ days before the dataset
+    edge, otherwise they are right-CENSORED (still alive when the data
+    ends) — the product-limit estimator S(t) = Π_{t_i≤t} (1 − d_i/n_i)
+    under every churn/retention model.
+
+    Exactness: d_i and n_i are exact integers (at-risk via a cumulative
+    window over the bounded lifetime grain); each factor is ONE IEEE
+    division, and the running product folds the factor list in
+    ascending-t frame order on BOTH engines (Spark `aggregate`, DuckDB
+    scalar `list_reduce` — the struct in-place pitfall does not apply
+    to scalar accumulators), so the doubles agree bit-for-bit before
+    the final 6 dp rounding."""
+    load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders").select("o_custkey", "o_orderdate")
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
+    edge = o.agg(F.max("o_orderdate").alias("edge_dt"))
+    life = span.crossJoin(F.broadcast(edge)).select(
+        F.datediff("last_dt", "first_dt").alias("t"),
+        (
+            F.datediff("edge_dt", "last_dt") >= KM_CHURN_DAYS
+        ).cast("int").alias("churned"),
+    )
+    grain = life.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    total = grain.agg(F.sum("c").alias("n_total"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wf = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    lined = grain.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total") - F.coalesce(F.sum("c").over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factored = lined.select(
+        "t",
+        "d",
+        "n_risk",
+        F.collect_list(
+            F.lit(1.0) - F.col("d") / F.col("n_risk")
+        ).over(wf).alias("fs"),
+    )
+    surv = F.expr(
+        "aggregate(slice(fs, 2, size(fs) - 1), element_at(fs, 1), "
+        "(acc, x) -> acc * x)"
+    )
+    return factored.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+QUERIES["agg_survival_km"] = q_agg_survival_km
+
+ORACLES["agg_survival_km"] = (
+    "WITH span AS (SELECT o_custkey, min(o_orderdate) AS first_dt, "
+    "max(o_orderdate) AS last_dt FROM orders GROUP BY 1), "
+    "edge AS (SELECT max(o_orderdate) AS edge_dt FROM orders), "
+    "life AS (SELECT date_diff('day', first_dt, last_dt) AS t, "
+    f"CASE WHEN date_diff('day', last_dt, edge_dt) >= {KM_CHURN_DAYS} "
+    "THEN 1 ELSE 0 END AS churned FROM span, edge), "
+    "grain AS (SELECT t, sum(churned) AS d, count(*) AS c FROM life "
+    "GROUP BY t), "
+    "tot AS (SELECT sum(c) AS n_total FROM grain), "
+    "lined AS (SELECT t, d, c, n_total - coalesce(sum(c) OVER "
+    "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS n_risk FROM grain, tot), "
+    "factored AS (SELECT t, d, n_risk, "
+    "list(1.0 - CAST(d AS DOUBLE) / n_risk) OVER "
+    "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs "
+    "FROM lined) "
+    "SELECT t, CAST(d AS BIGINT) AS d, CAST(n_risk AS BIGINT) AS n_risk, "
+    "round(list_reduce(fs, (acc, x) -> acc * x), 6) AS survival "
+    "FROM factored"
+)
