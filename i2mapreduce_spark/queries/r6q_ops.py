@@ -264,3 +264,116 @@ ORACLES["agg_survival_km"] = (
     "round(list_reduce(fs, (acc, x) -> acc * x), 6) AS survival "
     "FROM factored"
 )
+
+
+# =================================================================
+# Group D — Poisson-bootstrap confidence interval
+# =================================================================
+
+BOOT_B = 200  #: bootstrap replicates
+
+#: Poisson(1) inverse-CDF ladder: cumulative e^-1 * 1/k! thresholds.
+#: The uniform is an exact md5-derived 56-bit integer scaled by 2^-56
+#: (one IEEE multiply by a power of two — exact), so both engines step
+#: the SAME ladder on the SAME doubles and draw identical weights.
+_POIS_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+_BOOT_SCALE = float(2 ** 56)
+
+
+def _pois_case(u_expr: str) -> str:
+    """CASE ladder mapping a uniform to a Poisson(1) draw (capped at 8,
+    cumulative tail mass < 1.1e-5) — identical SQL text both dialects."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def q_agg_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON BOOTSTRAP — the resampling scheme that actually scales:
+    classic bootstrap resamples n rows with replacement (a global
+    shuffle per replicate), while Poisson(1) weights are drawn
+    INDEPENDENTLY per (row, replicate) map-side, so 200 replicates cost
+    one generate + one partial+final agg to 200 rows, no data movement
+    beyond the 200-row collapse.
+
+    Determinism: weights come from the portable md5 coin (same 56-bit
+    integer on both engines), the uniform scaling is an exact
+    power-of-two multiply, and the ladder thresholds are shared
+    literals — so every replicate's integer (Σw·cents, Σw) pair is
+    identical cross-engine; the replicate means and the interpolated
+    2.5/97.5 percentiles then agree bit-for-bit before rounding."""
+    from .r6_ops import _md5_le
+
+    load_tables(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    u = (
+        _md5_le(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            7,
+        )
+        / F.lit(_BOOT_SCALE)
+    )
+    weighted = (
+        rep.withColumn("u", u)
+        .select("b", "cents", F.expr(_pois_case("u")).alias("w"))
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("cents")) / F.sum("w")).alias("m")
+    )
+    point = o.agg((F.sum("cents") / F.count(F.lit(1))).alias("pm"))
+    return means.crossJoin(F.broadcast(point)).agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.max("pm") / 100.0, 4).alias("point_mean"),
+        F.round(F.expr("percentile(m, 0.025)") / 100.0, 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)") / 100.0, 4).alias("ci_hi"),
+    )
+
+
+QUERIES["agg_bootstrap_ci"] = q_agg_bootstrap_ci
+
+from .r6_ops import _md5_le_sql as _mls  # noqa: E402
+
+ORACLES["agg_bootstrap_ci"] = (
+    "WITH rep AS (SELECT o_orderkey, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+    f"b FROM orders, generate_series(1, {BOOT_B}) AS t(b)), "
+    "u AS (SELECT b, cents, "
+    + _mls("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 7)
+    + f" / {_BOOT_SCALE!r} AS u FROM rep), "
+    f"w AS (SELECT b, cents, {_pois_case('u')} AS w FROM u), "
+    "means AS (SELECT b, sum(w * cents) / CAST(sum(w) AS DOUBLE) AS m "
+    "FROM w GROUP BY b), "
+    "pt AS (SELECT sum(cents) / CAST(count(*) AS DOUBLE) AS pm FROM orders, "
+    "LATERAL (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+    "AS BIGINT) AS cents) _) "
+    "SELECT count(*) AS n_replicates, "
+    "round(max(pm) / 100.0, 4) AS point_mean, "
+    "round(quantile_cont(m, 0.025) / 100.0, 4) AS ci_lo, "
+    "round(quantile_cont(m, 0.975) / 100.0, 4) AS ci_hi "
+    "FROM means, pt"
+)

@@ -99,6 +99,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6o_ops.py", "q_iter_als_topitems"),  # LIMIT ALS_ITEMS=64 item spine (bounded by construction)
     ("i2mapreduce_spark/queries/r6q_ops.py", "q_dq_freshness"),  # 1-row global max-timestamp
     ("i2mapreduce_spark/queries/r6q_ops.py", "q_agg_survival_km"),  # 1-row dataset edge + 1-row customer total
+    ("i2mapreduce_spark/queries/r6q_ops.py", "q_agg_bootstrap_ci"),  # 1-row point estimate
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
