@@ -377,3 +377,109 @@ ORACLES["agg_bootstrap_ci"] = (
     "round(quantile_cont(m, 0.975) / 100.0, 4) AS ci_hi "
     "FROM means, pt"
 )
+
+
+# =================================================================
+# Group T — Wald-Wolfowitz runs test (randomness diagnostic)
+# =================================================================
+
+
+def q_ts_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-revenue series: each day
+    codes above/below the series MEDIAN (median-valued days drop, the
+    standard convention), runs = maximal same-sign stretches, and the
+    z-score against the null of exchangeability — "is this series
+    random or does it trend/oscillate", the diagnostic that decides
+    whether the TA machinery upstream is even applicable.
+
+    Exactness: the median is an exact multiple of 1/2 cent (x2 ints),
+    signs and the run count come from integer comparisons and one lag,
+    n1/n2/runs are exact integers, and the only floats are the final
+    mean/variance/z expressions evaluated from those integers in one
+    fixed shape on both engines."""
+    from pyspark.sql import Window as W
+
+    load_tables(spark, sf_dir)
+    o = spark.table("orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(cents, 0.5) * 2")).cast("long").alias("m2")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("cents") != F.col("m2"))
+        .select(
+            "day", (2 * F.col("cents") > F.col("m2")).cast("int").alias("s")
+        )
+    )
+    w = W.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    mu = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / (
+        F.col("n1") + F.col("n2")
+    )
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1.0)
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        F.round((F.col("r") - mu) / F.sqrt(var), 4).alias("z"),
+        (F.abs((F.col("r") - mu) / F.sqrt(var)) > 1.96).alias(
+            "rejects_randomness"
+        ),
+    )
+
+
+QUERIES["ts_runs_test"] = q_ts_runs_test
+
+ORACLES["ts_runs_test"] = (
+    "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
+    "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+    "AS cents FROM orders GROUP BY 1), "
+    "med AS (SELECT CAST(round(quantile_cont(cents, 0.5) * 2) AS BIGINT) "
+    "AS m2 FROM daily), "
+    "signed AS (SELECT day, CAST(2 * cents > m2 AS INT) AS s "
+    "FROM daily, med WHERE 2 * cents <> m2), "
+    "runs AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL "
+    "OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run "
+    "FROM signed), "
+    "agg AS (SELECT CAST(sum(s) AS BIGINT) AS n1, "
+    "CAST(sum(1 - s) AS BIGINT) AS n2, CAST(sum(new_run) AS BIGINT) AS r "
+    "FROM runs) "
+    "SELECT n1, n2, r, "
+    "round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / "
+    "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+    "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4) AS z, "
+    "abs((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / "
+    "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+    "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96 "
+    "AS rejects_randomness FROM agg"
+)
