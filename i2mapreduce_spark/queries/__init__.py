@@ -45,8 +45,15 @@ _GROUP_MODULES = [
     "r6o_ops",      # mixed groups — round-6 additions, batch 15 (graded r7)
     "r6p_ops",      # mixed groups — round-6 additions, batch 16 (graded r7)
     "r6q_ops",      # mixed groups — round-6 additions, batch 17 (graded r7)
+    "r6r_ops",      # mixed groups — round-6 additions, batch 18 (graded r7)
 ]
 
+# R7 HANDOFF: every key in modules r6m_ops..r6r_ops (the later-session
+# round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
+# no driver CORRECTNESS row yet — the r7 session should rebuild the
+# window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
+# measured sf0.01 warm cost ascending, exactly as below.
+#
 # Ordering note: the driver grades the FIRST 50 registry keys each round
 # (r1-r5 each produced exactly-50-key CORRECTNESS files cut at the 50th
 # key in registry order).  After r5 all 245 keys that existed at r4 HEAD

@@ -104,3 +104,84 @@ def test_heikin_ashi_matches_python_replay(spark, sf_dir):
             round(r["ha_low"] * 100),
             round(r["ha_close"] * 100),
         ) == (wo, wh, wl, wc), r["day"]
+
+
+def test_supertrend_matches_python_replay(spark, sf_dir):
+    """The Supertrend ratchet machine replays exactly in python from
+    the same banded day series."""
+    from i2mapreduce_spark.queries.r6r_ops import (
+        ST_ATR_N,
+        ST_MULT,
+        q_window_supertrend,
+    )
+
+    load_tables(spark, sf_dir)
+    rows = (
+        spark.table("lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("h"),
+            F.min(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("l"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    # close = last (ok, ln) row per day — recompute like the operator
+    closes = {
+        r["day"]: r["c"]
+        for r in spark.sql(
+            "SELECT day, max(CASE WHEN rn = 1 THEN cents END) AS c FROM ("
+            "SELECT date_format(l_shipdate, 'yyyy-MM-dd') AS day, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS cents, row_number() OVER (PARTITION BY "
+            "date_format(l_shipdate, 'yyyy-MM-dd') ORDER BY l_orderkey DESC, "
+            "l_linenumber DESC) AS rn FROM lineitem) GROUP BY day"
+        ).collect()
+    }
+    # banded series
+    hs = [r["h"] for r in rows]
+    ls = [r["l"] for r in rows]
+    cs = [closes[r["day"]] for r in rows]
+    days = [r["day"] for r in rows]
+    trs = []
+    for i in range(len(rows)):
+        if i == 0:
+            trs.append(hs[0] - ls[0])
+        else:
+            trs.append(
+                max(hs[i] - ls[i], abs(hs[i] - cs[i - 1]), abs(ls[i] - cs[i - 1]))
+            )
+    banded = []
+    for i in range(ST_ATR_N - 1, len(rows)):
+        s = sum(trs[i - ST_ATR_N + 1 : i + 1])
+        atr = (2 * s + ST_ATR_N) // (2 * ST_ATR_N)
+        mid = (hs[i] + ls[i] + 1) // 2
+        banded.append(
+            (days[i], mid + ST_MULT * atr, mid - ST_MULT * atr, cs[i])
+        )
+    d0, bu0, bl0, c0 = banded[0]
+    fub, flb, t, pc = bu0, bl0, 1, c0
+    want = {d0: (t, fub, flb)}
+    for d, bu, bl, c in banded[1:]:
+        nfub = bu if (bu < fub or pc > fub) else fub
+        nflb = bl if (bl > flb or pc < flb) else flb
+        t = 1 if c > nfub else (-1 if c < nflb else t)
+        fub, flb, pc = nfub, nflb, c
+        want[d] = (t, fub, flb)
+    got = q_window_supertrend(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wt, wu, wl = want[r["day"]]
+        assert (
+            r["trend"],
+            round(r["upper_band"] * 100),
+            round(r["lower_band"] * 100),
+        ) == (wt, wu, wl), r["day"]
