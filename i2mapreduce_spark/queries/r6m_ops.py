@@ -137,7 +137,12 @@ def q_text_bpe_merge_pairs(spark, sf_dir):
         "rank",
         "pair",
         "cnt",
-        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        # half-up x10^6 integer quotient — round(cnt/total, 6) on the
+        # raw double lands 1 ulp apart across engines at some SFs (the
+        # same drift class the r6 cross-SF sweep caught elsewhere)
+        (
+            F.expr("(2 * 1000000 * cnt + total) div (2 * total)") / 1000000.0
+        ).alias("share"),
     )
 
 
@@ -153,8 +158,9 @@ def q_cte_recursive_rollup(spark, sf_dir):
     query class (org charts, BOM explosions, category trees).
 
     Plan: recursion is REWRITTEN as a bounded ancestor-explode — each
-    customer emits (ancestor, revenue) for its ≤ 7 div-10 ancestors
-    (depth is log10(maxkey), data-independent), then one partial+final
+    customer emits (ancestor, revenue) for its div-10 ancestors — 18
+    levels, enough for ANY int64 key (10^18 > 2^63/10), so the bound is
+    type-derived, not data-derived — then one partial+final
     agg on the ancestor key.  That is the scale-appropriate plan: a
     loop of self-joins runs depth sequential shuffles, while this is
     ONE generate + ONE shuffle regardless of depth; the DuckDB oracle
@@ -180,7 +186,7 @@ def q_cte_recursive_rollup(spark, sf_dir):
         F.explode(
             F.expr(
                 "array_distinct(concat(array(c_custkey), "
-                "filter(transform(sequence(1, 7), "
+                "filter(transform(sequence(1, 18), "
                 "p -> c_custkey div cast(pow(10, p) as bigint)), a -> a > 0)))"
             )
         ).alias("anc_key"),
@@ -328,7 +334,8 @@ ORACLES = {
         "total AS (SELECT sum(cnt) AS total FROM counted), "
         "ranked AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rank FROM counted) "
-        "SELECT rank, pair, cnt, round(cnt / CAST(total AS DOUBLE), 6) "
+        "SELECT rank, pair, cnt, "
+        "((2 * 1000000 * cnt + total) // (2 * total)) / 1000000.0 "
         f"AS share FROM ranked, total WHERE rank <= {BPE_TOPK}"
     ),
     "cte_recursive_rollup": (

@@ -66,12 +66,16 @@ def q_pipeline_target_encode(spark, sf_dir):
     (n_c + m) with pseudo-count m=20, shrinking rare categories toward
     the global rate (the leak-control that makes target encoding safe).
 
-    Exact arithmetic: label sums and counts are integers, the global
-    rate enters as the integer pair (P, N), so the encoding is the
-    single rational (N·pos_c + m·P) / (N·(n_c + m)) — evaluated as a
-    half-up x10^6 integer quotient, one double division for display.
-    Two aggs and one 1-row broadcast; the category spine is the
-    priority enum (bounded at any SF)."""
+    Exact arithmetic: label sums and counts are integers and the
+    encoding is a TWO-STAGE half-up composition — first the global rate
+    as a x10^6 integer (bounded ≤ 10^6), then
+    (10^6·pos_c + m·rate_x1e6) div (n_c + m).  The single-rational form
+    (N·pos_c + m·P)/(N·(n_c+m)) is algebraically cleaner but its
+    numerator grows O(rows²) and leaves BIGINT near sf1 (review
+    finding); the staged form's intermediates stay ≤ 10^6·rows.  Both
+    engines evaluate the identical two stages, so the key is still
+    hash-exact by construction.  Two aggs and one 1-row broadcast; the
+    category spine is the priority enum (bounded at any SF)."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     o = spark.table("orders")
@@ -94,13 +98,13 @@ def q_pipeline_target_encode(spark, sf_dir):
         "o_orderpriority",
         "n_c",
         "pos_c",
-        # enc x1e6 half-up: (pos_c + m*pos_g/n_g) / (n_c + m)
-        #   = (n_g*pos_c + m*pos_g) / (n_g*(n_c + m))
+        # stage 1: rate_x1e6 = half-up(1e6*pos_g/n_g)  (bounded <= 1e6)
+        # stage 2: enc_x1e6 = half-up((1e6*pos_c + m*rate_x1e6)/(n_c+m))
         (
             F.expr(
-                f"(2 * 1000000 * (n_g * pos_c + {TE_SMOOTH_M} * pos_g) "
-                f"+ n_g * (n_c + {TE_SMOOTH_M})) "
-                f"div (2 * n_g * (n_c + {TE_SMOOTH_M}))"
+                "(2 * (1000000 * pos_c + "
+                f"{TE_SMOOTH_M} * ((2 * 1000000 * pos_g + n_g) div (2 * n_g)))"
+                f" + (n_c + {TE_SMOOTH_M})) div (2 * (n_c + {TE_SMOOTH_M}))"
             )
             / 1000000.0
         ).alias("target_enc"),
@@ -137,9 +141,10 @@ ORACLES = {
         "sum(late) AS pos_c FROM lab GROUP BY 1), "
         "gtot AS (SELECT count(*) AS n_g, sum(late) AS pos_g FROM lab) "
         "SELECT o_orderpriority, n_c, CAST(pos_c AS BIGINT) AS pos_c, "
-        f"((2 * 1000000 * (n_g * pos_c + {TE_SMOOTH_M} * pos_g) "
-        f"+ n_g * (n_c + {TE_SMOOTH_M})) "
-        f"// (2 * n_g * (n_c + {TE_SMOOTH_M}))) / 1000000.0 AS target_enc, "
+        "((2 * (1000000 * pos_c + "
+        f"{TE_SMOOTH_M} * ((2 * 1000000 * pos_g + n_g) // (2 * n_g))) "
+        f"+ (n_c + {TE_SMOOTH_M})) // (2 * (n_c + {TE_SMOOTH_M}))) "
+        "/ 1000000.0 AS target_enc, "
         "((2 * 1000000 * pos_g + n_g) // (2 * n_g)) / 1000000.0 "
         "AS global_rate FROM per_cat, gtot"
     ),
