@@ -125,3 +125,57 @@ def global_running_sum(
         )
         out = out.withColumn(f"cum_{c}", (F.sum(c).over(wp) + off_expr).cast("long"))
     return out.drop("_pid")
+
+
+def global_running_max_excl(
+    df: DataFrame,
+    order_cols: list[str],
+    max_col: str,
+    out_col: str = "pre_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the EXCLUSIVE running ``MAX(max_col)`` under the unique
+    total order ``order_cols`` — the max over all STRICTLY EARLIER rows
+    (NULL for the global first row), i.e.
+    ``MAX(c) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` without the single-partition window.  Same chunked
+    scheme as :func:`global_running_sum` (max is associative too):
+    range-partition, partition-local exclusive running max, then fold in
+    the max of all earlier partitions via one bounded collect."""
+    if num_partitions is None:
+        n_conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        num_partitions = int(n_conf)
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids with the data
+    )
+    totals = {
+        r["_pid"]: r["mx"]
+        for r in ranged.groupBy("_pid").agg(F.max(max_col).alias("mx")).collect()
+    }
+    offsets, acc = {}, None
+    for pid in sorted(totals):
+        offsets[pid] = acc  # max over all EARLIER partitions (None if none)
+        t = totals[pid]
+        acc = t if acc is None or (t is not None and t > acc) else acc
+    wp = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                c
+                for pid in sorted(offsets)
+                # explicit cast: the first partition's offset is None and
+                # a bare NULL literal would break map value-type inference
+                for c in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+            ]
+        ),
+        F.col("_pid"),
+    )
+    local = F.max(max_col).over(wp)
+    return ranged.withColumn(out_col, F.greatest(local, off_expr)).drop("_pid")
