@@ -101,6 +101,10 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6q_ops.py", "q_agg_survival_km"),  # 1-row dataset edge + 1-row customer total
     ("i2mapreduce_spark/queries/r6q_ops.py", "q_agg_bootstrap_ci"),  # 1-row point estimate
     ("i2mapreduce_spark/queries/r6q_ops.py", "q_ts_runs_test"),  # 1-row x2-cent median
+    ("i2mapreduce_spark/queries/r6t_ops.py", "q_ts_theil_sen"),  # 1-row (n_pairs, n_days) totals
+    ("i2mapreduce_spark/queries/r6w_ops.py", "q_agg_winsorized_mean"),  # 1-row count + 1-row (lo, hi) boundary pair
+    ("i2mapreduce_spark/queries/r6y_ops.py", "q_agg_cuped_adjustment"),  # 1-row pooled moment aggregate
+    ("i2mapreduce_spark/queries/r7a_ops.py", "q_agg_cvar_expected_shortfall"),  # 1-row count
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
