@@ -105,6 +105,12 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r6w_ops.py", "q_agg_winsorized_mean"),  # 1-row count + 1-row (lo, hi) boundary pair
     ("i2mapreduce_spark/queries/r6y_ops.py", "q_agg_cuped_adjustment"),  # 1-row pooled moment aggregate
     ("i2mapreduce_spark/queries/r7a_ops.py", "q_agg_cvar_expected_shortfall"),  # 1-row count
+    ("i2mapreduce_spark/queries/r7c_ops.py", "q_agg_abc_classification"),  # 1-row global total
+    ("i2mapreduce_spark/queries/r7c_ops.py", "q_fn_holiday_observed"),  # 21-row literal holiday spine (7 years x 3 holidays)
+    ("i2mapreduce_spark/queries/r7d_ops.py", "q_sample_neyman_allocation"),  # 1-row weight total
+    ("i2mapreduce_spark/queries/r7f_ops.py", "q_agg_eb_beta_binomial"),  # 1-row (alpha, beta) prior
+    ("i2mapreduce_spark/queries/r7h_ops.py", "q_agg_hhi_concentration"),  # nation dim (25)
+    ("i2mapreduce_spark/queries/r7j_ops.py", "q_sample_balanced_downsample"),  # 1-row min class count
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
