@@ -70,9 +70,10 @@ _GROUP_MODULES = [
     "r7n_ops",      # mixed groups — round-6 additions, batch 40 (graded r7)
     "r7o_ops",      # mixed groups — round-6 additions, batch 41 (graded r7)
     "r7p_ops",      # mixed groups — round-6 additions, batch 42 (graded r7)
+    "r7q_ops",      # mixed groups — round-6 additions, batch 43 (graded r7)
 ]
 
-# R7 HANDOFF: every key in modules r6m_ops..r7p_ops (the later-session
+# R7 HANDOFF: every key in modules r6m_ops..r7q_ops (the later-session
 # round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
 # no driver CORRECTNESS row yet — the r7 session should rebuild the
 # window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
