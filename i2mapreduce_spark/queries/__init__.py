@@ -71,6 +71,7 @@ _GROUP_MODULES = [
     "r7o_ops",      # mixed groups — round-6 additions, batch 41 (graded r7)
     "r7p_ops",      # mixed groups — round-6 additions, batch 42 (graded r7)
     "r7q_ops",      # mixed groups — round-6 additions, batch 43 (graded r7)
+    "r7r_ops",      # mixed groups — round-6 additions, batch 44 (graded r7)
 ]
 
 # R7 HANDOFF: every key in modules r6m_ops..r7q_ops (the later-session

@@ -111,6 +111,17 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r7f_ops.py", "q_agg_eb_beta_binomial"),  # 1-row (alpha, beta) prior
     ("i2mapreduce_spark/queries/r7h_ops.py", "q_agg_hhi_concentration"),  # nation dim (25)
     ("i2mapreduce_spark/queries/r7j_ops.py", "q_sample_balanced_downsample"),  # 1-row min class count
+    ("i2mapreduce_spark/queries/r7r_ops.py", "q_window_control_chart"),  # 1-row frozen baseline moments
+    ("i2mapreduce_spark/queries/r7k_ops.py", "q_agg_gini_by_segment"),  # 1-row global minimum
+    ("i2mapreduce_spark/queries/r7l_ops.py", "q_agg_calibration_table"),  # 1-row row count
+    ("i2mapreduce_spark/queries/r7l_ops.py", "q_agg_precision_at_k"),  # 1-row total positives
+    ("i2mapreduce_spark/queries/r7m_ops.py", "q_agg_jackknife_se"),  # 1-row totals (twice)
+    ("i2mapreduce_spark/queries/r7m_ops.py", "q_text_bpe_apply"),  # BPE_MERGES=20-entry merge list
+    ("i2mapreduce_spark/queries/r7n_ops.py", "q_agg_brier_score"),  # 1-row row count
+    ("i2mapreduce_spark/queries/r7o_ops.py", "q_agg_ece"),  # 1-row row count
+    ("i2mapreduce_spark/queries/r7o_ops.py", "q_pipeline_interleave_order"),  # source-enum sizes + 1-row total
+    ("i2mapreduce_spark/queries/r7o_ops.py", "q_window_longest_streak"),  # 1-row final-day scalar
+    ("i2mapreduce_spark/queries/r7p_ops.py", "q_dq_catalog_census"),  # 1-row grand total
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
