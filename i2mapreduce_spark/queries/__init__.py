@@ -73,6 +73,7 @@ _GROUP_MODULES = [
     "r7q_ops",      # mixed groups — round-6 additions, batch 43 (graded r7)
     "r7r_ops",      # mixed groups — round-6 additions, batch 44 (graded r7)
     "r7s_ops",      # mixed groups — round-6 additions, batch 45 (graded r7)
+    "r7t_ops",      # mixed groups — round-6 additions, batch 46 (graded r7)
 ]
 
 # R7 HANDOFF: every key in modules r6m_ops..r7q_ops (the later-session

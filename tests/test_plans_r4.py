@@ -123,6 +123,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r7o_ops.py", "q_window_longest_streak"),  # 1-row final-day scalar
     ("i2mapreduce_spark/queries/r7p_ops.py", "q_dq_catalog_census"),  # 1-row grand total
     ("i2mapreduce_spark/queries/r7s_ops.py", "q_agg_durbin_watson"),  # 1-row OLS moments
+    ("i2mapreduce_spark/queries/r7t_ops.py", "q_agg_revenue_bridge"),  # 1-row absolute-delta total
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
