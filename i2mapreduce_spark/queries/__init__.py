@@ -76,11 +76,22 @@ _GROUP_MODULES = [
     "r7t_ops",      # mixed groups — round-6 additions, batch 46 (graded r7)
 ]
 
-# R7 HANDOFF: every key in modules r6m_ops..r7q_ops (the later-session
+# R7 HANDOFF: every key in modules r6m_ops..r7t_ops (the later-session
 # round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
 # no driver CORRECTNESS row yet — the r7 session should rebuild the
 # window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
 # measured sf0.01 warm cost ascending, exactly as below.
+#
+# Round-6 final state (2026-08-15): 461 keys / 444 hash-checked; every
+# key added this session was verified with tools/check_oracle.py at
+# sf0.001 AND sf0.01 AND sf0.1 the day it landed (the cross-SF sweep is
+# the cheapest way to catch BIGINT overflow and rounding-scale drift —
+# it caught five such bugs this session).  Rows-only additions:
+# iter_maximal_matching (property tests in tests/test_r6x_matching.py);
+# the rest of the rows-only set is the pre-existing golden/recall keys.
+# New cross-engine gotchas live at the bottom of
+# .claude/skills/verify/SKILL.md — read them before writing any
+# fold/round/product expression.
 #
 # Ordering note: the driver grades the FIRST 50 registry keys each round
 # (r1-r5 each produced exactly-50-key CORRECTNESS files cut at the 50th
