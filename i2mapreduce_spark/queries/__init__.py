@@ -74,6 +74,7 @@ _GROUP_MODULES = [
     "r7r_ops",      # mixed groups — round-6 additions, batch 44 (graded r7)
     "r7s_ops",      # mixed groups — round-6 additions, batch 45 (graded r7)
     "r7t_ops",      # mixed groups — round-6 additions, batch 46 (graded r7)
+    "r7u_ops",      # mixed groups — round-6 additions, batch 47 (graded r7)
 ]
 
 # R7 HANDOFF: every key in modules r6m_ops..r7t_ops (the later-session
@@ -82,7 +83,7 @@ _GROUP_MODULES = [
 # window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
 # measured sf0.01 warm cost ascending, exactly as below.
 #
-# Round-6 final state (2026-08-15): 461 keys / 444 hash-checked; every
+# Round-6 final state (2026-08-15): 463 keys / 446 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at
 # sf0.001 AND sf0.01 AND sf0.1 the day it landed (the cross-SF sweep is
 # the cheapest way to catch BIGINT overflow and rounding-scale drift —

@@ -124,6 +124,8 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r7p_ops.py", "q_dq_catalog_census"),  # 1-row grand total
     ("i2mapreduce_spark/queries/r7s_ops.py", "q_agg_durbin_watson"),  # 1-row OLS moments
     ("i2mapreduce_spark/queries/r7t_ops.py", "q_agg_revenue_bridge"),  # 1-row absolute-delta total
+    ("i2mapreduce_spark/queries/r7u_ops.py", "q_window_underwater_duration"),  # 1-row final-day scalar
+    ("i2mapreduce_spark/queries/r7u_ops.py", "q_text_oov_rate"),  # 1-row split cut-off
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
