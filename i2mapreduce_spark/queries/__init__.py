@@ -77,7 +77,7 @@ _GROUP_MODULES = [
     "r7u_ops",      # mixed groups — round-6 additions, batch 47 (graded r7)
 ]
 
-# R7 HANDOFF: every key in modules r6m_ops..r7t_ops (the later-session
+# R7 HANDOFF: every key in modules r6m_ops..r7u_ops (the later-session
 # round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
 # no driver CORRECTNESS row yet — the r7 session should rebuild the
 # window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
