@@ -126,6 +126,7 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r7t_ops.py", "q_agg_revenue_bridge"),  # 1-row absolute-delta total
     ("i2mapreduce_spark/queries/r7u_ops.py", "q_window_underwater_duration"),  # 1-row final-day scalar
     ("i2mapreduce_spark/queries/r7u_ops.py", "q_text_oov_rate"),  # 1-row split cut-off
+    ("i2mapreduce_spark/queries/r7v_ops.py", "q_agg_cr4_concentration"),  # nation dim (25)
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
