@@ -76,15 +76,16 @@ _GROUP_MODULES = [
     "r7t_ops",      # mixed groups — round-6 additions, batch 46 (graded r7)
     "r7u_ops",      # mixed groups — round-6 additions, batch 47 (graded r7)
     "r7v_ops",      # mixed groups — round-6 additions, batch 48 (graded r7)
+    "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R7 HANDOFF: every key in modules r6m_ops..r7v_ops (the later-session
+# R7 HANDOFF: every key in modules r6m_ops..r7w_ops (the later-session
 # round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
 # no driver CORRECTNESS row yet — the r7 session should rebuild the
 # window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
 # measured sf0.01 warm cost ascending, exactly as below.
 #
-# Round-6 final state (2026-08-15): 466 keys / 449 hash-checked; every
+# Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at
 # sf0.001 AND sf0.01 AND sf0.1 the day it landed (the cross-SF sweep is
 # the cheapest way to catch BIGINT overflow and rounding-scale drift —

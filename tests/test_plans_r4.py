@@ -127,6 +127,8 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/r7u_ops.py", "q_window_underwater_duration"),  # 1-row final-day scalar
     ("i2mapreduce_spark/queries/r7u_ops.py", "q_text_oov_rate"),  # 1-row split cut-off
     ("i2mapreduce_spark/queries/r7v_ops.py", "q_agg_cr4_concentration"),  # nation dim (25)
+    ("i2mapreduce_spark/queries/r7w_ops.py", "q_join_basket_overlap"),  # nation dim + 25-row size tables
+    ("i2mapreduce_spark/queries/r7w_ops.py", "q_dq_shard_balance"),  # 1-row (total, k) aggregate
     # eval-suite-sized by nature (benchmark contamination set, KBs-MBs)
     ("i2mapreduce_spark/queries/pipelines.py", "q_pipeline_decontaminate"),
 }
