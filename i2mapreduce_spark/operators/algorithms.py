@@ -766,7 +766,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     return chosen
 
 
-def scc(edges: DataFrame, max_passes: int = 8,
+def scc(edges: DataFrame, max_passes: int = 64,
         max_trim_rounds: int = 32) -> DataFrame:
     """Strongly connected components of a directed graph via
     Trim + Forward-Backward min-label coloring (the FW-BW-Trim scheme of
@@ -791,6 +791,11 @@ def scc(edges: DataFrame, max_passes: int = 8,
 
     Returns (node, scc) for every node incident to an edge; scc = the
     minimum member id.  Deterministic — no randomness, fixpoints only.
+    Raises RuntimeError if `max_passes` outer passes leave active nodes
+    (each pass resolves >=1 SCC, so passes needed <= #SCC; a trim-immune
+    chain of 2-cycles resolves exactly one per pass — better a loud
+    failure than a silent partial labeling).  Empty edge input returns
+    an empty (node, scc) frame.
 
     100TB: every step is an equi-join/agg on node id; the trim fixpoint
     and coloring fixpoint are each one cheap count/sum action per round
@@ -848,6 +853,7 @@ def scc(edges: DataFrame, max_passes: int = 8,
         labeled_parts.append(done.select("node", F.col("f").alias("scc")))
         rest = j.filter(F.col("f") != F.col("b")).select("node")
         if rest.isEmpty():
+            active_nodes = rest  # converged: nothing left unlabeled
             break
         active_nodes = rest.localCheckpoint(eager=True)
         active = (
@@ -856,6 +862,17 @@ def scc(edges: DataFrame, max_passes: int = 8,
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+    if not active_nodes.isEmpty():
+        raise RuntimeError(
+            f"scc(): {max_passes} FW-BW passes exhausted with active nodes "
+            "remaining — raise max_passes (graphs need <= #SCC passes; a "
+            "chain of 2-cycles needs one pass per cycle)"
+        )
+    if not labeled_parts:
+        # empty edge input: no node is incident to an edge
+        return edges.select(
+            F.col("src").alias("node"), F.col("src").alias("scc")
+        ).limit(0)
     out = labeled_parts[0]
     for part in labeled_parts[1:]:
         out = out.unionByName(part)

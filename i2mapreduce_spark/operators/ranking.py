@@ -165,6 +165,9 @@ def global_running_max_excl(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # cast offsets to max_col's own type: a hard 'long' cast would
+    # silently truncate double/decimal maxima
+    val_type = ranged.schema[max_col].dataType
     off_expr = F.element_at(
         F.create_map(
             *[
@@ -172,7 +175,7 @@ def global_running_max_excl(
                 for pid in sorted(offsets)
                 # explicit cast: the first partition's offset is None and
                 # a bare NULL literal would break map value-type inference
-                for c in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+                for c in (F.lit(pid), F.lit(offsets[pid]).cast(val_type))
             ]
         ),
         F.col("_pid"),

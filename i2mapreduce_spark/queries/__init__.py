@@ -79,11 +79,12 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R7 HANDOFF: every key in modules r6m_ops..r7w_ops (the later-session
-# round-6 batches) plus the r6_ops..r6l_ops keys NOT in _R6_WINDOW has
-# no driver CORRECTNESS row yet — the r7 session should rebuild the
-# window from (registry keys) - (CORRECTNESS_r01..r06 union), ordered by
-# measured sf0.01 warm cost ascending, exactly as below.
+# R8 HANDOFF: after the r7 window below lands in CORRECTNESS_r07, the
+# remaining backlog is 124 never-graded keys — rebuild the window from
+# (registry keys) - (CORRECTNESS_r01..r07 union), ordered by measured
+# sf0.01 warm cost ascending (the full cost table from the r7 session is
+# the sort key; re-measure only if plans changed).  Keep rows-only keys
+# out of windows (tests/test_registry_window.py enforces all of this).
 #
 # Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at
@@ -97,70 +98,69 @@ _GROUP_MODULES = [
 # fold/round/product expression.
 #
 # Ordering note: the driver grades the FIRST 50 registry keys each round
-# (r1-r5 each produced exactly-50-key CORRECTNESS files cut at the 50th
-# key in registry order).  After r5 all 245 keys that existed at r4 HEAD
-# have a green driver row (CORRECTNESS_r01-r05 union; agg_freq_items
-# rows-only by design).  Round 6's window = the 34 keys that have never
-# had a driver CORRECTNESS row (the 17 r5 additions + the 11 late-r5
-# TPC-H shapes + the TA-window trio and mr_inverted_index/
-# mr_matrix_multiply/pipeline_epoch_shuffle/inc_cc_delta) ordered by
-# measured sf0.01 warm harness cost ascending, then every key ADDED in
-# round 6 (16 free slots).  Keys past slot 50 get graded in r7.
-_R6_WINDOW = [
-    # -- cheap keys (<0.5 s warm each at sf0.01, measured 2026-08-14) --
-    "agg_forecast_revenue",
-    "agg_hll_union",
-    "ts_seasonal_profile",
-    "stream_left_outer_join",
-    "agg_customer_distribution",
-    "join_large_volume_customers",
-    "agg_priority_lateness",
-    "agg_bracket_revenue",
-    "join_potential_promotion",
-    "join_min_cost_supplier",
-    "agg_part_concentration",
-    "join_parts_supplier_counts",
-    "ts_autocorr",
-    "agg_small_qty_revenue",
-    "agg_product_profit",
-    "stream_dedup_watermark",
-    "source_csv_malformed",
-    "ts_ohlc_bars",
-    "dq_iqr_outliers",
-    "fn_try_arith",
-    # -- 0.5-1.5 s --
-    "mr_inverted_index",
-    "window_interval_merge",
-    "mr_matrix_multiply",
-    "fn_variant_json",
-    "window_rsi",
-    "window_rolling_corr",
-    "join_waiting_suppliers",
-    "sink_time_travel",
-    "window_bollinger",
-    "mr_multiple_outputs",
-    "pipeline_epoch_shuffle",
-    # -- heavy (accumulator merge / delta warm-start / Boruvka loop) --
-    "mr_counters",
-    "inc_cc_delta",
-    "iter_mst_forest",
-    # -- round-6 additions (fill toward slot 50, cheap-first) --
-    "fn_uuid_deterministic",
-    "pipeline_importance_sample",
-    "ts_gap_stats",
-    "ts_cross_correlation",
-    "ts_mann_kendall",
-    "ts_cusum_changepoint",
-    "window_donchian",
-    "window_vwap",
-    "agg_weighted_percentile",
-    "fn_zorder_interleave",
-    "text_vocab_growth",
-    "embedding_matryoshka_truncate",
-    "dedup_paragraph",
-    "agg_count_min_sketch",
-    "source_csv_multiline",
-    "join_bloom_prefilter",
+# (r1-r6 each produced exactly-50-key CORRECTNESS files cut at the 50th
+# key in registry order.)  After r6 the union of CORRECTNESS_r01-r06
+# covers 295 of 469 keys; 174 have never had a driver row.  Round 7 is a
+# consolidation round (r6 verdict item 1): _R7_WINDOW = the 49 cheapest
+# never-driver-graded hash-oracled keys (sf0.01 warm harness cost,
+# measured 2026-08-15) plus iter_kmeans, whose latest driver row is a
+# stale r3 `err: no_oracle` from before it gained its unrolled-CTE hash
+# oracle in r4 (r6 verdict item 2).  Rows-only keys (no ORACLES entry)
+# are deliberately excluded from windows so they stop burning grading
+# slots as phantom errs.  Remaining backlog after this window: 124 keys,
+# ordered for r8+ by the same cost table (tests/test_registry_window.py
+# asserts window hygiene).
+_R7_WINDOW = [
+    "text_code_detect",
+    "pipeline_chunk_overlap",
+    "agg_hill_tail_index",
+    "fn_fiscal_445",
+    "agg_ndcg_at_k",
+    "agg_matthews_corr",
+    "fn_iso_duration",
+    "dq_monotonic_violations",
+    "pipeline_tokenizer_fertility",
+    "agg_cohens_kappa",
+    "fn_geohash",
+    "agg_log_histogram",
+    "agg_littles_law",
+    "dq_table_checksum",
+    "fn_iban_mod97",
+    "agg_precision_at_k",
+    "source_binary_files",
+    "multimodal_tile_grid",
+    "fn_snowflake_id",
+    "pipeline_shard_manifest",
+    "agg_process_capability",
+    "agg_fleiss_kappa",
+    "agg_power_sample_size",
+    "join_fuzzy_blocked",
+    "dq_freshness",
+    "fn_holiday_observed",
+    "sample_weighted_reservoir",
+    "agg_odds_ratio",
+    "fn_base62_codec",
+    "agg_new_vs_returning",
+    "fn_delta_encode",
+    "dq_k_anonymity",
+    "join_longest_prefix",
+    "dq_rules_engine",
+    "agg_two_proportion_ztest",
+    "dq_functional_dependency",
+    "pipeline_token_budget",
+    "ts_seasonal_adjust",
+    "agg_gini_by_segment",
+    "sim_bucket_purity",
+    "agg_mutual_info",
+    "sample_neyman_allocation",
+    "agg_hhi_concentration",
+    "ts_peak_detection",
+    "dq_inclusion_dependency",
+    "text_hapax_ratio",
+    "pipeline_target_encode",
+    "inc_snapshot_diff",
+    "agg_forecast_eval",
+    "iter_kmeans",
 ]
 
 
@@ -178,7 +178,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R6_WINDOW:
+    for k in _R7_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

@@ -29,11 +29,14 @@ def q_agg_kendall_tau(spark, sf_dir):
     n2)) is a single fixed-shape double of five exact BIGINTs."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
+    # per-row cents BEFORE the sum (repo discipline, cf. r7b/r7d): long
+    # summation is exact and engine-order-independent, unlike summing
+    # doubles then casting the total
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("x"),
-        (F.sum("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("y"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("y"),
     )
     p = (
         daily.alias("a")
@@ -191,7 +194,7 @@ QUERIES = {
 ORACLES = {
     "agg_kendall_tau": (
         "WITH daily AS (SELECT o_orderdate AS day, count(*) AS x, "
-        "CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
         "AS y FROM orders GROUP BY 1), "
         "p AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy FROM daily a "
         "JOIN daily b ON a.day < b.day), "

@@ -1,0 +1,97 @@
+"""Synthesize a ~sf1 stress fixture (10x sf0.1) for the scale sweep.
+
+/root/testdata tops out at sf0.1 — 100x below the 100 TB design
+narrative (r6 verdict item 3).  This tool manufactures a 10x dataset by
+unioning 10 key-shifted copies of each SCALE table from sf0.1, writing
+parquet with the SAME file layout the catalog expects
+(`<out>/<table>.parquet`) so every registry key runs on it unchanged:
+
+- dimension tables (region, nation) are fixed-size in TPC-H — copied.
+- every copy i shifts each table's surrogate/foreign keys by
+  i * ceil(max_key+1), so PK uniqueness AND join fan-out are preserved
+  (an orders copy joins exactly its own lineitem copy, 10x rows, same
+  per-key cardinality — the honest scale-up shape).
+- events shifts event_id/user_id and staggers ts by i seconds so the
+  time spine densifies (per-day counts grow 10x, day count stays put —
+  matching how real traffic scales).
+- documents/embeddings shift doc_id/vec_id; text/vectors repeat, which
+  leaves dedup/similarity keys with 10x candidates per bucket — the
+  WORST case for those kernels, which is what a stress sweep wants.
+
+Usage:  python tools/make_sf1.py [out_dir]      (default /tmp/testdata/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from i2mapreduce_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+#: per-table integer id columns to shift per copy (PKs and the FKs that
+#: must follow them); nationkey/regionkey FKs point at fixed dims and
+#: stay put.
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_TABLES = ["region", "nation"]
+
+
+def _scaled(df: DataFrame, cols: list[str], stagger_ts: bool) -> DataFrame:
+    strides = {
+        c: int(df.agg(F.max(c)).first()[0]) + 1 for c in cols
+    }
+    parts = []
+    for i in range(COPIES):
+        p = df
+        for c, stride in strides.items():
+            p = p.withColumn(
+                c, (F.col(c) + F.lit(i * stride)).cast(df.schema[c].dataType)
+            )
+        if stagger_ts and i:
+            p = p.withColumn(
+                "ts", F.col("ts") + F.make_interval(secs=F.lit(float(i)))
+            )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="i2mr-make-sf1", shuffle_partitions=32)
+    for name in COPY_TABLES:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        print(f"{name}: copied {df.count()} rows", flush=True)
+    for name, cols in SHIFT_COLS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        big = _scaled(df, cols, stagger_ts=(name == "events"))
+        # ~128MB-target files: repartition by first key so downstream
+        # scans start from a sane layout, like a real sf1 export would
+        big.repartition(16, cols[0]).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+        print(f"{name}: {df.count()} -> {big.count()} rows", flush=True)
+    print(f"sf1 fixture at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

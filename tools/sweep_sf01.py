@@ -8,13 +8,22 @@ Usage:
 
     python tools/sweep_sf01.py              # all keys at sf0.1
     SWEEP_SF_DIR=/root/testdata/sf0.01 python tools/sweep_sf01.py
+    SWEEP_BASELINE=/path/to/prior.json \
+        python tools/sweep_sf01.py          # + scripted ratio alarm
 
-Prints one line per key (seconds + row count, ERR on failure) and a
-sorted slowest-20 summary; exit code 1 if any key errors.
+Prints one line per key (seconds + row count, ERR on failure), a sorted
+slowest-20 summary, and writes per-key timings to $SWEEP_OUT (default
+/tmp/sweep_times.json) so a later run at another SF can be compared.
+When SWEEP_BASELINE points at a prior sweep's JSON from a 10x-smaller
+SF, the ratio check is a scripted assertion (r6 verdict item 7), not a
+prose rule: exit code 1 if any key errors OR any key whose baseline
+time is >= MIN_BASE (0.5s — below that, scheduling noise dominates the
+ratio) grew by more than SWEEP_MAX_RATIO (default 10x).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -24,9 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from i2mapreduce_spark.queries import build_registry  # noqa: E402
 from i2mapreduce_spark.session import get_spark  # noqa: E402
 
+#: baseline seconds under which a ratio is scheduling noise, not growth
+MIN_BASE = 0.5
+
 
 def main() -> int:
     sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ.get("SWEEP_OUT", "/tmp/sweep_times.json")
+    base_path = os.environ.get("SWEEP_BASELINE")
+    max_ratio = float(os.environ.get("SWEEP_MAX_RATIO", "10"))
     queries, _ = build_registry()
     spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=8)
     t_all = time.perf_counter()
@@ -37,7 +52,7 @@ def main() -> int:
         try:
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            times[key] = dt
+            times[key] = round(dt, 3)
             print(f"[{i:3d}/{len(queries)}] {key}: {dt:.2f}s {n} rows", flush=True)
         except Exception as e:  # noqa: BLE001 — sweep must survey everything
             errs[key] = f"{type(e).__name__}: {e}"
@@ -46,11 +61,30 @@ def main() -> int:
     print(f"\n=== {len(times)}/{len(queries)} succeeded in {total:.1f}s ===")
     for key, dt in sorted(times.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  slow: {key} {dt:.2f}s")
+    json.dump({"sf_dir": sf_dir, "times": times}, open(out_path, "w"), indent=1)
+    print(f"timings written to {out_path}")
+
+    breaches: list[str] = []
+    if base_path:
+        base = json.load(open(base_path))["times"]
+        for key, dt in times.items():
+            b = base.get(key)
+            if b is None or b < MIN_BASE:
+                continue
+            ratio = dt / b
+            if ratio > max_ratio:
+                breaches.append(f"{key}: {b:.2f}s -> {dt:.2f}s ({ratio:.1f}x)")
+        if breaches:
+            print(f"RATIO BREACHES (> {max_ratio}x vs {base_path}):")
+            for line in breaches:
+                print(f"  {line}")
+        else:
+            print(f"ratio check vs {base_path}: all keys <= {max_ratio}x")
     if errs:
         print(f"ERRORS ({len(errs)}):")
         for key, msg in errs.items():
             print(f"  {key}: {msg}")
-    return 1 if errs else 0
+    return 1 if (errs or breaches) else 0
 
 
 if __name__ == "__main__":
