@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.iterate import IterationResult, iterate
+from ..plans.iterate import IterationResult, checkpoint_without_stats, iterate
 
 
 def _nodes(edges: DataFrame) -> DataFrame:
@@ -192,7 +192,7 @@ def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
         # materialization boundary moves)
         res = iterate(hub0, step, iters, checkpoint_every=1)
         hub_fin = res.state
-        auth_fin = _auth_from_hub(hub_fin).localCheckpoint(eager=True)
+        auth_fin = _auth_from_hub(hub_fin).transform(checkpoint_without_stats)
         return hub_fin.select(
             F.lit("hub").alias("side"), "node", F.round("hub", 6).alias("score")
         ).unionAll(
@@ -259,7 +259,7 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
             dist.union(grown)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
     return dist
 
@@ -711,7 +711,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             e.groupBy("cs", "cd")
             .agg(F.min(F.struct("w", "a", "b")).alias("m"))
             .select("cs", "cd", "m.w", "m.a", "m.b")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
         # bounded probe: limit pushes into the plan, so this collects AT
         # MOST BORUVKA_LOCAL_EDGES_MAX+1 rows however large the graph is
@@ -726,7 +726,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             contracted.groupBy("cs")
             .agg(F.min(F.struct("w", "a", "b", "cd")).alias("m"))
             .select("cs", "m.w", "m.a", "m.b", "m.cd")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
         chosen = (
             chosen.unionByName(pick.select("a", "b", "w"))
@@ -736,7 +736,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             # under-merge degrade to a duplicate-free (if cyclic) pick,
             # never a double-counted edge
             .dropDuplicates(["a", "b"])
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
         pick_sym = pick.select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
         pick_sym = pick_sym.union(
@@ -754,7 +754,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             comp = comp.join(m, comp.label == m.old, "left").select(
                 "node", F.coalesce("new", "label").alias("label")
             )
-        comp = comp.localCheckpoint(eager=True)
+        comp = comp.transform(checkpoint_without_stats)
     if local_rows:
         finish = _local_kruskal(
             [(r["w"], r["a"], r["b"], r["cs"], r["cd"]) for r in local_rows]
@@ -801,8 +801,8 @@ def scc(edges: DataFrame, max_passes: int = 64,
     and coloring fixpoint are each one cheap count/sum action per round
     (the reference's global barrier); state never leaves the cluster.
     """
-    active = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    active_nodes = _nodes(active).localCheckpoint(eager=True)
+    active = edges.select("src", "dst").distinct().transform(checkpoint_without_stats)
+    active_nodes = _nodes(active).transform(checkpoint_without_stats)
     labeled_parts: list[DataFrame] = []
     for _ in range(max_passes):
         # --- trim singleton SCCs (no in- or no out-edges, including
@@ -833,12 +833,12 @@ def scc(edges: DataFrame, max_passes: int = 64,
             labeled_parts.append(
                 trimmed.select("node", F.col("node").alias("scc"))
             )
-            active_nodes = both.localCheckpoint(eager=True)
+            active_nodes = both.transform(checkpoint_without_stats)
             active = (
                 active.join(both.withColumnRenamed("node", "src"), "src")
                 .join(both.withColumnRenamed("node", "dst"), "dst")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_without_stats)
             )
         if active_nodes.isEmpty():
             break
@@ -848,19 +848,19 @@ def scc(edges: DataFrame, max_passes: int = 64,
             active.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).withColumnRenamed("label", "f")
         bwd = connected_components(active).withColumnRenamed("label", "b")
-        j = fwd.join(bwd, "node").localCheckpoint(eager=True)
+        j = fwd.join(bwd, "node").transform(checkpoint_without_stats)
         done = j.filter(F.col("f") == F.col("b"))
         labeled_parts.append(done.select("node", F.col("f").alias("scc")))
         rest = j.filter(F.col("f") != F.col("b")).select("node")
         if rest.isEmpty():
             active_nodes = rest  # converged: nothing left unlabeled
             break
-        active_nodes = rest.localCheckpoint(eager=True)
+        active_nodes = rest.transform(checkpoint_without_stats)
         active = (
             active.join(rest.withColumnRenamed("node", "src"), "src")
             .join(rest.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
     if not active_nodes.isEmpty():
         raise RuntimeError(

@@ -29,6 +29,60 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 
+def checkpoint_without_stats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that also RESETS the plan's
+    statistics — the load-bearing half for iterative loops.
+
+    Spark's ``Dataset.checkpoint`` carries the pre-checkpoint plan's
+    estimated ``Statistics`` onto the resulting ``LogicalRDD``
+    (``originStats``).  Catalyst's size-only join estimate is
+    ``left.sizeInBytes * right.sizeInBytes``, so in a loop whose step
+    joins the state two or three times the carried estimate is SQUARED
+    or CUBED every iteration: the BigInt's bit-length doubles per round
+    (measured: 44 bits at iter 1 -> 9,915 bits at iter 8 on the CC
+    kernel) and from ~iteration 17 the driver spends its time in
+    Toom-Cook BigInteger multiplication inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` — per-iteration wall DOUBLES
+    (measured 1.1s -> 33s by iter 22; a 30-iteration converge at 10x
+    data took 860s of which >90% was stats arithmetic).  On a 1000-node
+    cluster the same garbage-stats compounding would serialize every
+    iteration on the driver.
+
+    The carried estimate is worthless anyway (2^9915 bytes), and its
+    only consumer is the broadcast-join threshold — which such a value
+    can never pass — so rebuilding the checkpointed ``LogicalRDD`` with
+    ``originStats = None`` (falls back to ``defaultSizeInBytes``)
+    changes no plan choice while making stats arithmetic O(1) again.
+    Uses the JVM constructor directly (no public API resets stats);
+    falls back to the plain checkpoint if the internals ever move.
+    """
+    ckpt = df.localCheckpoint(eager=True)
+    try:
+        spark = ckpt.sparkSession
+        jvm = spark._jvm
+        plan = ckpt._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return ckpt
+        none = jvm.scala.Option.empty()
+        new_plan = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            plan.output(),
+            plan.rdd(),
+            plan.outputPartitioning(),
+            plan.outputOrdering(),
+            plan.isStreaming(),
+            plan.stream(),
+            spark._jsparkSession,
+            none,  # originStats: reset — see above
+            none,  # originConstraints: derived from the same deep plan
+        )
+        new_jdf = getattr(
+            jvm.org.apache.spark.sql.classic, "Dataset"
+        ).ofRows(spark._jsparkSession, new_plan)
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return ckpt  # stats reset is a de-pessimization only
+
+
 @dataclass
 class IterationResult:
     state: DataFrame
@@ -73,7 +127,7 @@ def iterate(
         new_state = step(state, i)
         fresh = i % checkpoint_every == 0
         if fresh:
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = checkpoint_without_stats(new_state)
         state = new_state
         if delta_fn is not None and tol is not None and fresh:
             d = delta_fn(check_state, new_state)
@@ -86,5 +140,5 @@ def iterate(
         # final checkpoint so callers get a bounded plan (skipped when the
         # last loop step already materialized — re-checkpointing an
         # in-memory state would burn one extra job per call)
-        state = state.localCheckpoint(eager=True)
+        state = checkpoint_without_stats(state)
     return IterationResult(state=state, iterations=i, converged=converged, deltas=deltas)

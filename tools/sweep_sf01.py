@@ -7,6 +7,7 @@ oracle gate — but its sf0.1/sf0.01 time ratio jumps past ~10x here.
 Usage:
 
     python tools/sweep_sf01.py              # all keys at sf0.1
+    python tools/sweep_sf01.py key1 key2    # just these keys
     SWEEP_SF_DIR=/root/testdata/sf0.01 python tools/sweep_sf01.py
     SWEEP_BASELINE=/path/to/prior.json \
         python tools/sweep_sf01.py          # + scripted ratio alarm
@@ -43,6 +44,8 @@ def main() -> int:
     base_path = os.environ.get("SWEEP_BASELINE")
     max_ratio = float(os.environ.get("SWEEP_MAX_RATIO", "10"))
     queries, _ = build_registry()
+    if len(sys.argv) > 1:
+        queries = {k: queries[k] for k in sys.argv[1:]}
     spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=8)
     t_all = time.perf_counter()
     times: dict[str, float] = {}
