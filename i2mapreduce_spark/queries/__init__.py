@@ -80,11 +80,12 @@ _GROUP_MODULES = [
 ]
 
 # R8 HANDOFF: after the r7 window below lands in CORRECTNESS_r07, the
-# remaining backlog is 124 never-graded keys — rebuild the window from
-# (registry keys) - (CORRECTNESS_r01..r07 union), ordered by measured
-# sf0.01 warm cost ascending (the full cost table from the r7 session is
-# the sort key; re-measure only if plans changed).  Keep rows-only keys
-# out of windows (tests/test_registry_window.py enforces all of this).
+# remaining backlog is 124 never-graded keys (118 hash-oracled + 6
+# rows-only that stay out of windows).  tools/r8_window_costs.json holds
+# the 118 candidates in measured sf0.01-warm-cost order — the r8 window
+# is its first 50 keys verbatim (re-measure only if plans changed).
+# Rebuild from (registry keys) - (CORRECTNESS_r01..r07 union); keep
+# rows-only keys out (tests/test_registry_window.py enforces all this).
 #
 # Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at
