@@ -20,6 +20,12 @@ SF, the ratio check is a scripted assertion (r6 verdict item 7), not a
 prose rule: exit code 1 if any key errors OR any key whose baseline
 time is >= MIN_BASE (0.5s — below that, scheduling noise dominates the
 ratio) grew by more than SWEEP_MAX_RATIO (default 10x).
+
+SWEEP_ALLOW (comma-separated keys) exempts declared-quadratic exact
+baselines from the alarm — currently sim_topk_cosine (exact all-pairs
+cosine; the sim_ann_* keys are its sub-quadratic replacements) and
+dedup_near_jaccard (exact shingle-pair semantics oracle for
+dedup_minhash_lsh).  Exempt keys are still timed and reported.
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ from i2mapreduce_spark.session import get_spark  # noqa: E402
 
 #: baseline seconds under which a ratio is scheduling noise, not growth
 MIN_BASE = 0.5
+
+#: keys whose super-linear growth is their documented CONTRACT (exact
+#: brute-force baselines with bucketed scale-path twins) — see module doc
+DEFAULT_ALLOW = "sim_topk_cosine,dedup_near_jaccard"
 
 
 def main() -> int:
@@ -69,10 +79,13 @@ def main() -> int:
 
     breaches: list[str] = []
     if base_path:
+        allow = set(
+            os.environ.get("SWEEP_ALLOW", DEFAULT_ALLOW).split(",")
+        )
         base = json.load(open(base_path))["times"]
         for key, dt in times.items():
             b = base.get(key)
-            if b is None or b < MIN_BASE:
+            if b is None or b < MIN_BASE or key in allow:
                 continue
             ratio = dt / b
             if ratio > max_ratio:
