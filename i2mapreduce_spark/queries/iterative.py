@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import cte, load_tables
 from ..operators import algorithms
+from ..plans.iterate import checkpoint_without_stats
 
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
@@ -53,7 +54,7 @@ def q_iter_sssp(spark, sf_dir):
     # checkpoint BEFORE the scalar min action so the derived self-join
     # view is computed once and the hop loop reuses it; unlike .cache()
     # this leaves nothing persisted behind in the shared session
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     source = edges.agg(F.min("src")).collect()[0][0]
     return algorithms.sssp(edges, int(source), max_hops=SSSP_MAX_HOPS)
 
@@ -143,7 +144,7 @@ def q_iter_pagerank_personalized(spark, sf_dir):
     seed-based recommendation score.  6 fixed iterations, d=0.85;
     hash-checked against unrolled CTEs."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     source = int(edges.agg(F.min("src")).collect()[0][0])
     res = algorithms.pagerank(
         spark, edges, iters=PPR_ITERS, damping=PAGERANK_DAMPING,
@@ -200,7 +201,7 @@ def q_iter_sssp_weighted(spark, sf_dir):
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").withColumn(
         "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("int")
-    ).localCheckpoint(eager=True)  # one compute of the self-join view for
+    ).transform(checkpoint_without_stats)  # one compute of the self-join view for
     # min-action + rounds; no cache left behind in the shared session
     source = int(edges.agg(F.min("src")).collect()[0][0])
     state0 = algorithms._nodes(edges).withColumn(
@@ -326,9 +327,7 @@ def q_inc_apriori_pairs(spark, sf_dir):
             (F.col("a.basket") == F.col("b.basket"))
             & (F.col("a.item") < F.col("b.item")),
         ).select(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
-        state = fold_delta(state, pairs, ["item1", "item2"], {}).localCheckpoint(
-            eager=True
-        )
+        state = fold_delta(state, pairs, ["item1", "item2"], {}).transform(checkpoint_without_stats)
     return (
         state.filter(F.col("n") >= APRIORI_MIN_SUPPORT)
         .select("item1", "item2", F.col("n").alias("support"))
@@ -378,7 +377,7 @@ def q_inc_iter_warmstart(spark, sf_dir):
     load_tables(spark, sf_dir)
     # materialize the self-join view once: two converged PageRank runs and
     # the perturbation's min-action all start from the same checkpoint
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     # checkpoint_every=2: the fixpoint barrier fires every 2nd iteration
     # (vs the last checkpointed state), halving the per-iteration actions
     # for the same converged answer — the reference's "check the fixpoint
@@ -419,7 +418,7 @@ def q_iter_mst_forest(spark, sf_dir):
         spark.table("edges_pp_w")  # shared lazily-cached co-purchase view
         .filter(F.col("c") >= MST_MIN_COPURCHASE)
         .select("src", "dst", (F.lit(1.0) / F.col("c")).alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_without_stats)
     )
     forest = algorithms.boruvka_msf(weighted, max_rounds=8)
     return forest.select("a", "b", F.round("w", 6).alias("dist"))
@@ -441,7 +440,7 @@ def q_inc_cc_delta(spark, sf_dir):
     restart is asserted in tests — the paper's headline claim, measured
     not assumed."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     base = edges.filter((F.col("src") + F.col("dst")) % 7 != 0)
     cold_labels = algorithms.connected_components(base, iters=CC_ITERS)
     return algorithms.connected_components(
@@ -510,7 +509,7 @@ def q_iter_label_propagation(spark, sf_dir):
     Deterministic ties -> smallest label; hash-checked against 3
     unrolled rounds in DuckDB."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     labels0 = algorithms._nodes(edges).withColumn(
         "label", (F.col("node") % LPA_SEED_MOD).cast("long")
     )
@@ -534,7 +533,7 @@ def q_iter_markov_walk(spark, sf_dir):
     each step is a broadcast lookup, min_by picks the neighbor, the
     final result is the 9-row path."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     cur = edges.agg(F.min("src").alias("node"))
     path = [cur.select(F.lit(0).alias("step"), "node")]
     for t in range(1, WALK_STEPS + 1):
@@ -951,7 +950,7 @@ def q_iter_sssp_parents(spark, sf_dir):
     100TB: the parent join is edges ⋈ dist twice on the node key — the
     same co-partitioned shape as one BFS hop; no extra iteration."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     source = int(edges.agg(F.min("src")).collect()[0][0])
     dist = algorithms.sssp(edges, source, max_hops=SSSP_MAX_HOPS)
     d_src = dist.select(F.col("node").alias("src"), F.col("dist").alias("sd"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import cte, load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: Supertrend parameters
 ST_ATR_N = 10     #: ATR lookback (days)
@@ -205,12 +206,12 @@ def q_iter_katz_centrality(spark, sf_dir):
     join + hash agg (the GIM-V shape); the DuckDB oracle unrolls the
     same 4 sweeps."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_without_stats)
     )
     x = nodes.select("node", F.lit(KATZ_UNIT).cast("long").alias("x"))
     for _ in range(KATZ_ITERS):
@@ -230,7 +231,7 @@ def q_iter_katz_centrality(spark, sf_dir):
                     )
                 ).cast("long").alias("x"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
     return x.select("node", "x", F.round(F.col("x") / KATZ_UNIT, 6).alias("katz"))
 

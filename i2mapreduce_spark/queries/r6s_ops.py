@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import cte, load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: closeness centrality: landmark count and BFS hop cap
 CLOSE_K = 6
@@ -130,7 +131,7 @@ def q_iter_closeness_centrality(spark, sf_dir):
     quotient on exact BIGINT counts.  Oracle: DuckDB replays the same
     labeled BFS as one recursive CTE with the same hop cap."""
     load_tables(spark, sf_dir)
-    edges = spark.table("edges_pp").localCheckpoint(eager=True)
+    edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     lands = (
         edges.select(F.col("src").alias("lm"))
         .distinct()
@@ -154,7 +155,7 @@ def q_iter_closeness_centrality(spark, sf_dir):
             dist.union(grown)
             .groupBy("lm", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
     res = dist.groupBy("lm").agg(
         (F.count(F.lit(1)) - 1).alias("n_reached"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: KAMA parameters: efficiency-ratio lookback, fast/slow smoothing
 KAMA_N = 10
@@ -209,7 +210,7 @@ def q_iter_maximal_matching(spark, sf_dir):
     active = (
         spark.table("edges_pp")
         .filter(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_without_stats)
     )
     matched = None
     for rnd in range(MATCH_MAX_ROUNDS):
@@ -222,7 +223,7 @@ def q_iter_maximal_matching(spark, sf_dir):
                 F.col("src"),
                 F.col("dst"),
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_without_stats)
         inc = e.select(F.col("src").alias("x"), "pri").unionAll(
             e.select(F.col("dst").alias("x"), "pri")
         )
@@ -237,7 +238,7 @@ def q_iter_maximal_matching(spark, sf_dir):
                 (F.col("dst") == F.col("v")) & (F.col("pri") == F.col("mv")),
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
         matched = hands if matched is None else matched.unionAll(hands)
         gone = (
@@ -248,7 +249,7 @@ def q_iter_maximal_matching(spark, sf_dir):
         active = (
             active.join(gone, F.col("src") == F.col("g"), "left_anti")
             .join(gone, F.col("dst") == F.col("g"), "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
     return matched.select(
         F.col("src").alias("u"), F.col("dst").alias("v")

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..operators.ranking import global_row_number
+from ..plans.iterate import checkpoint_without_stats
 
 #: Sinkhorn sweeps (each = one row-normalize + one col-normalize)
 SINK_ITERS = 8
@@ -79,10 +80,10 @@ def q_iter_sinkhorn(spark, sf_dir):
         # checkpointed frame is a single row (the bounded enum grid).
         packed = packed.select(
             F.expr(_sinkhorn_sweep(cur, "r", "spark")).alias(f"ar{k}")
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_without_stats)
         packed = packed.select(
             F.expr(_sinkhorn_sweep(f"ar{k}", "d", "spark")).alias(f"a{k + 1}")
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_without_stats)
         cur = f"a{k + 1}"
     out = packed.select(F.explode(F.col(cur)).alias("c"))
     return out.select(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: greedy generation length (tokens after the seed)
 GEN_STEPS = 20
@@ -62,7 +63,7 @@ def q_text_greedy_generate(spark, sf_dir):
         big.withColumn("rn", F.row_number().over(wsucc))
         .filter(F.col("rn") == 1)
         .select("w1", "w2")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_without_stats)
     )
     uni = (
         d.select(F.explode(ws).alias("w"))
@@ -74,7 +75,7 @@ def q_text_greedy_generate(spark, sf_dir):
         uni.withColumn("rn", F.row_number().over(wseed))
         .filter(F.col("rn") == 1)
         .select(F.lit(0).alias("step"), F.col("w").alias("word"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_without_stats)
     )
     chain = seed
     cur = seed
@@ -82,7 +83,7 @@ def q_text_greedy_generate(spark, sf_dir):
         cur = (
             cur.join(succ, cur.word == succ.w1)
             .select(F.lit(i).alias("step"), F.col("w2").alias("word"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_without_stats)
         )
         chain = chain.unionAll(cur)
     return chain

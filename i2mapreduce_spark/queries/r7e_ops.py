@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: Shapley channels (the grand coalition) and the conversion event
 SHAP_CHANNELS = ("view", "click", "signup")
@@ -230,7 +231,7 @@ def q_iter_markov_absorption(spark, sf_dir):
         packed = packed.select(
             "tm",
             F.expr(_markov_step(cur, "tm", "spark")).alias(f"vp{i + 1}"),
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_without_stats)
         cur = f"vp{i + 1}"
     out = packed.select(F.explode(F.col(cur)).alias("c"))
     return out.select(

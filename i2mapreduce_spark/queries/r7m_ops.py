@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..plans.iterate import checkpoint_without_stats
 
 #: quickselect: which order statistic (fraction per-mille) and caps
 QS_PM = 500          # the median
@@ -101,12 +102,12 @@ def q_sort_quickselect_kth(spark, sf_dir):
         ).collect()[0]
         lt, eq = split["lt"] or 0, split["eq"] or 0
         if k <= lt:
-            cur = cur.filter(F.col("c") < pivot).localCheckpoint(eager=True)
+            cur = cur.filter(F.col("c") < pivot).transform(checkpoint_without_stats)
         elif k <= lt + eq:
             kth = pivot
             break
         else:
-            cur = cur.filter(F.col("c") > pivot).localCheckpoint(eager=True)
+            cur = cur.filter(F.col("c") > pivot).transform(checkpoint_without_stats)
             k -= lt + eq
     return spark.createDataFrame(
         [(n, (QS_PM * n + 999) // 1000, rounds, kth / 100.0)],

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
+from ..plans.iterate import checkpoint_without_stats
 from ..streaming.incremental import (
     MRBGStore,
     chunk_events,
@@ -133,7 +134,7 @@ def q_stream_stateful_running(spark, sf_dir):
     for chunk in chunks:
         state = fold_delta(
             state, chunk, ["user_id"], {"total_value": "value"}, count_col="n_events"
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_without_stats)
     return state.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
@@ -199,7 +200,7 @@ def q_inc_delta_retract(spark, sf_dir):
     )
     state = fold_delta_ops(
         None, inserts, ["user_id"], {"total_value": "value"}, count_col="n_events"
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_without_stats)
     state = fold_delta_ops(
         state, deletes, ["user_id"], {"total_value": "value"}, count_col="n_events"
     )
@@ -521,7 +522,7 @@ def q_stream_foreachbatch_upsert(spark, sf_dir):
     try:
         stream_over_chunks_foreach(spark, chunks, merge, "foreachbatch_upsert")
         # final state, materialized off the temp dir before cleanup
-        return spark.read.parquet(versions[-1]).localCheckpoint(eager=True)
+        return spark.read.parquet(versions[-1]).transform(checkpoint_without_stats)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -566,7 +567,7 @@ def q_inc_join_delta(spark, sf_dir):
         )
 
     # preserved prior state (in production: read back from the MRBG store)
-    r_old = contrib(a_old, b_old).localCheckpoint(eager=True)
+    r_old = contrib(a_old, b_old).transform(checkpoint_without_stats)
     delta = (
         contrib(a_new, b_old)
         .unionByName(contrib(a_old, b_new))
