@@ -69,7 +69,8 @@ def main() -> int:
     queries, _ = build_registry()
     if len(sys.argv) > 1:
         queries = {k: queries[k] for k in sys.argv[1:]}
-    spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=8)
+    n_part = int(os.environ.get("SWEEP_PARTITIONS", "8"))
+    spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=n_part)
     t_all = time.perf_counter()
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
