@@ -87,6 +87,15 @@ _GROUP_MODULES = [
 # Rebuild from (registry keys) - (CORRECTNESS_r01..r07 union); keep
 # rows-only keys out (tests/test_registry_window.py enforces all this).
 #
+# Round-7 final state (2026-08-15): consolidation round, ZERO new keys.
+# 723 pytest green; drive_entry (all 469 keys vs oracles at sf0.01) PASS
+# 3x this session; the 50 window keys below additionally hash-pass at
+# sf0.1.  Headline scale work: a 10x stress fixture exposed and fixed
+# the localCheckpoint stats-compounding bug (see
+# plans/iterate.py::checkpoint_without_stats and SWEEP_SF1.md) and the
+# triangle wedge materialization; the FULL registry now runs at sf1
+# with zero errors and no non-exempt key above 10x growth.
+#
 # Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at
 # sf0.001 AND sf0.01 AND sf0.1 the day it landed (the cross-SF sweep is
