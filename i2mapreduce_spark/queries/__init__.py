@@ -89,8 +89,9 @@ _GROUP_MODULES = [
 #
 # Round-7 final state (2026-08-15): consolidation round, ZERO new keys.
 # 723 pytest green; drive_entry (all 469 keys vs oracles at sf0.01) PASS
-# 3x this session; the 50 window keys below additionally hash-pass at
-# sf0.1.  Headline scale work: a 10x stress fixture exposed and fixed
+# 3x this session; the 50 window keys below AND all 118 backlog keys in
+# tools/r8_window_costs.json additionally hash-pass at sf0.1 (the
+# cross-SF check class that caught the r6 1-ulp drifts).  Headline scale work: a 10x stress fixture exposed and fixed
 # the localCheckpoint stats-compounding bug (see
 # plans/iterate.py::checkpoint_without_stats and SWEEP_SF1.md) and the
 # triangle wedge materialization; the FULL registry now runs at sf1
