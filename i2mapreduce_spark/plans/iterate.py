@@ -23,10 +23,16 @@ reliable `checkpoint()` to HDFS instead — same call site, configurable.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+
+#: one-time latch for the checkpoint_without_stats fallback warning —
+#: the fallback silently reverts every iterative loop to the quadratic
+#: stats-compounding behavior, so it must be visible in logs (r7 advice)
+_STATS_RESET_FALLBACK_WARNED = False
 
 
 def checkpoint_without_stats(df: DataFrame) -> DataFrame:
@@ -79,7 +85,25 @@ def checkpoint_without_stats(df: DataFrame) -> DataFrame:
             jvm.org.apache.spark.sql.classic, "Dataset"
         ).ofRows(spark._jsparkSession, new_plan)
         return DataFrame(new_jdf, spark)
-    except Exception:
+    except Exception as exc:
+        # The reset touches Spark internals (LogicalRDD constructor arity,
+        # classic.Dataset.ofRows) pinned by tests on pyspark 4.1.2; if a
+        # Spark upgrade moves them, every iterative loop silently regains
+        # the quadratic stats-compounding cost this function removes.
+        # Warn ONCE so the de-optimization shows up in logs instead of
+        # only as a perf cliff.
+        global _STATS_RESET_FALLBACK_WARNED
+        if not _STATS_RESET_FALLBACK_WARNED:
+            _STATS_RESET_FALLBACK_WARNED = True
+            warnings.warn(
+                "checkpoint_without_stats: stats reset unavailable on this "
+                f"Spark build ({type(exc).__name__}: {exc}); iterative loops "
+                "fall back to plain localCheckpoint and may hit quadratic "
+                "driver-side stats compounding. Pin pyspark==4.1.2 or port "
+                "the LogicalRDD rebuild.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ckpt  # stats reset is a de-pessimization only
 
 

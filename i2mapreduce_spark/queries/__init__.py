@@ -79,13 +79,15 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R8 HANDOFF: after the r7 window below lands in CORRECTNESS_r07, the
-# remaining backlog is 124 never-graded keys (118 hash-oracled + 6
-# rows-only that stay out of windows).  tools/r8_window_costs.json holds
-# the 118 candidates in measured sf0.01-warm-cost order — the r8 window
-# is its first 50 keys verbatim (re-measure only if plans changed).
-# Rebuild from (registry keys) - (CORRECTNESS_r01..r07 union); keep
-# rows-only keys out (tests/test_registry_window.py enforces all this).
+# R9 HANDOFF: after the r8 window below lands in CORRECTNESS_r08, the
+# remaining backlog is 68 hash-oracled keys (plus 7 rows-only keys that
+# stay out of windows by design: sim_mmr_rerank, iter_scc,
+# embedding_pq_codes, embedding_whitening, iter_als_topitems,
+# ts_spectral_peak, iter_maximal_matching).  _R9_WINDOW below is already
+# staged (the next 50 of tools/r8_window_costs.json) — the r9 builder
+# only swaps _R8_WINDOW -> _R9_WINDOW in build_registry() and the window
+# test import.  The final 18 keys drain in r10.
+# tests/test_registry_window.py enforces all window hygiene.
 #
 # Round-7 final state (2026-08-15): consolidation round, ZERO new keys.
 # 723 pytest green; drive_entry (all 469 keys vs oracles at sf0.01) PASS
@@ -109,69 +111,123 @@ _GROUP_MODULES = [
 # fold/round/product expression.
 #
 # Ordering note: the driver grades the FIRST 50 registry keys each round
-# (r1-r6 each produced exactly-50-key CORRECTNESS files cut at the 50th
-# key in registry order.)  After r6 the union of CORRECTNESS_r01-r06
-# covers 295 of 469 keys; 174 have never had a driver row.  Round 7 is a
-# consolidation round (r6 verdict item 1): _R7_WINDOW = the 49 cheapest
-# never-driver-graded hash-oracled keys (sf0.01 warm harness cost,
-# measured 2026-08-15) plus iter_kmeans, whose latest driver row is a
-# stale r3 `err: no_oracle` from before it gained its unrolled-CTE hash
-# oracle in r4 (r6 verdict item 2).  Rows-only keys (no ORACLES entry)
+# (r1-r7 each produced exactly-50-key CORRECTNESS files cut at the 50th
+# key in registry order).  _R8_WINDOW = the 50 cheapest
+# never-driver-graded hash-oracled keys, verbatim the first 50 of
+# tools/r8_window_costs.json (sf0.01 warm harness cost, measured r7).
+# The r7 window (CORRECTNESS_r07.json) came back 50/50 green, so its
+# keys fold back into module order.  Rows-only keys (no ORACLES entry)
 # are deliberately excluded from windows so they stop burning grading
-# slots as phantom errs.  Remaining backlog after this window: 124 keys,
-# ordered for r8+ by the same cost table (tests/test_registry_window.py
-# asserts window hygiene).
-_R7_WINDOW = [
-    "text_code_detect",
-    "pipeline_chunk_overlap",
-    "agg_hill_tail_index",
-    "fn_fiscal_445",
-    "agg_ndcg_at_k",
-    "agg_matthews_corr",
-    "fn_iso_duration",
-    "dq_monotonic_violations",
-    "pipeline_tokenizer_fertility",
-    "agg_cohens_kappa",
-    "fn_geohash",
-    "agg_log_histogram",
-    "agg_littles_law",
-    "dq_table_checksum",
-    "fn_iban_mod97",
-    "agg_precision_at_k",
-    "source_binary_files",
-    "multimodal_tile_grid",
-    "fn_snowflake_id",
-    "pipeline_shard_manifest",
-    "agg_process_capability",
-    "agg_fleiss_kappa",
-    "agg_power_sample_size",
-    "join_fuzzy_blocked",
-    "dq_freshness",
-    "fn_holiday_observed",
-    "sample_weighted_reservoir",
-    "agg_odds_ratio",
-    "fn_base62_codec",
-    "agg_new_vs_returning",
-    "fn_delta_encode",
-    "dq_k_anonymity",
-    "join_longest_prefix",
-    "dq_rules_engine",
-    "agg_two_proportion_ztest",
-    "dq_functional_dependency",
-    "pipeline_token_budget",
-    "ts_seasonal_adjust",
-    "agg_gini_by_segment",
-    "sim_bucket_purity",
-    "agg_mutual_info",
-    "sample_neyman_allocation",
-    "agg_hhi_concentration",
-    "ts_peak_detection",
-    "dq_inclusion_dependency",
-    "text_hapax_ratio",
-    "pipeline_target_encode",
-    "inc_snapshot_diff",
-    "agg_forecast_eval",
-    "iter_kmeans",
+# slots as phantom errs.  Remaining backlog after this window: 68
+# hash-oracled keys (_R9_WINDOW + 18 for r10);
+# tests/test_registry_window.py asserts window hygiene.
+_R8_WINDOW = [
+    "agg_kruskal_wallis",
+    "agg_eb_beta_binomial",
+    "agg_circular_mean",
+    "inc_bitemporal_asof",
+    "source_weblog_parse",
+    "source_json_array",
+    "window_underwater_duration",
+    "agg_cuped_adjustment",
+    "pipeline_interleave_order",
+    "join_interpolate_curve",
+    "agg_markov_transitions",
+    "window_fractals",
+    "agg_grouped_linreg",
+    "ts_decompose_additive",
+    "agg_kmv_jaccard",
+    "agg_cramers_v",
+    "text_js_divergence",
+    "dq_shard_balance",
+    "window_control_chart",
+    "window_attribution",
+    "sample_balanced_downsample",
+    "window_awesome_osc",
+    "agg_jackknife_se",
+    "fn_luhn_check",
+    "agg_spearman_corr",
+    "join_not_in_null_trap",
+    "agg_price_index",
+    "setop_division",
+    "ts_burst_days",
+    "join_allen_intervals",
+    "window_longest_streak",
+    "text_bpe_merge_pairs",
+    "agg_oaxaca_blinder",
+    "agg_growth_accounting",
+    "window_aroon",
+    "window_pivot_points",
+    "source_fixed_width",
+    "window_stochastic",
+    "window_linreg_channel",
+    "window_obv",
+    "cte_recursive_rollup",
+    "agg_survival_km",
+    "window_acc_dist",
+    "text_burrows_delta",
+    "ts_runs_test",
+    "ts_seasonal_strength",
+    "agg_bloom_filter",
+    "agg_revenue_bridge",
+    "agg_durbin_watson",
+    "udaf_geometric_mean",
+]
+
+# Pre-staged for round 9 (r7 verdict item 6): the next 50 keys of
+# tools/r8_window_costs.json.  build_registry() already orders these
+# right after _R8_WINDOW so the r9 rotation is a one-name swap.
+_R9_WINDOW = [
+    "window_cci",
+    "window_hull_ma",
+    "fn_hash_avalanche",
+    "agg_dau_wau_mau",
+    "text_feature_hashing",
+    "sample_systematic",
+    "window_vol_of_vol",
+    "dq_catalog_census",
+    "dq_pk_profile",
+    "fn_feistel_permute",
+    "agg_cohort_ltv",
+    "window_atr",
+    "ts_sax_symbols",
+    "window_candle_patterns",
+    "window_ultimate_osc",
+    "agg_auc_roc",
+    "window_ichimoku",
+    "agg_calibration_table",
+    "window_interval_stabbing",
+    "pipeline_curriculum",
+    "window_mfi",
+    "agg_cr4_concentration",
+    "sort_skyline_pareto",
+    "agg_ece",
+    "agg_chain_ladder",
+    "agg_cvar_expected_shortfall",
+    "agg_brier_score",
+    "agg_boxplot_stats",
+    "text_oov_rate",
+    "dq_corr_matrix",
+    "iter_sinkhorn",
+    "fn_business_days",
+    "dedup_ngram_spans",
+    "iter_markov_absorption",
+    "join_basket_overlap",
+    "window_keltner",
+    "agg_winsorized_mean",
+    "window_choppiness",
+    "agg_abc_classification",
+    "agg_decile_lift",
+    "agg_chi_square",
+    "agg_shapley_attribution",
+    "text_bpe_apply",
+    "window_adx",
+    "join_similarity_prefix_filter",
+    "agg_mann_whitney",
+    "agg_pareto_concentration",
+    "window_funnel_time_constrained",
+    "text_ngram_coverage",
+    "window_macd",
 ]
 
 
@@ -189,7 +245,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R7_WINDOW:
+    for k in _R8_WINDOW + _R9_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

@@ -50,25 +50,70 @@ def _solve_users(ratings, item_fac, spark):
     """U half-sweep: per-user ridge solve against the BROADCAST item
     factors (the item side is bounded by the top-k cut).  Returns a
     DISTRIBUTED (user, f0..f7) frame — user factors never land on the
-    driver.  Rows sort inside each group so float sums are
-    order-deterministic under any partitioning."""
-    bc = spark.sparkContext.broadcast(item_fac)
+    driver.
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        fac = bc.value
-        pdf = pdf.sort_values("item")
-        V = np.stack([fac[i] for i in pdf["item"].values])
-        u = _ridge(V, pdf["rating"].values.astype(np.float64))
-        row = {"id": [int(pdf["user"].iloc[0])]}
-        for i, c in enumerate(_FCOLS):
-            row[c] = [float(u[i])]
-        return pd.DataFrame(row)
+    BATCHED, not per-group: ratings arrive hash-partitioned on `user`
+    (set once at build time) and sorted within partitions, so one
+    mapInPandas pass solves EVERY user in an Arrow batch with a single
+    batched ``np.linalg.solve`` over segment sums (``np.add.reduceat``)
+    — the per-group pandas overhead of groupBy().applyInPandas was 4ms
+    x n_users, 11s of a 25s run at sf0.1 for ~50us of actual solve
+    work per user.  A user whose rows straddle an Arrow batch boundary
+    is carried into the next batch (partitioning guarantees all their
+    rows share the partition).  Rows are pre-sorted by (user, item), so
+    the in-order segment sums are order-deterministic under any
+    partitioning."""
+    ids = sorted(item_fac)
+    idx = {iid: k for k, iid in enumerate(ids)}
+    Vmat = np.stack([item_fac[iid] for iid in ids])
+    bc = spark.sparkContext.broadcast((idx, Vmat))
+    eye = ALS_LAMBDA * np.eye(ALS_RANK)
 
-    return (
-        ratings.groupBy("user")
-        .applyInPandas(solve, _FAC_SCHEMA)
-        .withColumnRenamed("id", "user")
-        .localCheckpoint(eager=True)
+    def solve_batches(batches):
+        ix, V = bc.value
+
+        def solve_block(users, items, r):
+            starts = np.r_[0, 1 + np.flatnonzero(users[1:] != users[:-1])]
+            counts = np.diff(np.r_[starts, len(users)])
+            Vr = V[[ix[i] for i in items]]
+            b = np.add.reduceat(Vr * r[:, None], starts, axis=0)
+            A = np.add.reduceat(
+                np.einsum("ni,nj->nij", Vr, Vr).reshape(len(users), -1),
+                starts, axis=0,
+            ).reshape(-1, ALS_RANK, ALS_RANK)
+            A += counts[:, None, None] * eye
+            u = np.linalg.solve(A, b)
+            out = {"user": users[starts]}
+            for i, c in enumerate(_FCOLS):
+                out[c] = u[:, i]
+            return pd.DataFrame(out)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            users = pdf["user"].values
+            # hold back the last user: their rows may continue in the
+            # next Arrow batch of this partition
+            tail = users == users[-1]
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield solve_block(
+                    head["user"].values, head["item"].values,
+                    head["rating"].values.astype(np.float64),
+                )
+        if carry is not None and len(carry):
+            yield solve_block(
+                carry["user"].values, carry["item"].values,
+                carry["rating"].values.astype(np.float64),
+            )
+
+    return ratings.sortWithinPartitions("user", "item").mapInPandas(
+        solve_batches, "user long, " + ", ".join(f"{c} double" for c in _FCOLS)
     )
 
 
@@ -120,6 +165,14 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
         .limit(ALS_ITEMS)
         .select("l_partkey")
     )
+    # Projector-style co-partitioning (plans/iterate.py): the ratings
+    # frame is grouped/joined on `user` SEVEN times across the sweeps
+    # (3 U-solves, 3 V-step joins, 1 error pass) — repartition it on
+    # `user` ONCE before the checkpoint so the checkpointed LogicalRDD
+    # carries hashpartitioning(user) and every downstream
+    # groupBy(user)/join(user) reuses the exchange instead of
+    # re-shuffling the big side per sweep (r7 verdict item 5).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ratings = (
         li.join(F.broadcast(top), "l_partkey")
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -128,6 +181,7 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
             F.col("l_partkey").alias("item"),
         )
         .agg(F.sum("l_quantity").cast("double").alias("rating"))
+        .repartition(n_part, "user")
         .localCheckpoint(eager=True)
     )
     item_ids = sorted(r["l_partkey"] for r in top.collect())

@@ -35,32 +35,56 @@ from i2mapreduce_spark.session import get_spark  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
-#: per-table integer id columns to shift per copy (PKs and the FKs that
-#: must follow them); nationkey/regionkey FKs point at fixed dims and
-#: stay put.
+#: key DOMAINS: each domain's shift stride is derived once, from the
+#: PK-OWNING table's max key, and applied to the PK and every
+#: referencing FK alike.  (r7 advice: deriving each FK's stride from the
+#: FK column's own max only stays join-consistent when every PK value
+#: happens to appear as an FK — true of this fixture by luck, false on
+#: stock TPC-H where a third of customers have no orders, which would
+#: silently join copy-i orders to the wrong customer copy.)
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+#: per-table integer id columns to shift per copy, mapped to their key
+#: domain; nationkey/regionkey FKs point at fixed dims and stay put.
 SHIFT_COLS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 COPY_TABLES = ["region", "nation"]
 
 
-def _scaled(df: DataFrame, cols: list[str], stagger_ts: bool) -> DataFrame:
-    strides = {
-        c: int(df.agg(F.max(c)).first()[0]) + 1 for c in cols
-    }
+def _domain_strides(spark) -> dict[str, int]:
+    strides = {}
+    for dom, (table, pk) in DOMAINS.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        strides[dom] = int(df.agg(F.max(pk)).first()[0]) + 1
+    return strides
+
+
+def _scaled(df: DataFrame, cols: dict[str, str], strides: dict[str, int],
+            stagger_ts: bool) -> DataFrame:
     parts = []
     for i in range(COPIES):
         p = df
-        for c, stride in strides.items():
+        for c, dom in cols.items():
             p = p.withColumn(
-                c, (F.col(c) + F.lit(i * stride)).cast(df.schema[c].dataType)
+                c, (F.col(c) + F.lit(i * strides[dom])).cast(df.schema[c].dataType)
             )
         if stagger_ts and i:
             p = p.withColumn(
@@ -77,16 +101,19 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="i2mr-make-sf1", shuffle_partitions=32)
+    strides = _domain_strides(spark)
+    print(f"domain strides: {strides}", flush=True)
     for name in COPY_TABLES:
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"{name}: copied {df.count()} rows", flush=True)
     for name, cols in SHIFT_COLS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        big = _scaled(df, cols, stagger_ts=(name == "events"))
+        big = _scaled(df, cols, strides, stagger_ts=(name == "events"))
         # ~128MB-target files: repartition by first key so downstream
         # scans start from a sane layout, like a real sf1 export would
-        big.repartition(16, cols[0]).write.mode("overwrite").parquet(
+        first_key = next(iter(cols))
+        big.repartition(16, first_key).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )
         print(f"{name}: {df.count()} -> {big.count()} rows", flush=True)
