@@ -99,8 +99,13 @@ _GROUP_MODULES = [
 # stress fixture + sweep (SWEEP_SKEW.md, zero alarms at 8 and 64
 # partitions), sf1 cross-engine hash canary 20/20 green, sf1 fixture
 # FK strides fixed to PK-domain derivation, stats-reset fallback now
-# warns.  drive_entry (469 keys vs oracles at sf0.01) PASS 2x this
-# session.
+# warns.  Verification on final r8 code: drive_entry (469 keys vs
+# oracles at sf0.01) PASS 3x this session; the FULL registry also ran
+# vs DuckDB at sf0.1 — 469/469 passed (the cross-SF class that catches
+# rounding-scale drift); both _R8_WINDOW and _R9_WINDOW additionally
+# pre-verified 50/50 hash-green at sf0.01 AND sf0.1; pytest 727/727.
+# One-command gates for future rounds: tools/canary_sf1.sh (sf1 hash
+# parity) and tools/sweep_skew.sh (Zipf hot-key alarm).
 #
 # Round-7 state: consolidation, zero new keys; 10x stress fixture
 # exposed and fixed the localCheckpoint stats-compounding bug (see
