@@ -601,6 +601,16 @@ def q_join_spatial_knn(spark, sf_dir):
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= GEO_RADIUS_KM)
     )
+    # Single global per-probe window, MEASURED as the right local shape
+    # (r8): a two-stage exact top-k (per-(c1, cell) pre-top-k reusing
+    # the join's (cla, clo) exchange — superset-key clustering — then a
+    # bounded O(probes*k) global exchange) was tried and ran 1.4x
+    # SLOWER at sf1 (50 -> 67-74 s): it trades the full-set exchange
+    # for an extra full-set sort, and at local[32] an exchange is a
+    # memory copy while the sort is real work.  On a multi-node cluster
+    # where the exchange is network, the two-stage form wins on dense
+    # geo data (hot cells) — re-measure there before resurrecting it;
+    # both forms are hash-identical (verified vs the oracle).
     w = Window.partitionBy("c1").orderBy("dist_km", "c2")
     return (
         cands.withColumn("rank", F.row_number().over(w))
