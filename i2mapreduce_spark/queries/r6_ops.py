@@ -289,28 +289,35 @@ CMS_TOPK = 10
 
 def q_agg_count_min_sketch(spark, sf_dir):
     """Count-Min sketch heavy-hitter estimation, built portably: d=4
-    hash rows x w=256 buckets, bucket_i(key) = md5_le32(key || '#i') %
-    w, sketch cell = count per (row, bucket) — a mergeable O(d·w)
-    summary whose build is ONE partial+final aggregate over the fact
-    (map-side combine; at 100 TB each executor emits at most d·w=1024
-    partial cells).  Estimates for the exact top-10 parts: est(k) =
-    min_i cell[i][bucket_i(k)].  The portable hash makes the estimates
-    BIT-IDENTICAL across engines (hash-checked, unlike the usual
-    rows-only sketch keys); the CMS guarantee est-true <= eps·N is
-    pytest-asserted."""
+    hash rows x w=256 buckets, bucket_i(key) = byte i of md5(key)'s
+    lower 8 bytes (w=256 means one digest BYTE per depth row, so all
+    four bucket choices come from ONE md5 per fact row — the r8 rewrite
+    of the original md5(key||'#i')-per-depth form, which hashed the
+    fact d times for the same sketch quality; at 100 TB the fact-scan
+    hash cost is the build cost).  Sketch cell = count per (row,
+    bucket) — a mergeable O(d·w) summary whose build is ONE
+    partial+final aggregate over the fact (map-side combine; each
+    executor emits at most d·w=1024 partial cells).  Estimates for the
+    exact top-10 parts: est(k) = min_i cell[i][bucket_i(k)].  The
+    portable byte extraction (Spark conv/substring of the md5 hex ==
+    DuckDB md5_number_lower byte shifts) keeps estimates BIT-IDENTICAL
+    across engines (hash-checked, unlike the usual rows-only sketch
+    keys); the CMS guarantee est-true <= eps·N is pytest-asserted."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     key = F.col("l_partkey").cast("string")
 
     def depth_buckets(key_col):
+        # one md5; depth i reads hex chars 17+2i..18+2i (byte i of the
+        # lower 8 bytes, the same bytes md5_number_lower exposes)
+        h = F.md5(key_col)
         return F.array(
             *[
                 F.struct(
                     F.lit(i).alias("depth"),
-                    (
-                        _md5_le(F.concat(key_col, F.lit(f"#{i}")), 4)
-                        % CMS_WIDTH
-                    ).alias("bucket"),
+                    F.conv(F.substring(h, 17 + 2 * i, 2), 16, 10)
+                    .cast("long")
+                    .alias("bucket"),
                 )
                 for i in range(CMS_DEPTH)
             ]
@@ -923,11 +930,14 @@ ORACLES = {
         "FROM embeddings, d"
     ),
     "agg_count_min_sketch": (
+        # bucket_i = byte i of md5's lower 8 bytes: md5_number_lower is
+        # the little-endian integer of those bytes, so byte i is
+        # (n // 256^i) % 256 — matches Spark's conv(substring(hex)) form
         "WITH cells AS ("
         + " UNION ALL ".join(
             f"SELECT {i} AS depth, "
-            + _md5_le_sql(f"CAST(l_partkey AS VARCHAR) || '#{i}'", 4)
-            + f" % {CMS_WIDTH} AS bucket, count(*) AS cnt "
+            f"((md5_number_lower(CAST(l_partkey AS VARCHAR)) "
+            f"// {256 ** i}) % 256) AS bucket, count(*) AS cnt "
             "FROM lineitem GROUP BY 2"
             for i in range(CMS_DEPTH)
         )
@@ -937,8 +947,8 @@ ORACLES = {
         "probes AS ("
         + " UNION ALL ".join(
             f"SELECT l_partkey, true_cnt, {i} AS depth, "
-            + _md5_le_sql(f"CAST(l_partkey AS VARCHAR) || '#{i}'", 4)
-            + f" % {CMS_WIDTH} AS bucket FROM top"
+            f"((md5_number_lower(CAST(l_partkey AS VARCHAR)) "
+            f"// {256 ** i}) % 256) AS bucket FROM top"
             for i in range(CMS_DEPTH)
         )
         + ") SELECT p.l_partkey, p.true_cnt, min(c.cnt) AS est_cnt "
