@@ -57,6 +57,15 @@ def pagerank(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nodes = _nodes(edges).repartition(n_part, "node").cache()
     n = nodes.count()
+    if n == 0:
+        # empty graph (an empty date slice is routine at scale): the rank
+        # vector over zero nodes is empty by definition — return it
+        # instead of dividing the teleport mass by zero
+        nodes.unpersist()
+        return IterationResult(
+            state=spark.createDataFrame([], "node long, rank double"),
+            iterations=0, converged=True, deltas=[],
+        )
     # fold 1/outdeg into the static structure ONCE (the Projector holds
     # derived structure, not just raw edges): each iteration is then a
     # single state ⋈ edges join + one aggregate instead of three joins.
@@ -112,12 +121,13 @@ def pagerank(
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        return (
+        d = (
             old.alias("o")
             .join(new.alias("n"), "node")
             .agg(F.sum(F.abs(F.col("o.rank") - F.col("n.rank"))))
             .collect()[0][0]
         )
+        return 0.0 if d is None else d  # sum over an empty join is NULL
 
     try:
         return iterate(
@@ -520,6 +530,14 @@ def kmeans(
         seeds = (
             emb_df.orderBy(id_col).limit(k).select(vec_col).collect()
         )
+        if not seeds:
+            # empty corpus: no centroids to train, no rows to assign —
+            # return the empty assignment with the declared schema
+            kmeans.last_iters_run = 0
+            empty = emb_df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cluster int"
+            )
+            return empty, np.empty((0, 0))
         centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
 
     def make_kernel(bc):
@@ -529,6 +547,8 @@ def kmeans(
         def assign_kernel(batches):
             C = bc.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 A = np.stack(pdf[vec_col].values).astype(np.float64)
                 # ||a-c||^2 = |a|^2 - 2 a.c + |c|^2 ; argmin ties -> lowest
                 # centroid index (np.argmin returns the first minimum)
@@ -553,6 +573,8 @@ def kmeans(
         def partials_kernel(batches):
             C = bc.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 A = np.stack(pdf[vec_col].values).astype(np.float64)
                 d2 = (
                     (A * A).sum(1, keepdims=True)

@@ -321,9 +321,17 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
         n_probe = max(4, int(n_lists).bit_length() - 1)
     # --- train on a deterministic sample (smallest ids), spherical k-means
     sample = emb_df.orderBy(id_col).limit(max(64, n_lists * 8)).select(vec_col).collect()
+    if not sample:
+        # empty corpus: no cells to train, no neighbors to return
+        return spark.createDataFrame([], "vec_id long, nbr long, sim double")
     S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
     S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     C = S[:n_lists].copy()
+    # a tiny corpus can yield fewer training vectors than requested
+    # cells: clamp both knobs to the cells that actually exist, or the
+    # probe fan-out would index past the centroid matrix
+    n_lists = C.shape[0]
+    n_probe = min(n_probe, n_lists)
     for _ in range(train_iters):
         a = (S @ C.T).argmax(axis=1)
         for c in range(n_lists):
@@ -420,7 +428,11 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
         n_planes = max(8, int(n_cnt).bit_length() - 3)
     if n_flip is None:
         n_flip = max(0, n_planes - 8)
-    dim = len(emb_df.select(vec_col).first()[0])
+    probe_row = emb_df.select(vec_col).first()
+    if probe_row is None:
+        # empty corpus: no planes to draw, no neighbors to return
+        return spark.createDataFrame([], "vec_id long, nbr long, sim double")
+    dim = len(probe_row[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     bc = spark.sparkContext.broadcast(planes)

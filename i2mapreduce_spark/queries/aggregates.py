@@ -397,7 +397,9 @@ def q_agg_skew_kurt(spark, sf_dir):
         F.avg("l_extendedprice").alias("mu"),
         F.stddev_pop("l_extendedprice").alias("sd"),
     )
-    z = (F.col("l_extendedprice") - F.col("mu")) / F.col("sd")
+    # try_divide: a single-row group has sd = 0 and no standardized
+    # moments — NULL on both engines (DuckDB x/0 is NULL)
+    z = F.try_divide(F.col("l_extendedprice") - F.col("mu"), F.col("sd"))
     return (
         li.join(F.broadcast(stats), "l_returnflag")
         .groupBy("l_returnflag")
@@ -737,14 +739,22 @@ ORACLES = {
         "count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
-        "GROUP BY ROLLUP(r_name, n_name)"
+        "GROUP BY ROLLUP(r_name, n_name) "
+        # declared semantics: grouping-set rows need >= 1 contributing
+        # row.  Spark emits NO rows (not even the () grand total) for
+        # ROLLUP/CUBE/GROUPING SETS over empty input, while DuckDB/
+        # Postgres emit the SQL-standard count-0 grand-total row; the
+        # HAVING (a no-op on any non-empty input) pins the engines to
+        # the same — Spark's — behavior on empty slices
+        "HAVING count(*) > 0"
     ),
     "agg_cube": (
         "SELECT event_type, day, "
         "CAST(grouping(event_type) AS INT) AS g_t, CAST(grouping(day) AS INT) AS g_d, "
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events) t "
-        "GROUP BY CUBE(event_type, day)"
+        "GROUP BY CUBE(event_type, day) "
+        "HAVING count(*) > 0"  # see agg_rollup: pin empty-input behavior
     ),
     "agg_grouping_sets": (
         "SELECT o_orderstatus, o_orderpriority, "
@@ -752,7 +762,8 @@ ORACLES = {
         "CAST(grouping(o_orderpriority) AS INT) AS g_p, "
         "count(*) AS n, round(sum(o_totalprice), 2) AS sum_price "
         "FROM orders "
-        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) "
+        "HAVING count(*) > 0"  # see agg_rollup: pin empty-input behavior
     ),
     "agg_stats": (
         "SELECT c_mktsegment, round(stddev_samp(c_acctbal), 2) AS std_bal, "

@@ -56,6 +56,8 @@ def q_iter_sssp(spark, sf_dir):
     # this leaves nothing persisted behind in the shared session
     edges = spark.table("edges_pp").transform(checkpoint_without_stats)
     source = edges.agg(F.min("src")).collect()[0][0]
+    if source is None:  # empty graph: BFS from nowhere reaches nothing
+        return spark.createDataFrame([], "node long, dist int")
     return algorithms.sssp(edges, int(source), max_hops=SSSP_MAX_HOPS)
 
 
@@ -145,7 +147,10 @@ def q_iter_pagerank_personalized(spark, sf_dir):
     hash-checked against unrolled CTEs."""
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").transform(checkpoint_without_stats)
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    # empty graph: pagerank's n==0 guard returns the empty rank vector;
+    # the 0 seed is never consulted
+    source = 0 if seed is None else int(seed)
     res = algorithms.pagerank(
         spark, edges, iters=PPR_ITERS, damping=PAGERANK_DAMPING,
         teleport_to=source,
@@ -203,7 +208,10 @@ def q_iter_sssp_weighted(spark, sf_dir):
         "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("int")
     ).transform(checkpoint_without_stats)  # one compute of the self-join view for
     # min-action + rounds; no cache left behind in the shared session
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    # empty graph: seed 0 matches no node, the state stays all-NULL and
+    # the isNotNull filter below returns the (correct) empty result
+    source = 0 if seed is None else int(seed)
     state0 = algorithms._nodes(edges).withColumn(
         "val",
         F.when(F.col("node") == source, F.lit(0)).cast("int"),
@@ -492,7 +500,11 @@ def q_iter_triangle_count(spark, sf_dir):
             )
         ).alias("n")
     )
-    return per_edge.agg(F.sum("n").cast("long").alias("n_triangles"))
+    # coalesce: sum over an empty edge set is NULL, but the triangle
+    # count of an empty graph is 0 (the oracle's count(*) agrees)
+    return per_edge.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_triangles")
+    )
 
 
 _EDGES_PP = cte("edges_pp")
@@ -586,7 +598,9 @@ ORACLES = {
     "iter_sssp": (
         _EDGES_PP
         + ", walk(node, dist) AS ( "
-        "SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT) AS node, 0 AS dist "
+        # HAVING drops the seed row on an empty graph (Spark guard parity)
+        "SELECT CAST(min(src) AS BIGINT) AS node, 0 AS dist FROM edges_pp "
+        "HAVING min(src) IS NOT NULL "
         "UNION "
         "SELECT e.dst, w.dist + 1 FROM walk w JOIN edges_pp e ON e.src = w.node "
         f"WHERE w.dist < {SSSP_MAX_HOPS}) "
@@ -642,7 +656,9 @@ ORACLES = {
         + ", edges_w AS (SELECT src, dst,"
         " CAST((src + dst) % 7 + 1 AS INT) AS w FROM edges_pp), "
         "walk(node, dist, hops) AS ( "
-        "SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT), 0, 0 "
+        # HAVING drops the seed row on an empty graph (Spark guard parity)
+        "SELECT CAST(min(src) AS BIGINT), 0, 0 FROM edges_pp "
+        "HAVING min(src) IS NOT NULL "
         "UNION "
         "SELECT e.dst, w.dist + e.w, w.hops + 1"
         " FROM walk w JOIN edges_w e ON e.src = w.node "
@@ -951,7 +967,10 @@ def q_iter_sssp_parents(spark, sf_dir):
     same co-partitioned shape as one BFS hop; no extra iteration."""
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").transform(checkpoint_without_stats)
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    if seed is None:  # empty graph: no source, no tree
+        return spark.createDataFrame([], "node long, dist int, parent long")
+    source = int(seed)
     dist = algorithms.sssp(edges, source, max_hops=SSSP_MAX_HOPS)
     d_src = dist.select(F.col("node").alias("src"), F.col("dist").alias("sd"))
     d_dst = dist.select(F.col("node").alias("dst"), F.col("dist").alias("dd"))
@@ -971,7 +990,8 @@ QUERIES["iter_sssp_parents"] = q_iter_sssp_parents
 ORACLES["iter_sssp_parents"] = (
     cte("edges_pp").replace("WITH", "WITH RECURSIVE")
     + f""", walk(node, dist) AS (
-      SELECT CAST((SELECT min(src) FROM edges_pp) AS BIGINT), 0
+      SELECT CAST(min(src) AS BIGINT), 0 FROM edges_pp
+      HAVING min(src) IS NOT NULL
       UNION
       SELECT e.dst, w.dist + 1 FROM walk w
       JOIN edges_pp e ON e.src = w.node WHERE w.dist < {SSSP_MAX_HOPS}),

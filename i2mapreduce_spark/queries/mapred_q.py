@@ -300,25 +300,31 @@ def q_mr_multiple_outputs(spark, sf_dir):
 
     root = _scratch_dir("i2mr_multiout_")
     o = spark.table("orders")
-    o.withColumn(
+    routed = o.withColumn(
         "route",
         F.when(F.col("o_totalprice") >= MO_HI_CUTOFF, "hi").otherwise("lo"),
-    ).write.partitionBy("route").mode("overwrite").parquet(root)
-    parts = []
-    for route in ("hi", "lo"):
-        snap = spark.read.parquet(f"{root}/route={route}")
-        parts.append(
-            snap.agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
-                        "double"
-                    ),
-                    2,
-                ).alias("revenue"),
-            ).select(F.lit(route).alias("route"), "n_orders", "revenue")
+    )
+    routed.write.partitionBy("route").mode("overwrite").parquet(root)
+    # read the SINK back with an explicit schema (best practice on a
+    # partitioned dataset, and the only way a legitimately EMPTY sink —
+    # zero routes written — reads back instead of failing schema
+    # inference); grouping on the partition column profiles each named
+    # output from its own directory, so a row routed to the wrong file
+    # or dropped still breaks the oracle
+    snap = spark.read.schema(routed.schema).parquet(root)
+    return (
+        snap.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
         )
-    return parts[0].unionByName(parts[1])
+        .select("route", "n_orders", "revenue")
+    )
 
 
 #: inverted-index document-frequency floor (drops hapax noise; keeps the

@@ -273,8 +273,10 @@ def q_pipeline_dataset_card(spark, sf_dir):
             "n_docs",
             "n_tokens",
             "vocab_size",
+            # try_divide: the dup rate of an EMPTY corpus is undefined —
+            # NULL on both engines (DuckDB x/0 is NULL; ANSI / would throw)
             F.round(
-                1 - F.col("n_unique_texts") / F.col("n_docs"), 6
+                1 - F.try_divide("n_unique_texts", "n_docs"), 6
             ).alias("exact_dup_rate"),
             "mean_chars",
             "lang_entropy_bits",

@@ -191,9 +191,16 @@ def q_dq_drift_psi(spark, sf_dir):
     binned = ev.crossJoin(F.broadcast(rng)).select(
         "event_type",
         "is_ref",
+        # try_divide: a constant value column (hi = lo on a degenerate
+        # slice) has one bin — NULL ratio on both engines, and least()
+        # skips the NULL to land every row in the top bin either way
         F.least(
             F.lit(PSI_BINS - 1),
-            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * PSI_BINS),
+            F.floor(
+                F.try_divide(
+                    F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+                ) * PSI_BINS
+            ),
         ).cast("int").alias("bin"),
     )
     counts = binned.groupBy("event_type", "bin").agg(
@@ -201,8 +208,10 @@ def q_dq_drift_psi(spark, sf_dir):
         F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
     )
     tot = Window.partitionBy("event_type")
-    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot) + PSI_EPS
-    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot) + PSI_EPS
+    # try_divide: a slice entirely before/after the split day has one
+    # empty side — its distribution (and PSI) is NULL on both engines
+    p_ref = F.try_divide("n_ref", F.sum("n_ref").over(tot)) + PSI_EPS
+    p_cur = F.try_divide("n_cur", F.sum("n_cur").over(tot)) + PSI_EPS
     term = (p_cur - p_ref) * F.log(p_cur / p_ref)
     return (
         counts.select("event_type", term.alias("t"))

@@ -102,7 +102,9 @@ def q_agg_kmv_jaccard(spark, sf_dir):
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("jaccard_est"),
-    )
+        # an empty union has no sketch and no estimate — emit no row
+        # (oracle mirrors with HAVING)
+    ).filter(F.col("sketch_n") > 0)
 
 
 def q_agg_decile_lift(spark, sf_dir):
@@ -277,7 +279,7 @@ ORACLES = {
         "CAST(max(h) AS BIGINT) AS kth_hash, "
         "CAST(sum(in_a * in_b) AS BIGINT) AS n_both, "
         "round(sum(in_a * in_b) / CAST(count(*) AS DOUBLE), 6) AS jaccard_est "
-        "FROM sketch"
+        "FROM sketch HAVING count(*) > 0"
     ),
     "agg_decile_lift": (
         "WITH spend AS (SELECT o_custkey, "

@@ -120,8 +120,11 @@ def q_text_js_divergence(spark, sf_dir):
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     j = cells.crossJoin(F.broadcast(tot))  # 1-row totals
-    p = F.col("ca") / F.col("na").cast("double")
-    q = F.col("cb") / F.col("nb").cast("double")
+    # try_divide: a degenerate corpus can leave one side with zero
+    # tokens (na/nb = 0) — its distribution is undefined, NULL on both
+    # engines (DuckDB x/0 is NULL)
+    p = F.try_divide("ca", F.col("na").cast("double"))
+    q = F.try_divide("cb", F.col("nb").cast("double"))
     m = (p + q) / 2
     term_p = F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
     term_q = F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))

@@ -67,7 +67,9 @@ def q_dq_corr_matrix(spark, sf_dir):
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.round(num / F.sqrt(da * db), 6).alias("corr"),
+                # try_divide: one row -> zero variance -> correlation
+                # undefined, NULL on both engines (DuckDB x/0 is NULL)
+                F.round(F.try_divide(num, F.sqrt(da * db)), 6).alias("corr"),
             )
         )
     return row.select(F.explode(F.array(*cells)).alias("c"), "n").select(
@@ -94,7 +96,13 @@ def q_dq_pk_profile(spark, sf_dir):
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in PK_COLS:
         aggs.append(F.countDistinct(c).alias(f"d_{c}"))
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"z_{c}"))
+        # coalesce: on a zero-row table the null COUNT is 0, not NULL
+        # (sum over empty) — the PK verdict stays boolean
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"z_{c}")
+        )
     row = o.agg(*aggs)
     cells = [
         F.struct(
@@ -167,6 +175,8 @@ def q_embedding_pq_codes(spark, sf_dir):
     load_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     sample = emb.orderBy("vec_id").limit(PQ_SAMPLE).select("embedding").collect()
+    if not sample:  # empty corpus: no codebooks to train, nothing to encode
+        return spark.createDataFrame([], _PQ_SCHEMA)
     S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
     books = _pq_train(S)
     bc = spark.sparkContext.broadcast(books)
@@ -243,8 +253,9 @@ ORACLES = {
         "WITH p AS (SELECT count(*) AS n, "
         + ", ".join(
             f"count(DISTINCT {c}) AS d_{c}, "
-            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-            f"AS z_{c}"
+            # coalesce mirrors the Spark side: 0 nulls on a 0-row table
+            f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) "
+            f"AS BIGINT) AS z_{c}"
             for c in PK_COLS
         )
         + f" FROM orders) {_PK_CELLS}"

@@ -865,6 +865,15 @@ def q_embedding_whitening(spark, sf_dir):
     )
     # deterministic float reduction: fixed partition order
     parts = sorted(parts, key=lambda r: r["pid"])
+    if not parts:
+        # empty corpus: no moments, no whitening matrix — return the
+        # empty projection with the declared schema
+        return spark.createDataFrame(
+            [],
+            "vec_id long, " + ", ".join(
+                f"w{i} double" for i in range(WHITEN_OUT)
+            ),
+        )
     n = sum(r["n"] for r in parts)
     d = len(parts[0]["s"])
     s = np.zeros(d)

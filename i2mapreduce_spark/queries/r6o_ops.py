@@ -185,6 +185,15 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
         .localCheckpoint(eager=True)
     )
     item_ids = sorted(r["l_partkey"] for r in top.collect())
+    # empty ratings matrix (no items, or no lineitem⋈orders matches at
+    # all): nothing to factorize, no model to ship.  The limit(1) probe
+    # is a narrow read of the already-checkpointed frame.
+    if not item_ids or ratings.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [],
+            "item long, n_ratings long, rmse double, "
+            "f0 double, f1 double, f2 double, f3 double",
+        )
     V0 = _init_item_factors()
     item_fac = {iid: V0[k] for k, iid in enumerate(item_ids)}
 

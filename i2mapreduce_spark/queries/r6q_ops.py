@@ -33,7 +33,14 @@ def q_iter_graph_diameter(spark, sf_dir):
     tie-breaks."""
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").localCheckpoint(eager=True)
-    s0 = int(edges.agg(F.min("src")).collect()[0][0])
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    if seed is None:  # empty graph: no sweep source, nothing to estimate
+        return spark.createDataFrame(
+            [],
+            "sweep1_source int, peripheral_node int, diameter_est int, "
+            "n_reached long",
+        )
+    s0 = int(seed)
     d1 = algorithms.sssp(edges, s0, max_hops=DIAM_HOPS)
     far = d1.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
     u = int(far["node"])
@@ -136,7 +143,9 @@ ORACLES = {
         "AS sweep1_source, "
         "CAST((SELECT node FROM per) AS BIGINT) AS peripheral_node, "
         "CAST(max(dist) AS INT) AS diameter_est, "
-        "count(*) AS n_reached FROM d2"
+        "count(*) AS n_reached FROM d2 "
+        # empty graph: the Spark side returns no row (empty-seed guard)
+        "HAVING (SELECT min(src) FROM edges_pp) IS NOT NULL"
     ).replace("WITH ", "WITH RECURSIVE ", 1),
     "dq_freshness": (
         "WITH per_type AS (SELECT event_type, "
@@ -342,8 +351,11 @@ def q_agg_bootstrap_ci(spark, sf_dir):
         rep.withColumn("u", u)
         .select("b", "cents", F.expr(_pois_case("u")).alias("w"))
     )
+    # try_divide: a tiny input can draw all-zero Poisson weights in a
+    # replicate (sum w = 0) — that replicate's mean is NULL on both
+    # engines (DuckDB x/0 is NULL)
     means = weighted.groupBy("b").agg(
-        (F.sum(F.col("w") * F.col("cents")) / F.sum("w")).alias("m")
+        F.try_divide(F.sum(F.col("w") * F.col("cents")), F.sum("w")).alias("m")
     )
     point = o.agg((F.sum("cents") / F.count(F.lit(1))).alias("pm"))
     return means.crossJoin(F.broadcast(point)).agg(
@@ -432,7 +444,10 @@ def q_ts_runs_test(spark, sf_dir):
         F.sum("s").alias("n1"),
         F.sum(F.lit(1) - F.col("s")).alias("n2"),
         F.sum("new_run").alias("r"),
-    )
+        # the z statistic needs both sign classes; on a degenerate series
+        # (empty input, or all days at the median) there is no verdict
+        # row — mirrored by the oracle's WHERE below
+    ).filter(F.col("n1").isNotNull() & (F.col("n1") + F.col("n2") > 1))
     mu = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / (
         F.col("n1") + F.col("n2")
     )
@@ -481,5 +496,6 @@ ORACLES["ts_runs_test"] = (
     "abs((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / "
     "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
     "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96 "
-    "AS rejects_randomness FROM agg"
+    "AS rejects_randomness FROM agg "
+    "WHERE n1 IS NOT NULL AND n1 + n2 > 1"
 )

@@ -72,13 +72,17 @@ def q_agg_cramers_v(spark, sf_dir):
         "n_rows",
         "n_cols",
         F.round(chi2, 6).alias("chi2"),
+        # try_divide: a 1x1 contingency grid has min(r-1,c-1) = 0 and no
+        # association to normalize — NULL on both engines
         F.round(
             F.sqrt(
-                chi2
-                / (
-                    F.col("n")
-                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
-                ).cast("double")
+                F.try_divide(
+                    chi2,
+                    (
+                        F.col("n")
+                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                    ).cast("double"),
+                )
             ),
             6,
         ).alias("cramers_v"),

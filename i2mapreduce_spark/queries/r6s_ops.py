@@ -70,9 +70,11 @@ def q_agg_spearman_corr(spark, sf_dir):
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # try_divide: a single day has zero rank variance and no defined
+    # correlation — NULL on both engines (DuckDB x/0 is NULL)
     return a.select(
         n.alias("n_days"),
-        F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho"),
+        F.round(F.try_divide(num, F.sqrt(dx * dy)), 6).alias("spearman_rho"),
     )
 
 
@@ -113,7 +115,8 @@ def q_agg_kruskal_wallis(spark, sf_dir):
         - 3 * (F.col("n") + 1),
         6,
     )
-    return a.select(
+    # no days -> no test (H is undefined); oracle mirrors with WHERE
+    return a.filter(F.col("n").isNotNull()).select(
         F.col("n").alias("n_days"),
         (F.col("k") - 1).alias("df"),
         h.alias("h_stat"),
@@ -285,7 +288,8 @@ ORACLES = {
         "round(12.0 * t / (n * (n + 1) * 1000000.0) - 3 * (n + 1), 6) "
         "AS h_stat, "
         "round(12.0 * t / (n * (n + 1) * 1000000.0) - 3 * (n + 1), 6) "
-        f"> {KW_CRIT_05_DF6} AS reject_05 FROM a"
+        f"> {KW_CRIT_05_DF6} AS reject_05 FROM a "
+        "WHERE n IS NOT NULL"
     ),
     "iter_closeness_centrality": (
         cte("edges_pp")

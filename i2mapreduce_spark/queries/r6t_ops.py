@@ -90,7 +90,10 @@ def q_ts_theil_sen(spark, sf_dir):
             ).alias("med2"),
         )
     )
-    return med.select(
+    # fewer than two days -> no pairwise slopes, no median (the oracle's
+    # `FROM r, t WHERE rk IN ...` likewise grows no row); drop the
+    # NULL-aggregate row instead of reporting an undefined slope
+    return med.filter(F.col("n_pairs").isNotNull()).select(
         "n_days",
         "n_pairs",
         (F.col("med2") / 2000000.0).alias("slope_cents_per_day"),

@@ -36,7 +36,14 @@ def q_iter_bipartite_check(spark, sf_dir):
     cap."""
     load_tables(spark, sf_dir)
     edges = spark.table("edges_pp").localCheckpoint(eager=True)
-    s0 = int(edges.agg(F.min("src")).collect()[0][0])
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    if seed is None:  # empty graph: no edges to color, nothing to report
+        return spark.createDataFrame(
+            [],
+            "bfs_source int, n_edges_colored long, n_monochrome long, "
+            "is_bipartite boolean",
+        )
+    s0 = int(seed)
     col = algorithms.sssp(edges, s0, max_hops=BIP_HOPS).select(
         "node", (F.col("dist") % 2).alias("c")
     )
@@ -152,12 +159,16 @@ def q_dq_inclusion_dependency(spark, sf_dir):
             "n_both",
             (F.col("n_a") - F.col("n_both")).alias("orphans_a"),
             (F.col("n_b") - F.col("n_both")).alias("unreferenced_b"),
-            F.expr("(2 * 1000 * n_both + n_a) div (2 * n_a)").alias(
-                "a_in_b_pm"
-            ),
-            F.expr("(2 * 1000 * n_both + n_b) div (2 * n_b)").alias(
-                "b_in_a_pm"
-            ),
+            # zero-denominator guards match DuckDB (x // 0 is NULL): the
+            # containment of an empty key set is undefined, not an error
+            F.expr(
+                "CASE WHEN n_a = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE (2 * 1000 * n_both + n_a) div (2 * n_a) END"
+            ).alias("a_in_b_pm"),
+            F.expr(
+                "CASE WHEN n_b = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE (2 * 1000 * n_both + n_b) div (2 * n_b) END"
+            ).alias("b_in_a_pm"),
         )
     )
 
@@ -186,7 +197,10 @@ ORACLES = {
             "AS n_monochrome, "
             "sum(CASE WHEN s.c = d.c THEN 1 ELSE 0 END) = 0 AS is_bipartite "
             "FROM edges_pp e JOIN col s ON e.src = s.node "
-            "JOIN col d ON e.dst = d.node"
+            "JOIN col d ON e.dst = d.node "
+            # empty graph: no colored edges, no report row (matches the
+            # Spark-side empty-seed guard)
+            "HAVING count(*) > 0"
         )
     ).replace("WITH ", "WITH RECURSIVE ", 1),
     "agg_mutual_info": (

@@ -111,7 +111,10 @@ def q_agg_hill_tail_index(spark, sf_dir):
         f"(acc, x) -> acc + ln(x) - ln(element_at(a, {HILL_K + 1}))) "
         f"/ {HILL_K}"
     )
-    return arr.select(
+    # the estimator needs all k+1 order statistics: on a table with
+    # fewer rows (empty slice, tiny shard) there is no tail to estimate
+    # — no report row, mirrored by the oracle's WHERE len(a) filter
+    return arr.filter(F.size("a") == HILL_K + 1).select(
         F.lit(HILL_K).alias("k"),
         (F.element_at("a", HILL_K + 1) / 100.0).alias("x_k1"),
         F.round(gamma, 6).alias("hill_gamma"),
@@ -264,7 +267,8 @@ ORACLES = {
         f"(acc, v) -> acc + v) / {HILL_K} AS gamma FROM arr) "
         f"SELECT {HILL_K} AS k, a[{HILL_K + 1}] / 100.0 AS x_k1, "
         "round(gamma, 6) AS hill_gamma, "
-        "round(1.0 / gamma, 6) AS tail_alpha FROM g"
+        "round(1.0 / gamma, 6) AS tail_alpha FROM g "
+        f"WHERE len(a) = {HILL_K + 1}"
     ),
     "join_allen_intervals": (
         "WITH iv AS (SELECT o_custkey, o_orderkey AS ok, "

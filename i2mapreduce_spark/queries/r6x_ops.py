@@ -212,7 +212,9 @@ def q_iter_maximal_matching(spark, sf_dir):
         .filter(F.col("src") < F.col("dst"))
         .transform(checkpoint_without_stats)
     )
-    matched = None
+    # start from a zero-row frame with the edge schema so an empty graph
+    # (the loop breaks before matching anything) returns empty, not None
+    matched = active.select("src", "dst").limit(0)
     for rnd in range(MATCH_MAX_ROUNDS):
         if active.limit(1).count() == 0:
             break
@@ -240,7 +242,7 @@ def q_iter_maximal_matching(spark, sf_dir):
             .select("src", "dst")
             .transform(checkpoint_without_stats)
         )
-        matched = hands if matched is None else matched.unionAll(hands)
+        matched = matched.unionAll(hands)
         gone = (
             hands.select(F.col("src").alias("g"))
             .unionAll(hands.select(F.col("dst").alias("g")))

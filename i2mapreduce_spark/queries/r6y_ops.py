@@ -67,11 +67,11 @@ def q_agg_cuped_adjustment(spark, sf_dir):
         F.sum("y").alias("vy"),
     )
     j = per_variant.crossJoin(F.broadcast(mom))
-    theta = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
+    # try_divide: with a single user the covariate variance is 0 and
+    # theta is undefined — NULL on both engines (DuckDB x/0 is NULL)
+    theta = F.try_divide(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
     )
     mean_y = F.col("vy") / F.col("n_users").cast("double")
     mean_x = F.col("vx") / F.col("n_users").cast("double")

@@ -124,13 +124,13 @@ def q_agg_power_sample_size(spark, sf_dir):
             F.array(*[F.lit(e) for e in POWER_EFFECTS_PM])
         ).alias("effect_pm"),
     )
-    mean = F.col("s1").cast("double") / F.col("n")
-    var = (
-        (
-            F.col("n").cast("double") * F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double")
-        )
-        / (F.col("n").cast("double") * (F.col("n") - 1))
+    # try_divide: with n <= 1 the sample variance is undefined — NULL
+    # on both engines (DuckDB x/0 is NULL; Spark ANSI / would throw)
+    mean = F.try_divide(F.col("s1").cast("double"), F.col("n"))
+    var = F.try_divide(
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double"),
+        F.col("n").cast("double") * (F.col("n") - 1),
     )
     delta = F.col("effect_pm") * mean / 1000.0
     zz = (Z_ALPHA + Z_BETA) ** 2

@@ -49,7 +49,11 @@ def q_agg_two_proportion_ztest(spark, sf_dir):
     n2, k2 = F.col("n2").cast("double"), F.col("k2").cast("double")
     pp = (k1 + k2) / (n1 + n2)
     z = (k1 / n1 - k2 / n2) / F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
-    return wide.select(
+    # the test needs BOTH variants observed; on empty/one-armed input
+    # there is no comparison to report (oracle mirrors with WHERE)
+    return wide.filter(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull()
+    ).select(
         "n1",
         "k1",
         "n2",
@@ -230,7 +234,7 @@ ORACLES = {
         "sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
         "* (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
         "* (1.0 / n1 + 1.0 / n2))) > 1.959963984540054 AS reject_05 "
-        "FROM w"
+        "FROM w WHERE n1 IS NOT NULL AND n2 IS NOT NULL"
     ),
     "agg_abc_classification": (
         "WITH pp AS (SELECT l_partkey, "

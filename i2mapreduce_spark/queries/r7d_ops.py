@@ -211,12 +211,14 @@ def q_sample_neyman_allocation(spark, sf_dir):
             )
         ).alias("s2"),
     )
+    # try_divide: a 1-row stratum has no sample variance — NULL on both
+    # engines (DuckDB x/0 is NULL; Spark ANSI / would throw)
     sd = F.sqrt(
-        (
+        F.try_divide(
             F.col("n_h").cast("double") * F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            F.col("n_h").cast("double") * (F.col("n_h") - 1),
         )
-        / (F.col("n_h").cast("double") * (F.col("n_h") - 1))
     )
     weighted = g.select(
         "o_orderpriority", "n_h", (F.col("n_h") * sd).alias("w")

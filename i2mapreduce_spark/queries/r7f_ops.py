@@ -52,16 +52,19 @@ def q_agg_eb_beta_binomial(spark, sf_dir):
         F.sum(F.col("r6") * F.col("r6")).alias("s2"),
     )
     # method of moments on the quantized rates: m = mean, v = variance
-    m = F.col("s1").cast("double") / F.col("u") / 1e6
+    # try_divide throughout: with n<=1 users the prior moments are
+    # undefined (zero count / zero variance) — NULL on both engines
+    # (DuckDB x/0 is NULL; Spark ANSI / throws even for doubles)
+    m = F.try_divide(F.col("s1").cast("double"), F.col("u")) / 1e6
     v = (
-        (
+        F.try_divide(
             F.col("u").cast("double") * F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            F.col("u").cast("double") * F.col("u").cast("double"),
         )
-        / (F.col("u").cast("double") * F.col("u").cast("double"))
         / 1e12
     )
-    common = m * (1 - m) / v - 1
+    common = F.try_divide(m * (1 - m), v) - 1
     prior = mom.select(
         (m * common).alias("alpha"), ((1 - m) * common).alias("beta")
     )

@@ -99,7 +99,9 @@ def q_agg_cohens_kappa(spark, sf_dir):
         "c00",
         F.round(po, 6).alias("p_observed"),
         F.round(pe, 6).alias("p_expected"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        # try_divide: perfect chance agreement (pe = 1, e.g. a single
+        # rating pair) leaves kappa undefined — NULL on both engines
+        F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )
 
 
@@ -166,13 +168,17 @@ def q_setop_division(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
     )
     q = per_cust.filter(F.col("n_prio") == divisor_n)
-    return q.agg(
+    res = q.agg(
         F.lit(divisor_n).alias("divisor_size"),
         F.count(F.lit(1)).alias("n_qualifying"),
         F.min("o_custkey").alias("min_cust"),
         F.max("o_custkey").alias("max_cust"),
         F.sum("n_orders").alias("their_orders"),
     )
+    # empty divisor set (empty input): division by the empty relation is
+    # undefined — no summary row, matching the oracle's GROUP BY dn,
+    # which grows no group when `per` is empty
+    return res.limit(0) if divisor_n == 0 else res
 
 
 QUERIES = {

@@ -156,13 +156,15 @@ def q_text_burrows_delta(spark, sf_dir):
         F.sum(F.col("r6") * F.col("r6")).over(ww).alias("s2"),
         F.count(F.lit(1)).over(ww).alias("k"),
     )
-    mean = F.col("s1").cast("double") / F.col("k")
+    # try_divide: with a single source (k = 1) the cross-source spread
+    # is undefined — NULL on both engines (DuckDB x/0 is NULL)
+    mean = F.try_divide(F.col("s1").cast("double"), F.col("k"))
     sd = F.sqrt(
-        (
+        F.try_divide(
             F.col("k").cast("double") * F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            F.col("k").cast("double") * (F.col("k") - 1),
         )
-        / (F.col("k").cast("double") * (F.col("k") - 1))
     )
     return scored.select(
         "w",

@@ -114,9 +114,13 @@ def q_agg_gini_by_segment(spark, sf_dir):
     return g.select(
         "c_mktsegment",
         "n",
+        # try_divide: a zero-spend segment (sv = 0) has no concentration
+        # to measure — NULL on both engines (DuckDB x/0 is NULL)
         F.round(
-            (2.0 * F.col("siv") - (F.col("n") + 1.0) * F.col("sv"))
-            / (F.col("n").cast("double") * F.col("sv")),
+            F.try_divide(
+                2.0 * F.col("siv") - (F.col("n") + 1.0) * F.col("sv"),
+                F.col("n").cast("double") * F.col("sv"),
+            ),
             6,
         ).alias("gini"),
     )

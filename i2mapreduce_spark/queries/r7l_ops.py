@@ -52,9 +52,11 @@ def q_agg_auc_roc(spark, sf_dir):
         F.sum("c1").alias("n1"),
         F.sum(F.col("t") - F.col("c1")).alias("n0"),
     )
-    auc = (
-        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
-        / (2.0 * F.col("n1") * F.col("n0"))
+    # try_divide: AUC needs BOTH classes present (n1*n0 > 0) — on a
+    # one-class degenerate input it is NULL on both engines
+    auc = F.try_divide(
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double"),
+        2.0 * F.col("n1") * F.col("n0"),
     )
     return a.select("n1", "n0", F.round(auc, 6).alias("auc"))
 
@@ -130,7 +132,12 @@ def q_agg_precision_at_k(spark, sf_dir):
         F.expr(f"(2 * 1000 * tp + {PK_K}) div (2 * {PK_K})").alias(
             "precision_pm"
         ),
-        F.expr("(2 * 1000 * tp + pos) div (2 * pos)").alias("recall_pm"),
+        # zero-positives guard matches DuckDB (x // 0 is NULL): recall
+        # over an input with no positive labels is undefined
+        F.expr(
+            "CASE WHEN pos = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE (2 * 1000 * tp + pos) div (2 * pos) END"
+        ).alias("recall_pm"),
     )
 
 
@@ -171,7 +178,10 @@ def q_agg_ndcg_at_k(spark, sf_dir):
         "aggregate(sequence(1, size(a)), cast(0.0 as double), "
         f"(acc, i) -> acc + element_at(a, i).y * (CASE i {case} END))"
     )
-    return arr.select(
+    # no events -> no ranking to grade (also keeps sequence(1, size(a))
+    # off its empty-array descending-[1,0] trap); oracle mirrors with
+    # WHERE len(a) > 0
+    return arr.filter(F.size("a") > 0).select(
         F.lit(NDCG_K).alias("k"),
         F.expr("aggregate(a, 0, (acc, x) -> acc + x.y)").alias("hits"),
         F.round(dcg, 6).alias("dcg"),
@@ -270,6 +280,7 @@ ORACLES = {
         "list_transform(a, x -> CAST(x.y AS BIGINT))), "
         "(acc, v) -> acc + v) AS INT) AS hits, "
         "round(dcg, 6) AS dcg, "
-        f"round(dcg / {_ndcg_idcg()!r}, 6) AS ndcg FROM d"
+        f"round(dcg / {_ndcg_idcg()!r}, 6) AS ndcg FROM d "
+        "WHERE len(a) > 0"
     ),
 }

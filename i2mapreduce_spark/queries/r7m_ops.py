@@ -82,6 +82,12 @@ def q_sort_quickselect_kth(spark, sf_dir):
     )
     n = o.count()
     k = (QS_PM * n + 999) // 1000  # ceil, 1-based rank
+    if n == 0:
+        # empty input: rank k=0 selects nothing; the oracle's scalar
+        # subquery over the empty ranked set is NULL — match it
+        return spark.createDataFrame(
+            [(0, 0, None)], "n long, k long, kth_value double"
+        )
     cur = o
     rounds = 0
     kth = None
@@ -228,8 +234,11 @@ def q_agg_jackknife_se(spark, sf_dir):
         F.sum("nb").alias("n"), F.sum("tb").alias("t")
     )
     m6 = per.crossJoin(F.broadcast(tot)).select(
+        # zero-remainder guard matches DuckDB (x // 0 is NULL): a block
+        # holding EVERY row leaves no leave-one-out sample
         F.expr(
-            "(2 * 1000000 * (t - tb) + (n - nb)) div (2 * (n - nb))"
+            "CASE WHEN n = nb THEN CAST(NULL AS BIGINT) "
+            "ELSE (2 * 1000000 * (t - tb) + (n - nb)) div (2 * (n - nb)) END"
         ).alias("m6")
     )
     a = m6.agg(

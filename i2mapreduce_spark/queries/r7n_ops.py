@@ -51,8 +51,10 @@ def q_agg_matthews_corr(spark, sf_dir):
             "* (tn + fn)"
         ).cast("double")
     )
+    # try_divide: MCC is undefined when any margin is empty (den = 0) —
+    # NULL on both engines (DuckDB x/0 is NULL)
     return c.select(
-        "tp", "fp", "fn", "tn", F.round(num / den, 6).alias("mcc")
+        "tp", "fp", "fn", "tn", F.round(F.try_divide(num, den), 6).alias("mcc")
     )
 
 
@@ -131,7 +133,9 @@ def q_agg_fleiss_kappa(spark, sf_dir):
         "pos_votes",
         F.round(p_bar, 6).alias("p_bar"),
         F.round(p_e, 6).alias("p_expected"),
-        F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
+        # try_divide: unanimous chance agreement (p_e = 1) leaves kappa
+        # undefined — NULL on both engines (DuckDB x/0 is NULL)
+        F.round(F.try_divide(p_bar - p_e, 1 - p_e), 6).alias("fleiss_kappa"),
     )
 
 

@@ -220,9 +220,12 @@ def q_dq_catalog_census(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         "tbl",
         "n_rows",
-        F.expr("(2 * 1000 * n_rows + total) div (2 * total)").alias(
-            "share_pm"
-        ),
+        # the zero-total guard matches DuckDB, where x // 0 is NULL (an
+        # all-empty catalog has no shares); Spark ANSI div would throw
+        F.expr(
+            "CASE WHEN total = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE (2 * 1000 * n_rows + total) div (2 * total) END"
+        ).alias("share_pm"),
     )
 
 

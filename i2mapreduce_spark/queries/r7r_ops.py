@@ -45,15 +45,19 @@ def q_agg_process_capability(spark, sf_dir):
         ).alias("s2"),
     )
     n = F.col("n").cast("double")
-    mu = F.col("s1").cast("double") / n
+    # try_divide: with n <= 1 the process spread is undefined — NULL on
+    # both engines (DuckDB x/0 is NULL; Spark ANSI / would throw)
+    mu = F.try_divide(F.col("s1").cast("double"), n)
     sd = F.sqrt(
-        (n * F.col("s2").cast("double")
-         - F.col("s1").cast("double") * F.col("s1").cast("double"))
-        / (n * (n - 1))
+        F.try_divide(
+            n * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            n * (n - 1),
+        )
     )
     lo, hi = SPEC_LO * 100.0, SPEC_HI * 100.0
-    cp = (hi - lo) / (6.0 * sd)
-    cpk = F.least(hi - mu, mu - lo) / (3.0 * sd)
+    cp = F.try_divide(F.lit(hi - lo), 6.0 * sd)
+    cpk = F.try_divide(F.least(hi - mu, mu - lo), 3.0 * sd)
     return m.select(
         "n",
         F.round(mu / 100.0, 6).alias("mean_value"),

@@ -169,9 +169,12 @@ def q_agg_durbin_watson(spark, sf_dir):
         f"- {_bd} * sy + {_bn} * sx)"
     )
     _den = f"(CAST(n AS DECIMAL(38,0)) * {_bd})"
+    # zero-denominator guard matches DuckDB (x // 0 is NULL): a single
+    # day has no regression line, hence no residuals
     ecents = F.expr(
-        f"CAST((2 * ({_num} + 100000 * {_den}) + {_den}) "
-        f"div (2 * {_den}) - 100000 AS BIGINT)"
+        f"CAST(CASE WHEN {_den} = 0 THEN NULL "
+        f"ELSE (2 * ({_num} + 100000 * {_den}) + {_den}) "
+        f"div (2 * {_den}) - 100000 END AS BIGINT)"
     )
     res = j.select("x", ecents.alias("e"))
     w = Window.orderBy("x")

@@ -175,11 +175,14 @@ def q_dq_shard_balance(spark, sf_dir):
         F.round(h, 6).alias("entropy_nats"),
         # floor, not div: Spark's div rejects DOUBLE operands; floor of
         # the identical double is engine-identical
+        # try_divide: a single occupied shard (k = 1, ln k = 0) has no
+        # balance to normalize — NULL on both engines (DuckDB x/0 NULL)
         F.expr(
-            "CAST(FLOOR((2 * 1000 * aggregate(a, cast(0.0 as double), "
+            "CAST(FLOOR(try_divide(2 * 1000 * aggregate(a, "
+            "cast(0.0 as double), "
             "(acc, x) -> acc + CASE WHEN x.p6 > 0 THEN "
             "-(x.p6 / 1e6) * ln(x.p6 / 1e6) ELSE 0.0 END) "
-            "+ ln(CAST(k AS DOUBLE))) / (2 * ln(CAST(k AS DOUBLE)))) "
+            "+ ln(CAST(k AS DOUBLE)), 2 * ln(CAST(k AS DOUBLE)))) "
             "AS BIGINT)"
         ).alias("balance_pm"),
     )

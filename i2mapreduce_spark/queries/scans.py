@@ -178,7 +178,11 @@ def q_sink_partitioned_pruning(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # explicit schema: partitioned-read best practice, and the only way
+    # an empty sink (zero partitions written) reads back at all
+    back = spark.read.schema(o.schema).parquet(out).filter(
+        F.col("o_orderstatus") == "F"
+    )
     return back.select(
         "o_orderkey",
         "o_custkey",
@@ -218,7 +222,7 @@ def q_sink_dynamic_partition_overwrite(spark, sf_dir):
         repriced_f.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-    back = spark.read.parquet(out)
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy(
         F.col("o_orderstatus").cast("string").alias("o_orderstatus")
     ).agg(
@@ -390,7 +394,7 @@ def q_filter_dynamic_partition_pruning(spark, sf_dir):
     out = _scratch_dir("i2mr_dpp_") + "/events_by_type"
     ev = spark.table("events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    fact = spark.read.parquet(out)
+    fact = spark.read.schema(ev.schema).parquet(out)
     dim = (
         ev.groupBy("event_type")
         .agg(F.count("*").alias("n"))

@@ -59,7 +59,14 @@ def q_udf_grouped_map(spark, sf_dir):
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
-        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
+        # undefined spread (single row -> sd NaN, constant group -> sd 0)
+        # leaves the z-score undefined: NaN, matching the oracle's
+        # (x - mu) / stddev_samp which is NULL->NaN on both conditions
+        z = (
+            (pdf["n_chars"] - mu) / sd
+            if sd and sd > 0
+            else pdf["n_chars"] * float("nan")
+        )
         # + 0.0 canonicalizes the sign of rounded zero (same class as fn_trig)
         return pd.DataFrame(
             {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z.round(4) + 0.0}

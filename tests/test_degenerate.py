@@ -1,0 +1,76 @@
+"""Degenerate-input contract (r8): every operator stays WELL-DEFINED on
+empty and single-row tables.
+
+At 100 TB an empty date partition, a tenant with no events, or an
+incremental delta with no changes is routine; r8's first sweep of the
+full registry over zero-row tables crashed 36 keys (seed
+``collect()[0]`` -> IndexError/TypeError, ``1.0/n_nodes`` ->
+ZeroDivisionError, ``np.stack([])`` -> ValueError, ANSI DIVIDE_BY_ZERO,
+``element_at`` on an empty array, partitioned-sink read-back without an
+explicit schema) and the one-row fixture 25 more (n=1 statistics with
+zero variance).  This file pins one representative per failure class on
+BOTH fixtures; the FULL 469-key x 2-fixture gate is
+``tools/sweep_degenerate.sh`` (469/469 green on each, 2026-08-16).
+
+Fixtures are regenerated into tmp from the sf0.001 schemas by the same
+pyarrow path as tools/make_empty.py, so the parquet physical types
+(including events.ts INT64 TIMESTAMP(NANOS)) match the driver's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from i2mapreduce_spark.oracle import compare, oracle_connect
+from i2mapreduce_spark.queries import build_registry
+
+from conftest import SF_SMALL
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: one key per r8 degenerate-crash class (see module docstring)
+REPRESENTATIVE_KEYS = [
+    "iter_sssp",                  # seed collect()[0] -> None guard
+    "iter_pagerank",              # n_nodes == 0 -> 1/n guard
+    "iter_kmeans",                # np.stack on zero seed rows
+    "iter_triangle_count",        # sum-over-empty NULL vs count 0
+    "sim_ann_ivf",                # centroid training on tiny samples
+    "agg_kruskal_wallis",         # undefined statistic -> no row
+    "dq_catalog_census",          # integer div by zero total
+    "agg_hill_tail_index",        # element_at past an empty array
+    "mr_multiple_outputs",        # partitioned sink read-back, no files
+    "agg_rollup",                 # grouping-sets-over-empty semantics
+    "agg_process_capability",     # n=1 sample variance (sfmin class)
+    "udf_grouped_map",            # pandas sd NaN on 1-row group
+]
+
+
+@pytest.fixture(scope="module", params=[0, 1], ids=["sf0", "sfmin"])
+def degenerate_dir(request, tmp_path_factory):
+    n_rows = request.param
+    out = str(tmp_path_factory.mktemp(f"deg{n_rows}"))
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_SMALL, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, n_rows), os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("key", REPRESENTATIVE_KEYS)
+def test_degenerate_inputs_are_well_defined(spark, degenerate_dir, key):
+    queries, oracles = build_registry()
+    df = queries[key](spark, degenerate_dir)
+    if key in oracles:
+        con = oracle_connect(degenerate_dir)
+        try:
+            res = compare(key, df, con, oracles[key])
+        finally:
+            con.close()
+        assert res.ok, str(res)
+    else:
+        assert df.count() >= 0  # rows-only: well-defined, no crash
