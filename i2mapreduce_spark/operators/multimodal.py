@@ -51,7 +51,12 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
         (F.length(payload) % 48 + 1).alias("height"),
         F.lit(0).alias("sample_rate"),
     )
-    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+    # a row with no bytes is not a media row: drop it here so every
+    # downstream decode/feature kernel sees only real payloads (their
+    # oracles filter `text IS NOT NULL` identically)
+    return df.select(
+        F.col(id_col), payload.alias("payload"), meta.alias("meta")
+    ).filter(F.col("payload").isNotNull())
 
 
 def decode_stub(payload: bytes, modality: str, fake: bool = False) -> np.ndarray:

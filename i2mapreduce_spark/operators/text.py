@@ -83,6 +83,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         for pdf in batches:
             out_id, out_lang, out_score = [], [], []
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue  # missing document: no language to guess
                 tri = {text[i:i + 3] for i in range(max(len(text) - 2, 0))}
                 best_lang, best = "und", -1
                 for lang in sorted(_LANG_PROFILES):
@@ -122,14 +124,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     list_reduce + md5_number_lower in HUGEINT arithmetic."""
     def roll(batches):
         for pdf in batches:
-            fps = []
-            for text in pdf[text_col].values:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue  # missing document: no fingerprint
                 acc, power = 0, 1
                 for tok in [t for t in text.split(" ") if t]:
                     acc = (acc + _token_int(tok) * power) % _FP_MOD
                     power = (power * _FP_BASE) % _FP_MOD
+                ids.append(did)
                 fps.append(acc)
-            yield pd.DataFrame({id_col: pdf[id_col].values, "fp": fps})
+            yield pd.DataFrame({id_col: ids, "fp": fps})
 
     return df.select(id_col, text_col).mapInPandas(
         roll, schema=f"{id_col} long, fp long"

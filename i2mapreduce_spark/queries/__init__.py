@@ -108,15 +108,19 @@ _GROUP_MODULES = [
 # parity) and tools/sweep_skew.sh (Zipf hot-key alarm).
 #
 # Round-8 continuation (2026-08-16): degenerate-input hardening.  The
-# full registry now also runs green on ZERO-ROW and SINGLE-ROW tables
-# (tools/sweep_degenerate.sh, 469/469 on each; findings + the
-# cross-engine division cheat sheet in SWEEP_DEGENERATE.md; class
-# representatives pinned by tests/test_degenerate.py).  61 keys crashed
-# or diverged on those fixtures before the fixes — seed collects,
-# 1/n, np.stack([]), ANSI DIVIDE_BY_ZERO (Spark 4 throws even for
-# DOUBLE/0; F.try_divide is the portable NULL-on-zero spelling),
-# element_at past empty arrays, schema-less partitioned-sink
-# read-backs, and undefined n<=1 statistics.
+# full registry now also runs green on ZERO-ROW tables, SINGLE-ROW
+# tables, AND a 10%-NULL-injected fixture (tools/sweep_degenerate.sh,
+# 469/469 on each; findings + the cross-engine division and NULL cheat
+# sheets in SWEEP_DEGENERATE.md; class representatives pinned by
+# tests/test_degenerate.py).  106 keys crashed or diverged on those
+# fixtures before the fixes — seed collects, 1/n, np.stack([]), ANSI
+# DIVIDE_BY_ZERO (Spark 4 throws even for DOUBLE/0; F.try_divide is
+# the portable NULL-on-zero spelling), element_at past empty arrays,
+# schema-less partitioned-sink read-backs, undefined n<=1 statistics,
+# NULL sort-order divergence (Spark ASC NULLS FIRST vs DuckDB NULLS
+# LAST — fixed by complete-case filters on both sides), collect_list
+# vs list() NULL handling, concat-vs-|| NULL propagation, and Python
+# kernels without None guards.
 #
 # Round-7 state: consolidation, zero new keys; 10x stress fixture
 # exposed and fixed the localCheckpoint stats-compounding bug (see

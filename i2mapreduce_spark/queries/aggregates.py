@@ -216,11 +216,23 @@ def q_agg_percentiles(spark, sf_dir):
     is `approx_percentile` (KLL/GK sketch, constant memory), kept off the
     hash surface like agg_approx_distinct."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    o = spark.table("orders").select(
+        "o_orderstatus",
+        # quantize to exact integer cents BEFORE the percentile: the
+        # quartile interpolation weights (.25/.5/.75) are exact binary
+        # fractions, so lo + (hi-lo)*frac over ints is EXACT in double —
+        # interpolating the raw doubles landed 1 ulp apart across
+        # engines on a 2dp rounding boundary (surfaced by the r8
+        # null-injection sweep, where the filtered count shifts the
+        # interpolation point)
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.round(F.expr("percentile(cents, 0.25)") / 100.0, 2).alias("p25"),
+        F.round(F.expr("percentile(cents, 0.5)") / 100.0, 2).alias("p50"),
+        F.round(F.expr("percentile(cents, 0.75)") / 100.0, 2).alias("p75"),
     )
 
 
@@ -773,11 +785,14 @@ ORACLES = {
     ),
     # agg_approx_distinct: rows-only (approximate)
     "agg_percentiles": (
+        "WITH o AS (SELECT o_orderstatus, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM orders) "
         "SELECT o_orderstatus, "
-        "round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 2) AS p25, "
-        "round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS p50, "
-        "round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 2) AS p75 "
-        "FROM orders GROUP BY o_orderstatus"
+        "round(CAST(quantile_cont(cents, 0.25) AS DOUBLE) / 100.0, 2) AS p25, "
+        "round(CAST(quantile_cont(cents, 0.5) AS DOUBLE) / 100.0, 2) AS p50, "
+        "round(CAST(quantile_cont(cents, 0.75) AS DOUBLE) / 100.0, 2) AS p75 "
+        "FROM o GROUP BY o_orderstatus"
     ),
     "agg_minmax_by": (
         "SELECT c_nationkey, max_by(c_name, c_custkey) AS latest_cust, "

@@ -1166,7 +1166,8 @@ ORACLES["text_lang_id"] = (
     "WHEN en >= es AND en >= fr AND en >= zh THEN 'en' "
     "WHEN es >= fr AND es >= zh THEN 'es' "
     "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess, "
-    "greatest(de, en, es, fr, zh) AS score FROM s"
+    "greatest(de, en, es, fr, zh) AS score FROM s "
+    "WHERE de IS NOT NULL"  # NULL text: no guess (kernel drops the doc)
 )
 
 _FP_MOD_SQL = (1 << 61) - 1   # matches operators.text._FP_MOD
@@ -1176,7 +1177,9 @@ _FP_BASE_SQL = 1000003        # matches operators.text._FP_BASE
 # byte-identical to the kernel's int.from_bytes(md5[8:], 'little')
 ORACLES["text_fingerprint"] = (
     "WITH tok AS (SELECT doc_id, "
-    "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+    # NULL text: no fingerprint (kernel drops the doc)
+    "FROM documents WHERE text IS NOT NULL), "
     "h AS (SELECT doc_id, list_transform(toks, "
     f"t -> md5_number_lower(t)::HUGEINT % {_FP_MOD_SQL}) AS hs FROM tok) "
     "SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE "

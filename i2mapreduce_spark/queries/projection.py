@@ -107,7 +107,12 @@ def q_sample_stratified(spark, sf_dir):
     from pyspark.sql import Window
 
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: no stratum without a language, no content-hash
+    # order without content (and the engines' default NULL sort orders
+    # differ) — excluded on both sides
+    d = spark.table("documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("text").cast("binary")), "doc_id"
     )
@@ -161,7 +166,8 @@ ORACLES = {
         "SELECT doc_id, lang, source, rn FROM ("
         "SELECT doc_id, lang, source, row_number() OVER ("
         "PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
-        f"FROM documents) t WHERE rn <= {SAMPLE_PER_STRATUM}"
+        "FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL) t "
+        f"WHERE rn <= {SAMPLE_PER_STRATUM}"
     ),
     "sample_hash_bucket": (
         "SELECT count(*) AS n_sampled, "

@@ -152,7 +152,10 @@ def q_window_macd(spark, sf_dir):
     SF, and every arithmetic step is integer-exact cross-engine (see
     _ema_fix: float EMA folds drift per-engine)."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: a day whose orders all lack a price is a gap in the
+    # series, same as a day with no orders (and collect_list skips NULLs
+    # where DuckDB's list() keeps them — the series must not carry NULL)
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(
@@ -284,7 +287,7 @@ ORACLES = {
     "window_macd": (
         "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
         "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
-        "AS cents FROM orders GROUP BY 1), "
+        "AS cents FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
         "framed AS (SELECT day, count(*) OVER w AS n, "
         "list(cents) OVER w AS xs FROM daily "
         f"WINDOW w AS (ORDER BY day ROWS BETWEEN {MACD_TRUNC - 1} PRECEDING "
@@ -337,7 +340,11 @@ def q_agg_ks_test(spark, sf_dir):
     from ..operators.ranking import global_running_sum
 
     load_tables(spark, sf_dir)
-    e = spark.table("events").filter(F.col("event_type").isin(TT_A, TT_B))
+    # complete-case: NULL values cannot be ranked on the value spine
+    # (engines' default NULL orders differ) — excluded on both sides
+    e = spark.table("events").filter(
+        F.col("event_type").isin(TT_A, TT_B) & F.col("value").isNotNull()
+    )
     g = e.groupBy("value").agg(
         F.sum((F.col("event_type") == TT_A).cast("long")).alias("c1"),
         F.sum((F.col("event_type") == TT_B).cast("long")).alias("c2"),
@@ -380,7 +387,11 @@ def q_agg_mann_whitney(spark, sf_dir):
     from ..operators.ranking import global_running_sum
 
     load_tables(spark, sf_dir)
-    e = spark.table("events").filter(F.col("event_type").isin(TT_A, TT_B))
+    # complete-case: NULL values cannot be ranked on the value spine
+    # (engines' default NULL orders differ) — excluded on both sides
+    e = spark.table("events").filter(
+        F.col("event_type").isin(TT_A, TT_B) & F.col("value").isNotNull()
+    )
     g = e.groupBy("value").agg(
         F.sum((F.col("event_type") == TT_A).cast("long")).alias("c1"),
         F.sum((F.col("event_type") == TT_B).cast("long")).alias("c2"),
@@ -421,7 +432,7 @@ ORACLES["agg_ks_test"] = (
     "WITH g AS (SELECT value, "
     f"sum(CASE WHEN event_type = '{TT_A}' THEN 1 ELSE 0 END) AS c1, "
     f"sum(CASE WHEN event_type = '{TT_B}' THEN 1 ELSE 0 END) AS c2 "
-    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') GROUP BY 1), "
+    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') AND value IS NOT NULL GROUP BY 1), "
     "pref AS (SELECT value, "
     "sum(c1) OVER (ORDER BY value) AS cc1, sum(c2) OVER (ORDER BY value) AS cc2 "
     "FROM g), "
@@ -438,7 +449,7 @@ ORACLES["agg_mann_whitney"] = (
     f"sum(CASE WHEN event_type = '{TT_A}' THEN 1 ELSE 0 END) AS c1, "
     f"sum(CASE WHEN event_type = '{TT_B}' THEN 1 ELSE 0 END) AS c2, "
     "count(*) AS t "
-    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') GROUP BY 1), "
+    f"FROM events WHERE event_type IN ('{TT_A}', '{TT_B}') AND value IS NOT NULL GROUP BY 1), "
     "pref AS (SELECT c1, t, 2 * sum(t) OVER (ORDER BY value) - t + 1 AS ab "
     "FROM g), "
     "agg AS (SELECT CAST(sum(c1 * ab) AS BIGINT) AS two_r1, "

@@ -190,7 +190,9 @@ def q_pipeline_curriculum(spark, sf_dir):
     from ..operators.ranking import global_row_number
 
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: a missing document has no difficulty to rank (the
+    # engines' default NULL sort orders differ) — excluded on both sides
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id",
         F.size(
@@ -306,7 +308,7 @@ ORACLES = {
     "pipeline_curriculum": (
         "WITH toks AS (SELECT doc_id, "
         "len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok_cnt "
-        "FROM documents), "
+        "FROM documents WHERE text IS NOT NULL), "
         "ranked AS (SELECT tok_cnt, "
         "row_number() OVER (ORDER BY tok_cnt, doc_id) AS i FROM toks), "
         "n AS (SELECT count(*) AS n FROM ranked), "

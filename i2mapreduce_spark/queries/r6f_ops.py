@@ -22,7 +22,10 @@ def q_window_aroon(spark, sf_dir):
     deterministic and take the OLDEST day — the conservative age).
     Day-grain pre-aggregation bounds the frame input at any SF."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: a day whose orders all lack a price is a series gap,
+    # same as a day with no orders (collect_list would skip the NULL
+    # where DuckDB's list() keeps it)
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(
@@ -148,7 +151,7 @@ ORACLES = {
     "window_aroon": (
         "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
         "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents "
-        "FROM orders GROUP BY 1), "
+        "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
         "framed AS (SELECT day, count(*) OVER w AS n, list(cents) OVER w AS xs "
         f"FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN {AROON_N - 1} "
         "PRECEDING AND CURRENT ROW)), "

@@ -26,7 +26,10 @@ def q_source_binary_files(spark, sf_dir):
     path flips the md5.  At 100 TB this scan partitions by file and
     never materializes more than a partition of blobs at once."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents").filter(F.col("doc_id") < BINF_N)
+    # NULL text: no blob to materialize (the oracle filters identically)
+    d = spark.table("documents").filter(
+        (F.col("doc_id") < BINF_N) & F.col("text").isNotNull()
+    )
     root = _scratch_dir("i2mr_binf_") + "/blobs"
     os.makedirs(root, exist_ok=True)
     for r in d.select("doc_id", "text").collect():  # bounded: 50 files
@@ -77,7 +80,7 @@ ORACLES = {
         "SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' "
         "AS fname, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
         "md5(text) AS content_md5 FROM documents "
-        f"WHERE doc_id < {BINF_N}"
+        f"WHERE doc_id < {BINF_N} AND text IS NOT NULL"
     ),
     "fn_luhn_check": (
         "WITH a AS (SELECT o_orderkey, "

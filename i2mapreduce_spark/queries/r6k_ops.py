@@ -68,7 +68,12 @@ def _attr_fn(key, pdf_iter, state: GroupState):
                 {
                     "user_id": pdf["user_id"][is_p].astype("int64"),
                     "day": pdf["ts"][is_p].dt.strftime("%Y-%m-%d"),
-                    "cents": pdf["cents"][is_p].astype("int64"),
+                    # nullable Int64: a purchase with no recorded value
+                    # still counts, its cents stay NULL (plain int64
+                    # astype would throw on the NaN) — the downstream
+                    # sum skips NULLs exactly like the batch oracle's
+                    # CASE/sum
+                    "cents": pdf["cents"][is_p].astype("Int64"),
                     "attr": attr,
                 }
             )

@@ -453,7 +453,10 @@ def q_ts_holt_linear(spark, sf_dir):
     on a day-grain table, independent of fact-table size.  The DuckDB
     oracle evolves the same state with a RECURSIVE CTE."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: a day whose orders all lack a price is a series gap,
+    # same as a day with no orders (collect_list would skip the NULL
+    # where DuckDB's list() keeps it)
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(
@@ -638,7 +641,8 @@ ORACLES.update(
             "WITH RECURSIVE daily AS (SELECT "
             "strftime(o_orderdate, '%Y-%m-%d') AS day, "
             "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
-            "AS cents FROM orders GROUP BY 1), "
+            "AS cents FROM orders WHERE o_totalprice IS NOT NULL "
+            "GROUP BY 1), "
             "idx AS MATERIALIZED (SELECT day, cents, "
             "row_number() OVER (ORDER BY day) AS i FROM daily), "
             # walk carries (l, b); lp must appear twice (no let-binding in

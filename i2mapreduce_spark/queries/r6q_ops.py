@@ -93,7 +93,9 @@ def q_text_code_detect(spark, sf_dir):
     Every signal is an exact integer count or a half-up per-mille —
     JVM-side regexp counts, no Python."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: a missing document cannot be classified (the NULL
+    # verdict boolean normalizes differently per engine)
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     n_chars = F.length("text")
     n_sym = F.regexp_count("text", F.lit(r"[{}();=<>\[\]]"))
     kw = F.regexp_count(
@@ -164,7 +166,7 @@ ORACLES = {
         "'[{}();=<>\\[\\]]', '', 'g')) AS n_sym, "
         "len(regexp_extract_all(text, "
         "'\\b(def|return|import|var|const|function)\\b')) AS n_kw "
-        "FROM documents) "
+        "FROM documents WHERE text IS NOT NULL) "
         "SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym, "
         "CAST(n_kw AS BIGINT) AS n_kw, "
         "CAST(CASE WHEN n_chars = 0 THEN 0 "

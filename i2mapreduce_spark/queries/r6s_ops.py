@@ -50,7 +50,10 @@ def q_agg_spearman_corr(spark, sf_dir):
     into the single final sqrt/divide.  Scale: the only unbounded work
     is the first agg; the rank window runs on <=2,406 rows at any SF."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: unpriced orders carry no revenue signal, and a day
+    # whose orders all lack a price would rank as NULL — where the
+    # engines' default NULL sort orders differ; excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("revenue"),
@@ -92,7 +95,9 @@ def q_agg_kruskal_wallis(spark, sf_dir):
     anchors differ).  Uncorrected-for-ties form, documented: revenue is
     a DECIMAL sum, ties are structurally absent at every fixture SF."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: see agg_spearman_corr — NULL-revenue days rank
+    # differently across engines; excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("revenue")
     )
@@ -258,7 +263,8 @@ QUERIES = {
 ORACLES = {
     "agg_spearman_corr": (
         "WITH daily AS (SELECT o_orderdate AS day, count(*) AS n_orders, "
-        "sum(o_totalprice) AS revenue FROM orders GROUP BY 1), "
+        "sum(o_totalprice) AS revenue FROM orders "
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
         "ranked AS (SELECT "
         "2 * rank() OVER (ORDER BY n_orders) "
         "+ count(*) OVER (PARTITION BY n_orders) - 1 AS rx2, "
@@ -274,7 +280,8 @@ ORACLES = {
     ),
     "agg_kruskal_wallis": (
         "WITH daily AS (SELECT o_orderdate AS day, "
-        "sum(o_totalprice) AS revenue FROM orders GROUP BY 1), "
+        "sum(o_totalprice) AS revenue FROM orders "
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
         "ranked AS (SELECT "
         "date_diff('day', DATE '1992-01-01', day) % 7 AS g, "
         "2 * rank() OVER (ORDER BY revenue) "

@@ -44,7 +44,10 @@ def q_ts_theil_sen(spark, sf_dir):
     an even count is the exact two-middle sum, divided once for
     display."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: a day whose orders all lack a price is a series gap
+    # (a NULL day would pair as NULL slopes, ranked differently by each
+    # engine's default NULL order); excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     daily = o.groupBy(
         F.expr(f"datediff(o_orderdate, DATE '{BD_ANCHOR}')").alias("di")
     ).agg(
@@ -251,7 +254,7 @@ ORACLES = {
         "WITH daily AS (SELECT "
         f"date_diff('day', DATE '{BD_ANCHOR}', o_orderdate) AS di, "
         "CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c "
-        "FROM orders GROUP BY 1), "
+        "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
         "p AS (SELECT a.di AS ai, b.di AS bi, b.c - a.c AS dc, "
         "b.di - a.di AS dd FROM daily a JOIN daily b ON a.di < b.di), "
         "s AS (SELECT ai, bi, CASE WHEN dc >= 0 "

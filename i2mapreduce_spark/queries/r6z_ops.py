@@ -46,7 +46,10 @@ def q_join_similarity_prefix_filter(spark, sf_dir):
     unfiltered all-shared-trigram join — correct at fixture scale and
     precisely the blowup the prefix plan avoids at 100 TB."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: a missing document has no trigram set — and the
+    # NULL-length sequence(1, greatest(NULL, 0)) = sequence(1, 0) is
+    # Spark's DESCENDING [1, 0], which would fabricate '' trigrams
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     ws = F.split("text", " ")
     tri = (
         d.select(
@@ -124,12 +127,17 @@ def q_dq_table_checksum(spark, sf_dir):
     only the bounded residue crosses engines."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
+    # canonical NULL rendering: the checksum must COVER missing values —
+    # NULL price encodes as the empty field (see pipeline_shard_manifest)
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .cast("string"),
+        F.coalesce(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            F.lit(""),
+        ),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.col("o_orderpriority"),
     )
@@ -254,8 +262,9 @@ ORACLES = {
     ),
     "dq_table_checksum": (
         "WITH h AS (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || '|' "
-        "|| CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-        "AS VARCHAR) || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' "
+        "|| coalesce(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) AS VARCHAR), '') "
+        "|| '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' "
         "|| o_orderpriority), 1, 15))::BIGINT AS h FROM orders) "
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(sum(h) % {CKSUM_MOD} AS BIGINT) AS checksum FROM h"

@@ -102,7 +102,9 @@ def q_agg_cvar_expected_shortfall(spark, sf_dir):
     integer-cents quotient, so both engines replay identical integer
     ops."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders").select(
+    # complete-case: unpriced orders carry no loss to rank (the engines'
+    # default NULL sort orders differ) — excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -212,7 +214,7 @@ ORACLES = {
     "agg_cvar_expected_shortfall": (
         "WITH o AS (SELECT o_orderkey, "
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-        "AS cents FROM orders), "
+        "AS cents FROM orders WHERE o_totalprice IS NOT NULL), "
         "r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) "
         "AS rk FROM o), n AS (SELECT count(*) AS n FROM o), "
         "tail AS (SELECT cents, n FROM r, n "

@@ -254,7 +254,8 @@ def q_pipeline_token_budget(spark, sf_dir):
     exact integers (the fold accumulator is a single BIGINT slot, safe
     under DuckDB's in-place fold)."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: a missing document supplies no tokens to budget
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     per = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("avail")
     )
@@ -385,7 +386,7 @@ ORACLES = {
     "pipeline_token_budget": (
         "WITH per AS (SELECT source, "
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail "
-        "FROM documents GROUP BY 1), "
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), "
         "idxd AS (SELECT source, avail, CAST(row_number() OVER "
         "(ORDER BY avail, source) AS BIGINT) AS idx FROM per), "
         "packed AS (SELECT list({'idx': idx, 'source': source, "

@@ -71,7 +71,9 @@ def q_agg_cohens_kappa(spark, sf_dir):
     confusion counts in ONE partial+final agg; both engines stream
     identical integers into the single fixed-shape double."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: annotators cannot label a missing document (rater B
+    # would read a NULL token count) — excluded on both sides
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     lab = d.select(
         (F.col("n_chars") > KAPPA_A_CHARS).cast("int").alias("a"),
         (F.size(F.split("text", " ")) > KAPPA_B_TOKENS).cast("int").alias(
@@ -116,7 +118,10 @@ def q_source_weblog_parse(spark, sf_dir):
     from .scans import _scratch_dir
 
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: an event without a byte count cannot form a log
+    # line (concat with NULL would serialize an empty line that fails
+    # the read-back cast) — excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     line = F.concat(
         F.lit("10."),
         (F.col("user_id") % 256).cast("string"),
@@ -208,7 +213,7 @@ ORACLES = {
         "WITH lab AS (SELECT "
         f"CASE WHEN n_chars > {KAPPA_A_CHARS} THEN 1 ELSE 0 END AS a, "
         f"CASE WHEN len(string_split(text, ' ')) > {KAPPA_B_TOKENS} "
-        "THEN 1 ELSE 0 END AS b FROM documents), "
+        "THEN 1 ELSE 0 END AS b FROM documents WHERE text IS NOT NULL), "
         "c AS (SELECT count(*) AS n, "
         "CAST(sum(a * b) AS BIGINT) AS c11, "
         "CAST(sum(a * (1 - b)) AS BIGINT) AS c10, "
@@ -229,7 +234,8 @@ ORACLES = {
         "CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS INT) "
         "AS status, CAST(count(*) AS BIGINT) AS n_requests, "
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
-        "AS BIGINT) AS total_bytes FROM events GROUP BY 1, 2"
+        "AS BIGINT) AS total_bytes FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1, 2"
     ),
     "setop_division": (
         "WITH per AS (SELECT o_custkey, "

@@ -150,12 +150,20 @@ def q_pipeline_shard_manifest(spark, sf_dir):
     id; shard assignment is the same key mod the pipeline uses."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
+    # canonical NULL rendering: a checksum must COVER missing values, so
+    # NULL price encodes as the empty field (a price string is never
+    # empty otherwise).  concat_ws would silently DROP the field (and
+    # its separator) where the oracle's || propagates NULL — coalesce
+    # pins one rendering on both engines.
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .cast("string"),
+        F.coalesce(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            F.lit(""),
+        ),
         F.col("o_orderpriority"),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
@@ -243,8 +251,8 @@ ORACLES = {
         "WITH h AS (SELECT o_orderkey % "
         f"{MANIFEST_SHARDS} AS shard, o_orderkey, "
         "('0x' || substr(md5(o_orderkey::VARCHAR || '|' "
-        "|| CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
-        "AS BIGINT) AS VARCHAR) || '|' || o_orderpriority), 1, 15))"
+        "|| coalesce(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) AS VARCHAR), '') || '|' || o_orderpriority), 1, 15))"
         "::BIGINT AS h FROM orders) "
         "SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, "
         "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "

@@ -88,7 +88,9 @@ def q_agg_gini_by_segment(spark, sf_dir):
     integers, and G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) is one
     fixed-shape double of exact BIGINTs."""
     load_tables(spark, sf_dir)
-    c = spark.table("customer")
+    # complete-case: a balance-less customer has no wealth to rank (the
+    # engines' default NULL sort orders differ) — excluded on both sides
+    c = spark.table("customer").filter(F.col("c_acctbal").isNotNull())
     shifted = c.select(
         "c_mktsegment",
         "c_custkey",
@@ -234,7 +236,7 @@ ORACLES = {
     "agg_gini_by_segment": (
         "WITH s AS (SELECT c_mktsegment, c_custkey, "
         "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cb "
-        "FROM customer), "
+        "FROM customer WHERE c_acctbal IS NOT NULL), "
         "mn AS (SELECT min(cb) AS mn FROM s), "
         "nn AS (SELECT c_mktsegment, c_custkey, cb - mn AS v FROM s, mn), "
         "r AS (SELECT c_mktsegment, v, CAST(row_number() OVER "

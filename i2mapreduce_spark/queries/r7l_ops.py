@@ -30,7 +30,10 @@ def q_agg_auc_roc(spark, sf_dir):
     distributed chunked-offset prefix sum, and AUC is one double ratio
     of exact BIGINTs."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: a NULL score cannot be ranked (and the engines'
+    # default NULL sort orders differ — Spark ASC is NULLS FIRST, DuckDB
+    # NULLS LAST); rows missing the metric are excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     scored = e.select(
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
             "s"
@@ -70,7 +73,9 @@ def q_agg_calibration_table(spark, sf_dir):
     statistics, no approx percentiles); every per-bin number is a
     half-up integer quotient."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: NULL scores cannot be ranked into deciles (and the
+    # engines' default NULL orders differ) — excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     scored = e.select(
         "event_id",
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -220,7 +225,7 @@ ORACLES = {
         "WITH s AS (SELECT "
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "g AS (SELECT s, sum(y) AS c1, count(*) AS t FROM s GROUP BY 1), "
         "p AS (SELECT c1, t, 2 * sum(t) OVER (ORDER BY s "
         "ROWS UNBOUNDED PRECEDING) - t + 1 AS ab FROM g), "
@@ -234,7 +239,7 @@ ORACLES = {
         "WITH s AS (SELECT event_id, "
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "r AS (SELECT s, y, CAST(row_number() OVER (ORDER BY s, event_id) "
         "AS BIGINT) AS rk FROM s), "
         "n AS (SELECT count(*) AS n FROM s), "

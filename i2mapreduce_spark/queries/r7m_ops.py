@@ -74,7 +74,10 @@ def q_sort_quickselect_kth(spark, sf_dir):
     is the SELECTION alternative).  Deterministic: pivots come from the
     md5 order, and the oracle is the plain row_number k-th element."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders").select(
+    # complete-case: unpriced orders have no value to select (and a NULL
+    # pivot sample would break the three-way split) — both sides rank
+    # only priced orders
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull()).select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("c"),
@@ -289,7 +292,8 @@ ORACLES = {
     ),
     "sort_quickselect_kth": (
         "WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
-        "* 100 AS BIGINT) AS c, o_orderkey FROM orders), "
+        "* 100 AS BIGINT) AS c, o_orderkey FROM orders "
+        "WHERE o_totalprice IS NOT NULL), "
         "n AS (SELECT count(*) AS n FROM o), "
         "r AS (SELECT c, row_number() OVER (ORDER BY c, o_orderkey) "
         "AS rk FROM o) "

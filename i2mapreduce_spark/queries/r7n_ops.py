@@ -26,7 +26,11 @@ def q_agg_matthews_corr(spark, sf_dir):
     run in DECIMAL(38)/HUGEINT (four ~1e5 counts multiply past BIGINT
     at sf1) and collapse to one double ratio."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: an unscored row (NULL value) is neither a positive
+    # nor a negative prediction — excluded on both sides (Spark's
+    # boolean-cast would make it NULL, SQL's CASE-ELSE would make it 0:
+    # the engines disagree unless the row is out)
+    e = spark.table("events").filter(F.col("value").isNotNull())
     lab = e.select(
         (
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -66,7 +70,9 @@ def q_agg_brier_score(spark, sf_dir):
     half-up per-mille, so every squared term is an exact integer and
     the score is ONE half-up quotient of exact sums — no float mean."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: NULL scores cannot be rank-percentiled (engines'
+    # default NULL sort orders differ) — excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     scored = e.select(
         "event_id",
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -105,7 +111,8 @@ def q_agg_fleiss_kappa(spark, sf_dir):
     votes — exact sixths, so P_bar and P_e come from exact integer
     sums and kappa is one fixed-shape double."""
     load_tables(spark, sf_dir)
-    d = spark.table("documents")
+    # complete-case: raters cannot label a missing document
+    d = spark.table("documents").filter(F.col("text").isNotNull())
     votes = d.select(
         (
             (F.col("n_chars") > 300).cast("long")
@@ -197,7 +204,7 @@ ORACLES = {
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > "
         f"{MCC_CUTOFF} THEN 1 ELSE 0 END AS p, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "c AS (SELECT CAST(sum(p * y) AS BIGINT) AS tp, "
         "CAST(sum(p * (1 - y)) AS BIGINT) AS fp, "
         "CAST(sum((1 - p) * y) AS BIGINT) AS fn, "
@@ -212,7 +219,7 @@ ORACLES = {
         "WITH s AS (SELECT event_id, "
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "r AS (SELECT y, CAST(row_number() OVER (ORDER BY s, event_id) "
         "AS BIGINT) AS rk FROM s), "
         "n AS (SELECT count(*) AS n FROM s), "
@@ -228,7 +235,8 @@ ORACLES = {
         "(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) "
         "+ (CASE WHEN len(string_split(text, ' ')) > 50 THEN 1 ELSE 0 END) "
         "+ (CASE WHEN len(list_distinct(string_split(text, ' '))) > 28 "
-        "THEN 1 ELSE 0 END) AS c FROM documents), "
+        "THEN 1 ELSE 0 END) AS c FROM documents "
+        "WHERE text IS NOT NULL), "
         "g AS (SELECT count(*) AS n, sum(c) AS pos_votes, "
         "sum(c * (c - 1) + (3 - c) * (2 - c)) AS agree6 FROM v) "
         "SELECT CAST(n AS BIGINT) AS n, "

@@ -78,7 +78,9 @@ def q_agg_ece(spark, sf_dir):
     accuracy are half-up per-mille integers; the weighted absolute gap
     aggregates as exact integers and divides once."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: NULL scores cannot be rank-binned (engines' default
+    # NULL sort orders differ) — excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     scored = e.select(
         "event_id",
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -241,7 +243,7 @@ ORACLES = {
         "WITH s AS (SELECT event_id, "
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "r AS (SELECT y, CAST(row_number() OVER (ORDER BY s, event_id) "
         "AS BIGINT) AS rk FROM s), n AS (SELECT count(*) AS n FROM s), "
         f"b AS (SELECT y, rk, n, (rk * {ECE_BINS} + n - 1) // n AS bin "

@@ -90,7 +90,9 @@ def q_agg_boxplot_stats(spark, sf_dir):
     visualization is drawn from, per group in one pass family.
     Everything exact integer cents until display division."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders").select(
+    # complete-case: unpriced orders have no value to rank (the engines'
+    # default NULL sort orders differ) — excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -266,7 +268,7 @@ ORACLES = {
     "agg_boxplot_stats": (
         "WITH o AS (SELECT o_orderpriority, "
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c, "
-        "o_orderkey FROM orders), "
+        "o_orderkey FROM orders WHERE o_totalprice IS NOT NULL), "
         "r AS (SELECT o_orderpriority, c, CAST(row_number() OVER "
         "(PARTITION BY o_orderpriority ORDER BY c, o_orderkey) "
         "AS BIGINT) AS rk FROM o), "

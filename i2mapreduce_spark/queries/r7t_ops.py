@@ -28,7 +28,10 @@ def q_agg_odds_ratio(spark, sf_dir):
     bounds exp(ln OR ± z*sqrt(1/a+1/b+1/c+1/d)) are fixed-shape doubles
     of identical integers, z as a python literal."""
     load_tables(spark, sf_dir)
-    e = spark.table("events")
+    # complete-case: an unvalued event is neither exposed nor unexposed
+    # (Spark's boolean-cast yields NULL where SQL's CASE-ELSE yields 0)
+    # — excluded on both sides
+    e = spark.table("events").filter(F.col("value").isNotNull())
     lab = e.select(
         (
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -119,7 +122,7 @@ ORACLES = {
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > "
         f"{OR_CUTOFF} THEN 1 ELSE 0 END AS x, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "c AS (SELECT CAST(sum(x * y) AS BIGINT) AS a, "
         "CAST(sum(x * (1 - y)) AS BIGINT) AS b, "
         "CAST(sum((1 - x) * y) AS BIGINT) AS c, "

@@ -655,7 +655,9 @@ ORACLES = {
     ),
     "fn_string": (
         "SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 10) AS text_pfx, "
-        "concat(lang, ':', source) AS lang_src, length(text) AS text_len, "
+        # || not concat(): Spark's concat propagates NULL while DuckDB's
+        # concat SKIPS NULL arguments — || propagates on both engines
+        "lang || ':' || source AS lang_src, length(text) AS text_len, "
         "replace(source, 'src', 'S') AS source_s, "
         "CAST(regexp_extract(source, '(src)([0-9]+)', 2) AS INT) AS src_num "
         "FROM documents"

@@ -86,11 +86,15 @@ def q_window_moving_median(spark, sf_dir):
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    # collect_list drops NULL values, exactly like DuckDB's windowed
+    # median; an all-NULL frame (n = 0) has no median — the CASE also
+    # keeps element_at off the invalid index 0
+    med = F.when(n > 0, F.round((lo + hi) / 2.0, 4))
     return ev.select(
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        F.round((lo + hi) / 2.0, 4).alias("moving_median"),
+        med.alias("moving_median"),
     )
 
 
@@ -161,7 +165,11 @@ def q_window_robust_zscore(spark, sf_dir):
     small scale, and at 100 TB the joins shuffle on user_id like every
     other per-user stage."""
     load_tables(spark, sf_dir)
-    ev = spark.table("events")
+    # complete-case: a missing reading cannot be scored (its flag would
+    # be a NULL boolean, which the engines normalize differently);
+    # medians already ignore NULLs on both engines, so the filter only
+    # removes unscorable rows
+    ev = spark.table("events").filter(F.col("value").isNotNull())
     med = ev.groupBy("user_id").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -394,15 +402,15 @@ ORACLES = {
         "FROM seg WHERE dt IS NOT NULL GROUP BY user_id"
     ),
     "window_robust_zscore": (
-        "WITH med AS (SELECT user_id, median(value) AS med FROM events "
+        "WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL), med AS (SELECT user_id, median(value) AS med FROM ev "
         "GROUP BY user_id), "
         "mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad "
-        "FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id), "
+        "FROM ev e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id), "
         "fx AS (SELECT e.user_id, e.event_id, e.value, "
         "6745 * (CAST(round(e.value * 400) AS BIGINT) "
         "- CAST(round(m.med * 400) AS BIGINT)) AS num, "
         "CAST(round(d.mad * 400) AS BIGINT) AS mad400 "
-        "FROM events e JOIN med m ON e.user_id = m.user_id "
+        "FROM ev e JOIN med m ON e.user_id = m.user_id "
         "JOIN mad d ON e.user_id = d.user_id WHERE d.mad > 0) "
         "SELECT user_id, event_id, round(value, 4) AS value, "
         "(CASE WHEN num < 0 THEN -((2 * -num + mad400) // (2 * mad400)) "

@@ -116,6 +116,8 @@ def q_udtf_python_native(spark, sf_dir):
         def eval(self, props: str):
             import json
 
+            if props is None:
+                return  # missing payload: a flatMap yields nothing
             for k, v in sorted(json.loads(props).items()):
                 yield k, int(v)
 
@@ -215,12 +217,16 @@ ORACLES = {
         "round(sum(l_discount * l_extendedprice) / sum(l_discount), 4) AS wavg_price "
         "FROM lineitem GROUP BY l_returnflag"
     ),
+    # WHERE mirrors flatMap-of-nothing on a missing payload: explode of
+    # a NULL map (and the python UDTF's None guard) emit no rows
     "udtf_split_props": (
         "SELECT event_id, 'k' AS key, "
-        "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events"
+        "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events "
+        "WHERE props IS NOT NULL"
     ),
     "udtf_python_native": (
         "SELECT event_id, 'k' AS key, "
-        "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events"
+        "CAST(json_extract_string(props, '$.k') AS INT) AS val FROM events "
+        "WHERE props IS NOT NULL"
     ),
 }

@@ -123,7 +123,9 @@ def q_window_cume_dist(spark, sf_dir):
     rows share a value — deterministic without a tiebreak (unlike
     row_number).  Banding prices to integers forces real ties."""
     load_tables(spark, sf_dir)
-    o = spark.table("orders")
+    # complete-case: an unpriced order has no band to rank in (and the
+    # engines' default NULL sort orders differ) — excluded on both sides
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
     band = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
     w = Window.partitionBy("o_orderstatus").orderBy(band)
     return o.select(
@@ -923,7 +925,7 @@ ORACLES = {
         "CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS band, "
         "round(cume_dist() OVER (PARTITION BY o_orderstatus "
         "ORDER BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)), 4) AS cdist "
-        "FROM orders"
+        "FROM orders WHERE o_totalprice IS NOT NULL"
     ),
     # Bollinger: exact DECIMAL frame sums mirrored width-for-width (s1
     # capped at (15,2), s2 at (28,4) so 20*s2 - s1*s1 stays inside

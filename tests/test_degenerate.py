@@ -61,6 +61,47 @@ def degenerate_dir(request, tmp_path_factory):
     return out
 
 
+#: one key per r8 NULL-injection divergence class (SWEEP_DEGENERATE.md)
+NULL_KEYS = [
+    "agg_auc_roc",                  # NULL sort-order (rank statistics)
+    "window_macd",                  # collect_list vs list() NULL series
+    "dq_table_checksum",            # canonical NULL field encoding
+    "fn_string",                    # concat NULL propagation parity
+    "text_fingerprint",             # UDF kernel None guard
+    "udtf_split_props",             # flatMap-of-nothing on NULL payload
+    "join_similarity_prefix_filter",  # sequence(1, NULL->0) = [1, 0] trap
+    "agg_percentiles",              # exact-cents quantile interpolation
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path_factory.mktemp("nulls"))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "make_nulls.py"),
+         SF_SMALL, out],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("key", NULL_KEYS)
+def test_null_injected_inputs_match_oracle(spark, nulls_dir, key):
+    queries, oracles = build_registry()
+    df = queries[key](spark, nulls_dir)
+    con = oracle_connect(nulls_dir)
+    try:
+        res = compare(key, df, con, oracles[key])
+    finally:
+        con.close()
+    assert res.ok, str(res)
+
+
 @pytest.mark.parametrize("key", REPRESENTATIVE_KEYS)
 def test_degenerate_inputs_are_well_defined(spark, degenerate_dir, key):
     queries, oracles = build_registry()

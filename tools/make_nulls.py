@@ -1,0 +1,77 @@
+"""Synthesize the NULL-injected fixture for the null-semantics sweep.
+
+The driver fixtures contain no NULL anywhere, so the registry's
+NULL-handling is structurally untested — yet at 100 TB real columns
+have NULLs, and the engines disagree by DEFAULT on exactly the places
+a query can't see locally: Spark orders ASC NULLS FIRST / DESC NULLS
+LAST, DuckDB defaults to NULLS LAST on ASC (ranked keys silently
+reorder); aggregates skip NULLs identically, but count(col)/count(*),
+grouping on a NULL key, and NULL propagation through exact-integer
+pipelines all deserve proof rather than assumption.
+
+Derivation (deterministic, PK-keyed, ~10% per column — value/text
+payload columns only; join keys, dates, and enum grouping flags stay
+NOT NULL so query semantics remain recognizable):
+
+- orders.o_totalprice     NULL where o_orderkey % 10 = 3
+- lineitem.l_discount     NULL where (l_orderkey + l_linenumber) % 10 = 3
+- events.value            NULL where event_id % 10 = 3
+- events.props            NULL where event_id % 10 = 7
+- documents.text          NULL where doc_id % 10 = 3
+- documents.lang          NULL where doc_id % 10 = 7  (a NULL group key)
+- customer.c_acctbal      NULL where c_custkey % 10 = 3
+
+Usage:  python tools/make_nulls.py [src_dir] [out_dir]
+        (defaults /root/testdata/sf0.001 -> /tmp/testdata/sf001nulls)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+RULES: dict[str, list[tuple[str, str]]] = {
+    "orders": [("o_totalprice", "o_orderkey % 10 = 3")],
+    "lineitem": [("l_discount", "(l_orderkey + l_linenumber) % 10 = 3")],
+    "events": [("value", "event_id % 10 = 3"),
+               ("props", "event_id % 10 = 7")],
+    "documents": [("text", "doc_id % 10 = 3"),
+                  ("lang", "doc_id % 10 = 7")],
+    "customer": [("c_acctbal", "c_custkey % 10 = 3")],
+}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf001nulls"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchall()]
+        exprs = []
+        nulled = dict(RULES.get(t, []))
+        for c in cols:
+            if c in nulled:
+                exprs.append(f"CASE WHEN {nulled[c]} THEN NULL ELSE {c} END AS {c}")
+            else:
+                exprs.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM "
+            f"read_parquet('{src}/{t}.parquet')) TO '{out}/{t}.parquet' "
+            "(FORMAT PARQUET)"
+        )
+        print(f"{t}: {len(nulled)} column(s) null-injected")
+    con.close()
+
+
+if __name__ == "__main__":
+    main()

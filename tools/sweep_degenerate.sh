@@ -1,19 +1,26 @@
 #!/bin/sh
 # Degenerate-input gate (r8): every registry key must be WELL-DEFINED on
-# empty and single-row tables — at 100 TB an empty date partition, a
-# tenant with no events, or a delta with no changes is routine, and an
-# operator that crashes there (seed collect()[0] -> IndexError, 1/n ->
-# ZeroDivisionError, np.stack([]) -> ValueError, ANSI DIVIDE_BY_ZERO)
-# fails exactly when a production pipeline runs its quietest slice.
-# Runs the FULL 469-key registry, hash-compared against DuckDB where an
-# oracle exists, on both fixtures.  Exit 1 on any error or mismatch.
+# empty tables, single-row tables, and NULL-injected payload columns —
+# at 100 TB an empty date partition, a tenant with no events, or a NULL
+# in a value/text column is routine, and an operator that crashes there
+# (seed collect()[0] -> IndexError, 1/n -> ZeroDivisionError,
+# np.stack([]) -> ValueError, ANSI DIVIDE_BY_ZERO, UDF None access) or
+# silently diverges from the oracle (NULL sort order, concat-vs-||,
+# CASE-ELSE-0 vs boolean-cast-NULL) fails exactly when a production
+# pipeline meets real data.  Runs the FULL 469-key registry,
+# hash-compared against DuckDB where an oracle exists, on all three
+# fixtures.  Exit 1 on any error or mismatch.
 set -e
 cd "$(dirname "$0")/.."
 OUT_ROOT=${OUT_ROOT:-/tmp/testdata}
 [ -f "$OUT_ROOT/sf0/lineitem.parquet" ] && \
     [ -f "$OUT_ROOT/sfmin/lineitem.parquet" ] || \
     python tools/make_empty.py /root/testdata/sf0.001 "$OUT_ROOT"
+[ -f "$OUT_ROOT/sf001nulls/lineitem.parquet" ] || \
+    python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nulls"
 echo "== sf0 (all tables empty) =="
 I2MR_SF_DIR="$OUT_ROOT/sf0" python tools/check_oracle.py
 echo "== sfmin (one row per table) =="
-I2MR_SF_DIR="$OUT_ROOT/sfmin" exec python tools/check_oracle.py
+I2MR_SF_DIR="$OUT_ROOT/sfmin" python tools/check_oracle.py
+echo "== sf001nulls (10% NULLs in payload columns) =="
+I2MR_SF_DIR="$OUT_ROOT/sf001nulls" exec python tools/check_oracle.py
