@@ -86,7 +86,9 @@ _GROUP_MODULES = [
 # ts_spectral_peak, iter_maximal_matching).  _R9_WINDOW below is already
 # staged (the next 50 of tools/r8_window_costs.json) — the r9 builder
 # only swaps _R8_WINDOW -> _R9_WINDOW in build_registry() and the window
-# test import.  The final 18 keys drain in r10.
+# test import.  The final 18 keys drain in r10 via _R10_WINDOW (also
+# pre-staged below — r10 is the same one-name swap, after which the
+# cumulative driver record covers every hash-oracled key).
 # tests/test_registry_window.py enforces all window hygiene.
 #
 # Round-8 final state (2026-08-15): scale-hardening round, ZERO new
@@ -257,6 +259,33 @@ _R9_WINDOW = [
     "window_funnel_time_constrained",
     "text_ngram_coverage",
     "window_macd",
+]
+
+# _R10_WINDOW: the FINAL 18 never-driver-graded hash-oracled keys — the
+# tail of tools/r8_window_costs.json after _R8_WINDOW and _R9_WINDOW.
+# Pre-staged so the r10 builder only swaps the name in build_registry()
+# and the window test; after r10 lands, the cumulative driver record
+# covers every hash-oracled key and the window machinery can retire
+# (build_registry then returns plain module order).
+_R10_WINDOW = [
+    "window_kama",
+    "agg_kendall_tau",
+    "iter_katz_centrality",
+    "agg_rfm_segments",
+    "agg_welch_ttest",
+    "agg_ks_test",
+    "text_greedy_generate",
+    "sort_quickselect_kth",
+    "iter_bipartite_check",
+    "ts_holt_linear",
+    "iter_closeness_centrality",
+    "window_supertrend",
+    "window_heikin_ashi",
+    "iter_graph_diameter",
+    "stream_attribution",
+    "agg_bootstrap_ci",
+    "window_parabolic_sar",
+    "ts_theil_sen",
 ]
 
 

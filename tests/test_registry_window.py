@@ -60,6 +60,20 @@ def test_r9_window_staged_right_after_r8():
     assert not set(_R8_WINDOW) & set(_R9_WINDOW)
 
 
+def test_r10_window_staged_and_completes_the_backlog():
+    # the FINAL 18 never-driver-graded hash-oracled keys: r8+r9+r10
+    # windows together must cover the whole 118-key backlog exactly
+    # once; every r10 key must already be implemented and hash-oracled
+    from i2mapreduce_spark.queries import _R10_WINDOW
+
+    queries, oracles = build_registry()
+    all_windows = _R8_WINDOW + _R9_WINDOW + _R10_WINDOW
+    assert len(all_windows) == 118
+    assert len(set(all_windows)) == 118
+    assert [k for k in _R10_WINDOW if k not in queries] == []
+    assert [k for k in _R10_WINDOW if k not in oracles] == []
+
+
 def test_window_keys_all_have_hash_oracles():
     # rows-only keys can never hash-pass; putting one in the window
     # burns a grading slot on a guaranteed `err: no_oracle` (r6 burned
