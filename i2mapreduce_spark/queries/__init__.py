@@ -111,18 +111,21 @@ _GROUP_MODULES = [
 #
 # Round-8 continuation (2026-08-16): degenerate-input hardening.  The
 # full registry now also runs green on ZERO-ROW tables, SINGLE-ROW
-# tables, AND a 10%-NULL-injected fixture (tools/sweep_degenerate.sh,
-# 469/469 on each; findings + the cross-engine division and NULL cheat
-# sheets in SWEEP_DEGENERATE.md; class representatives pinned by
-# tests/test_degenerate.py).  106 keys crashed or diverged on those
+# tables, a 10%-NULL-injected fixture, AND a multibyte-unicode fixture
+# (tools/sweep_degenerate.sh, 469/469 on each; findings + the
+# cross-engine division/NULL/unicode cheat sheets in
+# SWEEP_DEGENERATE.md; class representatives pinned by
+# tests/test_degenerate.py).  112 keys crashed or diverged on those
 # fixtures before the fixes — seed collects, 1/n, np.stack([]), ANSI
 # DIVIDE_BY_ZERO (Spark 4 throws even for DOUBLE/0; F.try_divide is
 # the portable NULL-on-zero spelling), element_at past empty arrays,
 # schema-less partitioned-sink read-backs, undefined n<=1 statistics,
 # NULL sort-order divergence (Spark ASC NULLS FIRST vs DuckDB NULLS
 # LAST — fixed by complete-case filters on both sides), collect_list
-# vs list() NULL handling, concat-vs-|| NULL propagation, and Python
-# kernels without None guards.
+# vs list() NULL handling, concat-vs-|| NULL propagation, Python
+# kernels without None guards, and char/byte-confused multimodal
+# oracles (now hex(encode(text)) byte slicing — the text surface
+# itself was unicode-clean on first run).
 #
 # Round-7 state: consolidation, zero new keys; 10x stress fixture
 # exposed and fixed the localCheckpoint stats-compounding bug (see

@@ -242,14 +242,19 @@ def q_multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling: one binary payload -> N fixed-stride
     frame rows through an Arrow-batched mapInPandas explode (the 1->N
     stage shape real frame extraction uses).  The fixture payload is
-    text-as-bytes (ASCII, so byte slicing == char slicing), which makes
-    the sampled frames expressible in SQL — hash-checked, unlike the
-    stubbed decoder in multimodal_extract."""
+    the text's UTF-8 bytes; frames surface as HEX so the comparison is
+    byte-exact for ANY content (a raw string cast breaks when a frame
+    boundary splits a multibyte code point) — hash-checked against a
+    hex-slicing SQL oracle, unlike the stubbed decoder in
+    multimodal_extract."""
     load_tables(spark, sf_dir)
     wrapped = multimodal.attach_binary_payload(spark.table("documents"))
     frames = multimodal.frame_sample(wrapped, every_n=10)
+    # frames surface as HEX, not a string cast: a byte slice can split a
+    # multibyte code point, and casting invalid UTF-8 to string is
+    # engine-fragile — hex is exact for any payload (r8 unicode sweep)
     return frames.select(
-        "doc_id", "frame_off", F.col("frame").cast("string").alias("frame_s")
+        "doc_id", "frame_off", F.hex(F.col("frame")).alias("frame_hex")
     )
 
 
@@ -812,9 +817,13 @@ ORACLES = {
         "round(regr_r2(log2(c), log2(r)), 4) AS r2 FROM rk"
     ),
     "multimodal_audio_energy": (
-        "WITH bytes AS (SELECT doc_id, t.i - 1 AS pos, "
-        "ord(substr(text, t.i, 1)) AS b FROM documents, "
-        "LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t), "
+        # byte-correct: see the ORACLES["multimodal_extract"] note
+        "WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS L FROM documents "
+        "WHERE text IS NOT NULL), "
+        "bytes AS (SELECT doc_id, t.i - 1 AS pos, "
+        "('0x' || substr(hx, 2 * t.i - 1, 2))::INT AS b FROM hx, "
+        "LATERAL (SELECT unnest(range(1, least(L, 256) + 1)) AS i) t), "
         "framed AS (SELECT doc_id, CAST(pos // 64 AS INT) AS frame_idx, "
         "b FROM bytes WHERE pos < 4 * 64), "
         "full_frames AS (SELECT doc_id, frame_idx, sum(b * b) AS ss, "
@@ -996,12 +1005,18 @@ ORACLES = {
         "substr(text, 1, 20) AS text_pfx "
         "FROM documents JOIN embeddings ON doc_id = vec_id"
     ),
+    # byte-correct frames as HEX: a 10-byte slice can split a multibyte
+    # code point, so decoding it to a string is engine-fragile — the hex
+    # rendering is exact for any payload (see ORACLES["multimodal_extract"])
     "multimodal_frame_sample": (
-        "WITH idx AS (SELECT doc_id, text, "
-        "unnest(generate_series(1, CAST(ceil(length(text)/10.0) AS BIGINT))) AS n "
-        "FROM documents) "
+        "WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS L FROM documents "
+        "WHERE text IS NOT NULL), "
+        "idx AS (SELECT doc_id, hx, "
+        "unnest(generate_series(1, CAST(ceil(L/10.0) AS BIGINT))) AS n "
+        "FROM hx) "
         "SELECT doc_id, CAST((n-1)*10 AS INT) AS frame_off, "
-        "substring(text, CAST((n-1)*10+1 AS INT), 10) AS frame_s FROM idx"
+        "substr(hx, CAST(2*(n-1)*10+1 AS INT), 20) AS frame_hex FROM idx"
     ),
     # rows-only: dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf (probabilistic
     # scale paths)
@@ -1133,14 +1148,23 @@ _EXTRACT_BINS = ", ".join(
 )
 _EXTRACT_NORM = " + ".join(f"h{i} * h{i}" for i in range(16))
 
+# BYTE-correct oracles (r8 unicode sweep): the payload is the UTF-8
+# BYTES of text, and the kernels read bytes — ord(substr(text, i, 1))
+# reads CHARACTERS, which only coincides on ASCII.  hex(encode(text))
+# exposes the true byte stream to SQL: byte i is the 2-hex-digit slice
+# at position 2i-1 (works for any content incl. non-BMP code points).
 ORACLES["multimodal_extract"] = (
-    "WITH bytes AS (SELECT doc_id, ord(substr(text, t.i, 1)) % 16 AS b "
-    "FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t), "
+    "WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, "
+    "octet_length(encode(text)) AS L FROM documents "
+    "WHERE text IS NOT NULL), "
+    "bytes AS (SELECT doc_id, "
+    "('0x' || substr(hx, 2 * t.i - 1, 2))::INT % 16 AS b "
+    "FROM hx, LATERAL (SELECT unnest(range(1, L + 1)) AS i) t), "
     f"h AS (SELECT doc_id, {_EXTRACT_BINS} FROM bytes GROUP BY doc_id), "
     f"n AS (SELECT doc_id, h0, sqrt(({_EXTRACT_NORM})::DOUBLE) AS nrm FROM h) "
-    "SELECT d.doc_id, length(d.text)::INT AS byte_len, "
+    "SELECT d.doc_id, d.L::INT AS byte_len, "
     "round(n.h0 / n.nrm, 6) AS f0, 16 AS dim "
-    "FROM documents d JOIN n ON n.doc_id = d.doc_id"
+    "FROM hx d JOIN n ON n.doc_id = d.doc_id"
 )
 
 
@@ -1217,11 +1241,15 @@ ORACLES["dedup_simhash"] = (
 # 0; ASCII payloads make ord(substr()) == byte value
 
 ORACLES["multimodal_phash"] = (
-    "WITH d AS (SELECT doc_id, text, length(text) AS L, "
-    "length(text) % 48 + 1 AS h, length(text) % 64 + 1 AS w FROM documents), "
+    "WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, "
+    "octet_length(encode(text)) AS L FROM documents "
+    "WHERE text IS NOT NULL), "
+    "d AS (SELECT doc_id, hx, L, "
+    "L % 48 + 1 AS h, L % 64 + 1 AS w FROM hx), "
     "cells AS (SELECT doc_id, "
     "(ty.yy * 6) // h AS by, (tx.xx * 8) // w AS bx, "
-    "ord(substr(text, ((ty.yy * w + tx.xx) % L) + 1, 1)) AS px "
+    "('0x' || substr(hx, 2 * (((ty.yy * w + tx.xx) % L) + 1) - 1, 2))::INT "
+    "AS px "
     "FROM d, LATERAL (SELECT unnest(range(0, h)) AS yy) ty, "
     "LATERAL (SELECT unnest(range(0, w)) AS xx) tx), "
     "bsum AS (SELECT doc_id, by, bx, sum(px)::BIGINT AS s, count(*)::BIGINT AS c "
@@ -1236,11 +1264,15 @@ ORACLES["multimodal_phash"] = (
 )
 
 ORACLES["multimodal_resize"] = (
-    "WITH d AS (SELECT doc_id, text, length(text) AS L, "
-    "length(text) % 48 + 1 AS h, length(text) % 64 + 1 AS w FROM documents), "
+    "WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, "
+    "octet_length(encode(text)) AS L FROM documents "
+    "WHERE text IS NOT NULL), "
+    "d AS (SELECT doc_id, hx, L, "
+    "L % 48 + 1 AS h, L % 64 + 1 AS w FROM hx), "
     "cells AS (SELECT doc_id, h, w, "
     "(ty.yy * 6) // h AS by, (tx.xx * 8) // w AS bx, "
-    "ord(substr(text, ((ty.yy * w + tx.xx) % L) + 1, 1)) AS px "
+    "('0x' || substr(hx, 2 * (((ty.yy * w + tx.xx) % L) + 1) - 1, 2))::INT "
+    "AS px "
     "FROM d, LATERAL (SELECT unnest(range(0, h)) AS yy) ty, "
     "LATERAL (SELECT unnest(range(0, w)) AS xx) tx), "
     "bavg AS (SELECT doc_id, by, bx, avg(px) AS v FROM cells GROUP BY 1, 2, 3), "

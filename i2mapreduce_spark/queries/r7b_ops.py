@@ -319,9 +319,12 @@ ORACLES = {
         f"AS BIGINT) AS mfi_pm FROM summed WHERE nw = {MFI_N}"
     ),
     "multimodal_tile_grid": (
+        # encode(), not CAST(text AS BLOB): the cast demands ASCII and
+        # hard-errors on any multibyte character (r8 unicode sweep)
         "WITH d AS (SELECT doc_id, "
-        "(octet_length(CAST(text AS BLOB)) % 64) + 1 AS w, "
-        "(octet_length(CAST(text AS BLOB)) % 48) + 1 AS h FROM documents), "
+        "(octet_length(encode(text)) % 64) + 1 AS w, "
+        "(octet_length(encode(text)) % 48) + 1 AS h FROM documents "
+        "WHERE text IS NOT NULL), "
         f"g AS (SELECT doc_id, w, h, (w + {TILE_P} - 1) // {TILE_P} AS nx, "
         f"(h + {TILE_P} - 1) // {TILE_P} AS ny FROM d), "
         "t AS (SELECT doc_id, w, h, nx * ny AS n_patches, "

@@ -102,6 +102,45 @@ def test_null_injected_inputs_match_oracle(spark, nulls_dir, key):
     assert res.ok, str(res)
 
 
+#: unicode byte/char-confusion classes (SWEEP_DEGENERATE.md): the
+#: multimodal payload is UTF-8 BYTES, the text keys are code points
+UNICODE_KEYS = [
+    "multimodal_extract",       # hex-byte oracle vs np.frombuffer kernel
+    "multimodal_frame_sample",  # hex frames (byte slice may split a char)
+    "multimodal_tile_grid",     # octet_length(encode()), not text::BLOB
+    "text_fingerprint",         # md5 over utf-8 tokens (both engines)
+    "fn_string",                # substr/length are code-point on both
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path_factory.mktemp("uni"))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "make_unicode.py"),
+         SF_SMALL, out],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("key", UNICODE_KEYS)
+def test_unicode_inputs_match_oracle(spark, unicode_dir, key):
+    queries, oracles = build_registry()
+    df = queries[key](spark, unicode_dir)
+    con = oracle_connect(unicode_dir)
+    try:
+        res = compare(key, df, con, oracles[key])
+    finally:
+        con.close()
+    assert res.ok, str(res)
+
+
 @pytest.mark.parametrize("key", REPRESENTATIVE_KEYS)
 def test_degenerate_inputs_are_well_defined(spark, degenerate_dir, key):
     queries, oracles = build_registry()
