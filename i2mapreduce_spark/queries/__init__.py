@@ -127,6 +127,16 @@ _GROUP_MODULES = [
 # oracles (now hex(encode(text)) byte slicing — the text surface
 # itself was unicode-clean on first run).
 #
+# Verification on the final continuation code: drive_entry (469 keys
+# vs oracles at sf0.01, vanilla session) PASS after every edit batch —
+# 5 runs this session; all four degenerate fixtures 469/469; sf1
+# canary 20/20 twice; a full sf0.1 sweep vs the committed baseline
+# with zero ratio alarms (SWEEP_DEGENERATE.md, perf section); pytest
+# 768/768 (730 pre-existing + 38 new degenerate/NULL/unicode/window
+# tests); bench flat vs r7 after host-variance normalization.
+# _R10_WINDOW is pre-staged, so r9 AND r10 window rotations are each a
+# one-name swap.
+#
 # Round-7 state: consolidation, zero new keys; 10x stress fixture
 # exposed and fixed the localCheckpoint stats-compounding bug (see
 # plans/iterate.py::checkpoint_without_stats and SWEEP_SF1.md) and the
