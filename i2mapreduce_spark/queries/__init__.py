@@ -79,16 +79,18 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R9 HANDOFF: after the r8 window below lands in CORRECTNESS_r08, the
-# remaining backlog is 68 hash-oracled keys (plus 7 rows-only keys that
-# stay out of windows by design: sim_mmr_rerank, iter_scc,
+# R10 HANDOFF: the r9 window (_R9_WINDOW, active below) drains 50 of
+# the never-driver-graded hash keys; the final 18 sit in _R10_WINDOW.
+# The r10 rotation is again a one-name swap in build_registry():
+# `_R10_WINDOW + _R11_WINDOW` first — its first-50 = the 18 remaining
+# never-graded keys + the 32 oldest re-grades (_R11_WINDOW[:32]),
+# after which the cumulative driver record covers every hash-oracled
+# key and the ledger switches to rolling freshness (_R11_WINDOW and
+# successors re-grade the oldest rows; recompute the cohort from the
+# committed CORRECTNESS files, never hard-code counts).  7 rows-only
+# keys stay out of windows by design (sim_mmr_rerank, iter_scc,
 # embedding_pq_codes, embedding_whitening, iter_als_topitems,
-# ts_spectral_peak, iter_maximal_matching).  _R9_WINDOW below is already
-# staged (the next 50 of tools/r8_window_costs.json) — the r9 builder
-# only swaps _R8_WINDOW -> _R9_WINDOW in build_registry() and the window
-# test import.  The final 18 keys drain in r10 via _R10_WINDOW (also
-# pre-staged below — r10 is the same one-name swap, after which the
-# cumulative driver record covers every hash-oracled key).
+# ts_spectral_peak, iter_maximal_matching).
 # tests/test_registry_window.py enforces all window hygiene.
 #
 # Round-8 final state (2026-08-15): scale-hardening round, ZERO new
@@ -280,7 +282,7 @@ _R9_WINDOW = [
 # and the window test; after r10 lands, the cumulative driver record
 # covers every hash-oracled key and the window machinery can retire
 # (build_registry then returns plain module order).
-_R10_WINDOW = [
+_R10_WINDOW = [  # 18 keys; the r10 first-50 = these + _R11_WINDOW[:32]
     "window_kama",
     "agg_kendall_tau",
     "iter_katz_centrality",
@@ -301,6 +303,70 @@ _R10_WINDOW = [
     "ts_theil_sen",
 ]
 
+# _R11_WINDOW: rolling-freshness re-grades (r8 verdict item 5).  Once
+# _R10_WINDOW drains, every hash-oracled key has a driver row — but the
+# r1-era rows are 9+ rounds stale.  These are the 50 OLDEST-graded hash
+# keys (latest driver row = round 1 or 2; recomputed from the committed
+# CORRECTNESS_r*.json files — 46 keys last graded in r1, plus the 4
+# alphabetically-first r2 keys), staged so the ledger becomes a rolling
+# freshness check instead of a one-shot census.  The r10 first-50 is
+# _R10_WINDOW (18) + _R11_WINDOW[:32]; the r11 builder then rotates to
+# _R11_WINDOW[32:] + the next-oldest cohort.  Unlike _R8-_R10 these
+# keys HAVE green driver rows already — the hygiene test treats
+# re-grades as legitimate window members, not wasted slots.
+_R11_WINDOW = [
+    "agg_bool_bitwise",
+    "agg_corr_covar",
+    "agg_cube",
+    "agg_distinct_count",
+    "agg_filter_clause",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram_bins",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "agg_string_concat",
+    "agg_unpivot",
+    "case_coalesce_cast",
+    "cte_exchange_reuse",
+    "filter_in_like_null",
+    "filter_range_pred",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_correlated_subquery",
+    "join_cross",
+    "join_full_outer",
+    "join_lateral",
+    "join_left_outer",
+    "join_multiway",
+    "join_null_safe",
+    "join_range_binned",
+    "join_range_theta",
+    "join_scalar_subquery",
+    "join_semi",
+    "join_shuffle_equi",
+    "project_expr",
+    "sample_hash_bucket",
+    "scan_filter_pushdown",
+    "scan_full",
+    "scan_project_prune",
+    "sink_partitioned_pruning",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_kv",
+    "dedup_exact_hash",
+    "dedup_near_jaccard",
+    "fn_array",
+    "fn_array_hof",
+]
+
 
 def build_registry() -> tuple[dict, dict]:
     queries: dict = {}
@@ -316,7 +382,7 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R8_WINDOW + _R9_WINDOW:
+    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

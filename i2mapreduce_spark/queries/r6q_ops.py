@@ -446,10 +446,11 @@ def q_ts_runs_test(spark, sf_dir):
         F.sum("s").alias("n1"),
         F.sum(F.lit(1) - F.col("s")).alias("n2"),
         F.sum("new_run").alias("r"),
-        # the z statistic needs both sign classes; on a degenerate series
-        # (empty input, or all days at the median) there is no verdict
-        # row — mirrored by the oracle's WHERE below
-    ).filter(F.col("n1").isNotNull() & (F.col("n1") + F.col("n2") > 1))
+        # the z statistic needs both sign classes (one-sided survivors
+        # make var=0 -> ANSI DIVIDE_BY_ZERO where DuckDB yields NULL);
+        # on a degenerate series there is no verdict row — mirrored by
+        # the oracle's WHERE below
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
     mu = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / (
         F.col("n1") + F.col("n2")
     )
@@ -499,5 +500,5 @@ ORACLES["ts_runs_test"] = (
     "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
     "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96 "
     "AS rejects_randomness FROM agg "
-    "WHERE n1 IS NOT NULL AND n1 + n2 > 1"
+    "WHERE n1 > 0 AND n2 > 0"
 )

@@ -48,7 +48,13 @@ def q_agg_two_proportion_ztest(spark, sf_dir):
     n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
     n2, k2 = F.col("n2").cast("double"), F.col("k2").cast("double")
     pp = (k1 + k2) / (n1 + n2)
-    z = (k1 / n1 - k2 / n2) / F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    # try_divide: pooled p of 0 or 1 (no successes anywhere, or all
+    # successes) makes the denominator 0 — Spark ANSI '/' would throw
+    # DIVIDE_BY_ZERO where DuckDB's x/0 yields NULL; NULL z / NULL
+    # verdict is the right undefined-test answer on both engines
+    z = F.try_divide(
+        k1 / n1 - k2 / n2, F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    )
     # the test needs BOTH variants observed; on empty/one-armed input
     # there is no comparison to report (oracle mirrors with WHERE)
     return wide.filter(
@@ -59,7 +65,12 @@ def q_agg_two_proportion_ztest(spark, sf_dir):
         "n2",
         "k2",
         F.round(z, 6).alias("z_stat"),
-        (F.abs(z) > 1.959963984540054).alias("reject_05"),
+        # coalesce: with z undefined (pooled p = 0 or 1) the test cannot
+        # reject — and a NULL boolean renders engine-differently through
+        # pandas (Spark None vs DuckDB NaN), so keep the verdict NOT NULL
+        F.coalesce(
+            F.abs(z) > 1.959963984540054, F.lit(False)
+        ).alias("reject_05"),
     )
 
 
@@ -230,10 +241,10 @@ ORACLES = {
         "sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
         "* (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
         "* (1.0 / n1 + 1.0 / n2)), 6) AS z_stat, "
-        "abs((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) / "
+        "coalesce(abs((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) / "
         "sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
         "* (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
-        "* (1.0 / n1 + 1.0 / n2))) > 1.959963984540054 AS reject_05 "
+        "* (1.0 / n1 + 1.0 / n2))) > 1.959963984540054, false) AS reject_05 "
         "FROM w WHERE n1 IS NOT NULL AND n2 IS NOT NULL"
     ),
     "agg_abc_classification": (

@@ -141,6 +141,64 @@ def test_unicode_inputs_match_oracle(spark, unicode_dir, key):
     assert res.ok, str(res)
 
 
+@pytest.fixture(scope="module")
+def onesided_dir(tmp_path_factory):
+    """r8-advice fixture: inputs that push the two test statistics into
+    their zero-variance corner.
+
+    - orders: 5 one-order days with daily cents {1,1,1,2,3} — median
+      cents = 1, so the three median days DROP from the runs test and
+      the survivors {2,3} are BOTH above the median (n1=2, n2=0): the
+      old ``n1+n2>1`` guard passed this, var=0, and Spark ANSI threw
+      DIVIDE_BY_ZERO while DuckDB returned a NULL-z row.
+    - events: both user-id parities present but ZERO purchases, so the
+      pooled proportion is 0 and the old plain '/' z-quotient divided
+      by sqrt(0) under ANSI while DuckDB yielded NULL.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    out = str(tmp_path_factory.mktemp("onesided"))
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_SMALL, f"{t}.parquet"))
+        if t == "orders":
+            df = tbl.slice(0, 5).to_pandas()
+            df["o_orderdate"] = pd.to_datetime(
+                ["1995-01-0%d" % d for d in range(1, 6)]
+            )
+            df["o_totalprice"] = np.array([0.01, 0.01, 0.01, 0.02, 0.03])
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+        elif t == "events":
+            df = tbl.to_pandas()
+            df["event_type"] = "view"  # both variants, zero conversions
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize(
+    "key", ["ts_runs_test", "agg_two_proportion_ztest"]
+)
+def test_zero_variance_statistics_match_oracle(spark, onesided_dir, key):
+    queries, oracles = build_registry()
+    df = queries[key](spark, onesided_dir)
+    con = oracle_connect(onesided_dir)
+    try:
+        res = compare(key, df, con, oracles[key])
+    finally:
+        con.close()
+    assert res.ok, str(res)
+    if key == "ts_runs_test":
+        # one-sided survivors -> n2=0 -> no verdict row on BOTH engines
+        assert df.count() == 0
+    else:
+        # both arms observed, pooled p = 0 -> one row, NULL z, no reject
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["z_stat"] is None
+        assert rows[0]["reject_05"] is False
+
+
 @pytest.mark.parametrize("key", REPRESENTATIVE_KEYS)
 def test_degenerate_inputs_are_well_defined(spark, degenerate_dir, key):
     queries, oracles = build_registry()

