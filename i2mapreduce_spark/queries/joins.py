@@ -125,10 +125,18 @@ def q_join_asof(spark, sf_dir):
     ignorenulls picks the most recent view — one shuffle, no pair join.
     Tie among equal-ts views resolved toward the larger event_id, matching
     the oracle's ORDER BY v.ts DESC, v.event_id DESC.
+
+    NULL join keys: a window's partitionBy groups NULLs TOGETHER, but a
+    join key of NULL must match nothing (SQL equi-join semantics the
+    oracle's LEFT JOIN enforces) — so NULL-user purchases bypass the
+    shuffle entirely (view_id NULL by construction) and NULL-user views
+    are dropped before the window.  At scale this also removes the
+    NULL hot partition a real warehouse would otherwise shuffle.
     """
     load_tables(spark, sf_dir)
     ev = spark.table("events").filter(F.col("event_type").isin("view", "purchase"))
-    ev = ev.withColumn(
+    ev_nn = ev.filter(F.col("user_id").isNotNull())
+    ev_nn = ev_nn.withColumn(
         "rk", F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
     )
     w = (
@@ -139,11 +147,19 @@ def q_join_asof(spark, sf_dir):
     last_view = F.last(
         F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
     ).over(w)
-    return (
-        ev.withColumn("view_id", last_view)
+    matched = (
+        ev_nn.withColumn("view_id", last_view)
         .filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "view_id")
     )
+    unmatched = (
+        ev.filter(F.col("user_id").isNull() & (F.col("event_type") == "purchase"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.lit(None).cast("long").alias("view_id"),
+        )
+    )
+    return matched.unionByName(unmatched)
 
 
 def q_join_asof_nearest(spark, sf_dir):

@@ -810,8 +810,13 @@ def q_join_bloom_prefilter(spark, sf_dir):
     explicitly."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
+    # NULL custkeys are not customers and can never equi-match the semi
+    # join — drop them BEFORE the top-N ranking so they neither burn a
+    # rank slot (engine NULL-ordering divergence on ties) nor reach the
+    # driver-side bit-position collect as None
     top = (
-        o.groupBy("o_custkey")
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
         .withColumn(
             "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), "o_custkey"))
@@ -1079,7 +1084,8 @@ ORACLES = {
     "join_bloom_prefilter": (
         "WITH top AS (SELECT o_custkey, "
         "row_number() OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) "
-        "DESC, o_custkey) AS rn FROM orders GROUP BY o_custkey "
+        "DESC, o_custkey) AS rn FROM orders "
+        "WHERE o_custkey IS NOT NULL GROUP BY o_custkey "
         f"QUALIFY rn <= {BLOOM_TOPN}) "
         "SELECT o.o_custkey, count(*) AS n_orders, "
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "

@@ -66,7 +66,11 @@ def _attr_fn(key, pdf_iter, state: GroupState):
             ).astype("int32")
             yield pd.DataFrame(
                 {
-                    "user_id": pdf["user_id"][is_p].astype("int64"),
+                    # nullable Int64: the NULL-user group is a real keyed
+                    # group here (window PARTITION BY semantics in the
+                    # batch oracle group NULLs together), and its user_id
+                    # arrives as NaN — plain int64 astype would throw
+                    "user_id": pdf["user_id"][is_p].astype("Int64"),
                     "day": pdf["ts"][is_p].dt.strftime("%Y-%m-%d"),
                     # nullable Int64: a purchase with no recorded value
                     # still counts, its cents stay NULL (plain int64

@@ -158,8 +158,12 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     o = spark.table("orders")
+    # NULL keys are not entities: a NULL l_partkey is not an item (and
+    # would crash the sorted() over collected item ids), a NULL
+    # o_custkey is not a user — both drop before the ratings matrix
     top = (
-        li.groupBy("l_partkey")
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
         .agg(F.sum("l_quantity").alias("pop"))
         .orderBy(F.col("pop").desc(), "l_partkey")
         .limit(ALS_ITEMS)
@@ -176,6 +180,7 @@ def q_iter_als_topitems(spark, sf_dir, iters=ALS_ITERS):
     ratings = (
         li.join(F.broadcast(top), "l_partkey")
         .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey").isNotNull())
         .groupBy(
             F.col("o_custkey").alias("user"),
             F.col("l_partkey").alias("item"),

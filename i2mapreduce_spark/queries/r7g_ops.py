@@ -118,10 +118,13 @@ def q_source_weblog_parse(spark, sf_dir):
     from .scans import _scratch_dir
 
     load_tables(spark, sf_dir)
-    # complete-case: an event without a byte count cannot form a log
-    # line (concat with NULL would serialize an empty line that fails
-    # the read-back cast) — excluded on both sides
-    e = spark.table("events").filter(F.col("value").isNotNull())
+    # complete-case: an event without a byte count OR without a user
+    # (NULL user_id -> NULL IP octets) cannot form a log line (concat
+    # with NULL serializes an empty line that fails the read-back
+    # cast) — excluded on both sides
+    e = spark.table("events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     line = F.concat(
         F.lit("10."),
         (F.col("user_id") % 256).cast("string"),
@@ -235,7 +238,7 @@ ORACLES = {
         "AS status, CAST(count(*) AS BIGINT) AS n_requests, "
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
         "AS BIGINT) AS total_bytes FROM events "
-        "WHERE value IS NOT NULL GROUP BY 1, 2"
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2"
     ),
     "setop_division": (
         "WITH per AS (SELECT o_custkey, "

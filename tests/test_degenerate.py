@@ -102,6 +102,51 @@ def test_null_injected_inputs_match_oracle(spark, nulls_dir, key):
     assert res.ok, str(res)
 
 
+#: one key per r9 NULL-JOIN-KEY divergence class (SWEEP_DEGENERATE.md):
+#: join keys have shape-dependent NULL semantics — equi/asof joins never
+#: match NULL keys, window PARTITION BY and groupBy group them together
+NULLFK_KEYS = [
+    "join_asof",            # window-as-join must NOT let NULL match NULL
+    "join_bloom_prefilter", # NULL key in the collected runtime filter
+    "source_weblog_parse",  # NULL FK -> NULL concat -> unparseable line
+    "stream_attribution",   # NULL group key IS legit (window semantics)
+    "iter_als_topitems",    # NULL keys are not entities (rows-only)
+    "join_null_safe",       # <=> must keep matching NULL keys
+    "join_not_in_null_trap",  # NOT IN over a now-NULLable key column
+]
+
+
+@pytest.fixture(scope="module")
+def nullfk_dir(tmp_path_factory):
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path_factory.mktemp("nullfk"))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "make_nulls.py"),
+         SF_SMALL, out, "--fks"],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("key", NULLFK_KEYS)
+def test_null_join_key_inputs_match_oracle(spark, nullfk_dir, key):
+    queries, oracles = build_registry()
+    df = queries[key](spark, nullfk_dir)
+    if key in oracles:
+        con = oracle_connect(nullfk_dir)
+        try:
+            res = compare(key, df, con, oracles[key])
+        finally:
+            con.close()
+        assert res.ok, str(res)
+    else:
+        assert df.count() >= 0  # rows-only: well-defined, no crash
+
+
 #: unicode byte/char-confusion classes (SWEEP_DEGENERATE.md): the
 #: multimodal payload is UTF-8 BYTES, the text keys are code points
 UNICODE_KEYS = [

@@ -18,7 +18,13 @@ parquet with the SAME file layout the catalog expects
   leaves dedup/similarity keys with 10x candidates per bucket — the
   WORST case for those kernels, which is what a stress sweep wants.
 
-Usage:  python tools/make_sf1.py [out_dir]      (default /tmp/testdata/sf1)
+Usage:  python tools/make_sf1.py [out_dir] [--copies N] [--src DIR]
+        (default /tmp/testdata/sf1, 10 copies of /root/testdata/sf0.1)
+
+r9: --copies/--src generalize the same derivation one more decade —
+`python tools/make_sf1.py /tmp/testdata/sf10 --copies 10 --src
+/tmp/testdata/sf1` builds the ~sf10 canary fixture (strides re-derived
+from the src's own max keys, so chained scale-ups stay join-consistent).
 """
 
 from __future__ import annotations
@@ -32,8 +38,8 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from i2mapreduce_spark.session import get_spark  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
-COPIES = 10
+SRC = "/root/testdata/sf0.1"   # overridable via --src
+COPIES = 10                     # overridable via --copies
 
 #: key DOMAINS: each domain's shift stride is derived once, from the
 #: PK-OWNING table's max key, and applied to the PK and every
@@ -69,18 +75,18 @@ SHIFT_COLS = {
 COPY_TABLES = ["region", "nation"]
 
 
-def _domain_strides(spark) -> dict[str, int]:
+def _domain_strides(spark, src: str) -> dict[str, int]:
     strides = {}
     for dom, (table, pk) in DOMAINS.items():
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        df = spark.read.parquet(f"{src}/{table}.parquet")
         strides[dom] = int(df.agg(F.max(pk)).first()[0]) + 1
     return strides
 
 
 def _scaled(df: DataFrame, cols: dict[str, str], strides: dict[str, int],
-            stagger_ts: bool) -> DataFrame:
+            stagger_ts: bool, copies: int) -> DataFrame:
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         p = df
         for c, dom in cols.items():
             p = p.withColumn(
@@ -98,18 +104,25 @@ def _scaled(df: DataFrame, cols: dict[str, str], strides: dict[str, int],
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
+    argv = sys.argv[1:]
+    src, copies = SRC, COPIES
+    if "--src" in argv:
+        i = argv.index("--src"); src = argv[i + 1]; del argv[i:i + 2]
+    if "--copies" in argv:
+        i = argv.index("--copies"); copies = int(argv[i + 1]); del argv[i:i + 2]
+    out_dir = argv[0] if argv else "/tmp/testdata/sf1"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="i2mr-make-sf1", shuffle_partitions=32)
-    strides = _domain_strides(spark)
+    strides = _domain_strides(spark, src)
     print(f"domain strides: {strides}", flush=True)
     for name in COPY_TABLES:
-        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df = spark.read.parquet(f"{src}/{name}.parquet")
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"{name}: copied {df.count()} rows", flush=True)
     for name, cols in SHIFT_COLS.items():
-        df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        big = _scaled(df, cols, strides, stagger_ts=(name == "events"))
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        big = _scaled(df, cols, strides, stagger_ts=(name == "events"),
+                      copies=copies)
         # ~128MB-target files: repartition by first key so downstream
         # scans start from a sane layout, like a real sf1 export would
         first_key = next(iter(cols))
@@ -117,7 +130,7 @@ def main() -> None:
             f"{out_dir}/{name}.parquet"
         )
         print(f"{name}: {df.count()} -> {big.count()} rows", flush=True)
-    print(f"sf1 fixture at {out_dir}")
+    print(f"scaled fixture ({copies}x {src}) at {out_dir}")
 
 
 if __name__ == "__main__":
