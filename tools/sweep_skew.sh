@@ -4,7 +4,20 @@
 # the same configuration, and alarm if any key runs > 3x slower on the
 # skewed data — same data volume, so a breach is a skew-handling
 # failure, not growth.  Pass SWEEP_PARTITIONS=64 for the straggler
-# regime (hot key >> mean partition).  Exit 1 on breach or error.
+# regime (hot key >> mean partition).  FULL=1 sweeps ALL 469 registry
+# keys instead of the hand-picked hot list (r9: first full run found
+# only work-growth breaches, see SWEEP_SKEW.md §r9).  Exit 1 on breach
+# or error.
+#
+# Skew exemptions (SWEEP_ALLOW below, each with measured rationale in
+# SWEEP_SKEW.md §r9): join_range_theta's output is 62x BIGGER on the
+# skewed data (band pairs are quadratic in per-user temporal density;
+# its declared scale twin join_range_binned produces the identical
+# result at 1.08x), and iter_mst_forest's input co-purchase graph has
+# 20x MORE EDGES (hot part -> hub of degree 160k; wall grew only 8.2x,
+# SUB-linear in input).  Both are work growth the fixture manufactures,
+# not skew-handling failures — "same data volume" is false for keys
+# whose working set is a DERIVED structure.
 set -e
 cd "$(dirname "$0")/.."
 SF1=${SF1:-/tmp/testdata/sf1}
@@ -23,12 +36,21 @@ if [ ! -d "$SKEW/lineitem.parquet" ] || \
     python tools/make_skew.py "$SF1" "$SKEW"
     printf '%s' "$KSTAMP" > "$SKEW/.genstamp"
 fi
-KEYS="mr_salted_skew_agg join_skew_salted mr_secondary_sort
+if [ "${FULL:-0}" = "1" ]; then
+    KEYS=""   # empty key list = every registry key
+else
+    KEYS="mr_salted_skew_agg join_skew_salted mr_secondary_sort
 window_topk_per_group window_funnel_stages stream_session_window
 join_multiway agg_pricing_summary agg_count_min_sketch agg_skew_kurt
 mr_wordcount"
+fi
+# the tool's default quadratic-contract exemptions PLUS the two
+# skew-fixture-specific derived-structure keys (rationale in header) —
+# SWEEP_ALLOW replaces the default, so re-list it here
+DEFAULT_ALLOW=$(python -c "import sys; sys.path.insert(0,'tools'); import sweep_sf01; print(sweep_sf01.DEFAULT_ALLOW)")
+ALLOW="$DEFAULT_ALLOW,join_range_theta,iter_mst_forest"
 BASE=/tmp/sweep_skew_uniform_base.json
 SWEEP_SF_DIR="$SF1" SWEEP_OUT="$BASE" python tools/sweep_sf01.py $KEYS
 SWEEP_SF_DIR="$SKEW" SWEEP_BASELINE="$BASE" SWEEP_MAX_RATIO=3 \
-    SWEEP_OUT=/tmp/sweep_skew_times.json \
+    SWEEP_ALLOW="$ALLOW" SWEEP_OUT=/tmp/sweep_skew_times.json \
     exec python tools/sweep_sf01.py $KEYS
