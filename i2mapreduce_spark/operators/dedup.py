@@ -153,7 +153,8 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 48,
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
                       bands: int = 12, shingle_n: int = 3, seed: int = 42,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      collapse_dups: bool = True) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact re-score.
 
     bands=12 x rows=4 over 48 hashes -> s-curve threshold ~ (1/12)^(1/4)
@@ -161,7 +162,78 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
     EXACT Jaccard join restricted to candidate pairs.  100TB path: no
     quadratic join — one shuffle for signatures, one per-band bucket
     grouping, exact join only over candidates.
+
+    `collapse_dups=True` (default) collapses EXACT-duplicate texts
+    before the index (r9): on a duplicate-saturated corpus (the regime
+    web-scale dedup actually meets — the sf10 canary's 100-copy docs)
+    every band bucket holds the whole duplicate group, so the candidate
+    join and the shingle re-score go quadratic in the duplication
+    factor (measured: >57 GB of shuffle spill, disk exhaustion).  The
+    collapse runs banding + re-scoring on one representative per
+    distinct text and reconstitutes the pair list afterwards: identical
+    texts pair at jaccard exactly 1.0 without touching their shingles,
+    and each surviving representative pair expands to its groups' cross
+    pairs.  The OUTPUT is unchanged (and inherently quadratic in
+    duplication — it lists all pairs); only the intermediate volume
+    drops from O(dups^2 x bands + pairs x shingles) to O(output).
+    Identity on a duplicate-free corpus.
     """
+    if collapse_dups:
+        eligible = df.filter(F.col(text_col).isNotNull())
+        gid = F.md5(F.col(text_col).cast("binary")).alias("gid")
+        keyed = eligible.select(F.col(id_col), F.col(text_col), gid)
+        wg = Window.partitionBy("gid").orderBy(id_col)
+        members = keyed.select(
+            id_col, "gid", F.col(text_col),
+            F.row_number().over(wg).alias("rn"),
+        ).localCheckpoint(eager=False)
+        reps = members.filter(F.col("rn") == 1).select(id_col, text_col)
+        # a group only pairs if its text yields >= 1 shingle (parity
+        # with the uncollapsed path, where shingle-less docs never
+        # reach the signature stage) — decided once per group, on the
+        # representative
+        shingled_reps = (
+            shingles(reps, n=shingle_n, text_col=text_col, id_col=id_col)
+            .select(id_col).distinct()
+            .join(members.filter(F.col("rn") == 1), id_col)
+            .select("gid")
+        )
+        m = members.join(shingled_reps, "gid").select(id_col, "gid")
+        l, r = m.alias("l"), m.alias("r")
+        within = (
+            l.join(
+                r,
+                (F.col("l.gid") == F.col("r.gid"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("d1"),
+                F.col(f"r.{id_col}").alias("d2"),
+                F.lit(1.0).alias("jac"),
+            )
+        )
+        rep_pairs = minhash_lsh_pairs(
+            reps, threshold, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, seed=seed, text_col=text_col,
+            id_col=id_col, collapse_dups=False,
+        )
+        mem = members.select(F.col(id_col).alias("__mid"), F.col("gid"))
+        rep_gid = members.filter(F.col("rn") == 1).select(
+            F.col(id_col).alias("__rid"), F.col("gid").alias("__rgid")
+        )
+        expanded = (
+            rep_pairs
+            .join(rep_gid.alias("g1"), F.col("d1") == F.col("g1.__rid"))
+            .join(rep_gid.alias("g2"), F.col("d2") == F.col("g2.__rid"))
+            .join(mem.alias("m1"), F.col("m1.gid") == F.col("g1.__rgid"))
+            .join(mem.alias("m2"), F.col("m2.gid") == F.col("g2.__rgid"))
+            .select(
+                F.least(F.col("m1.__mid"), F.col("m2.__mid")).alias("d1"),
+                F.greatest(F.col("m1.__mid"), F.col("m2.__mid")).alias("d2"),
+                "jac",
+            )
+        )
+        return within.unionByName(expanded)
     rows_per_band = num_hashes // bands
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col).cache()
     sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed, id_col=id_col)

@@ -282,10 +282,112 @@ def _score_id_pairs(cand: DataFrame, emb_df: DataFrame,
     return paired.select("vec_id", "nbr", F.round(sim, 4).alias("sim"))
 
 
+def _topk_with_duplicate_collapse(spark: SparkSession, emb_df: DataFrame,
+                                  k: int, raw_kernel, id_col: str,
+                                  vec_col: str) -> DataFrame:
+    """Exact-duplicate collapse around an ANN pair kernel (r9).
+
+    A duplicate-saturated corpus is the regime a training-data pipeline
+    actually feeds an ANN index (boilerplate pages, mirrored docs): the
+    sf10 canary's 100-copies-per-vector corpus made every LSH bucket /
+    IVF cell hold >=100 identical members, so the candidate pair join
+    went quadratic in the duplication factor and OOM'd a 48 GiB heap.
+    Production systems collapse exact duplicates BEFORE indexing; this
+    wrapper does exactly that, preserving the kernels' output contract
+    (per vec_id, top-k among LARGER ids by (sim DESC, nbr ASC)):
+
+    1. group identical vectors (md5 of the embedding's JSON bytes) —
+       one narrow map + one shuffle on the group key;
+    2. WITHIN a group, member #i's neighbors are simply its next-k
+       larger twins at sim 1.0 (k lead() columns over the group window
+       — N*k rows, no pair join at all);
+    3. the raw ANN kernel runs on the UNIQUE representatives only, so
+       its bucket/cell joins see each distinct vector once;
+    4. members whose within-group twins cannot fill all k slots expand
+       the rep-level pairs (symmetrized — the kernel only reports
+       larger-id reps) to the neighbor group's members with id > the
+       querying member, re-ranked under the same (sim DESC, nbr ASC)
+       order.  Expansion volume is O(N * k) rows.
+
+    On a duplicate-free corpus every group is a singleton: step 2 emits
+    nothing, step 4's id-order filter reduces to the kernel's own
+    output — the wrapper is identity (the autoscale knobs then also see
+    the same N).  With duplicates, the knobs see the UNIQUE count,
+    which is the honest index density.
+    """
+    from pyspark.sql import Window
+
+    keyed = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+        F.md5(F.to_json(F.col(vec_col))).alias("gid"),
+    )
+    wg = Window.partitionBy("gid").orderBy("vec_id")
+    wg_all = Window.partitionBy("gid")
+    members = keyed.select(
+        "vec_id",
+        "gid",
+        "__vec",
+        (F.row_number().over(wg) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wg_all).alias("gsize"),
+        F.first("vec_id").over(wg).alias("rep_id"),
+    ).localCheckpoint(eager=False)
+
+    # 2. within-group twins: next-k larger ids at sim 1.0
+    lead_cols = [F.lead("vec_id", j).over(wg).alias(f"__l{j}")
+                 for j in range(1, k + 1)]
+    within = (
+        members.select("vec_id", "gid", *lead_cols)
+        .select(
+            "vec_id",
+            F.explode(F.array(*[F.col(f"__l{j}") for j in range(1, k + 1)])).alias("nbr"),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .select("vec_id", "nbr", F.lit(1.0).alias("sim"))
+    )
+
+    # 3. ANN over unique representatives only
+    reps = (
+        members.filter(F.col("idx") == 0)
+        .select(F.col("vec_id").alias(id_col), F.col("__vec").alias(vec_col))
+    )
+    rep_pairs = raw_kernel(reps)  # (vec_id=q_rep, nbr=n_rep, sim), nbr > vec_id
+
+    # 4. cross-group expansion for deficit members only
+    sym = rep_pairs.select(
+        F.col("vec_id").alias("q_rep"), F.col("nbr").alias("n_rep"), "sim"
+    ).unionByName(
+        rep_pairs.select(
+            F.col("nbr").alias("q_rep"), F.col("vec_id").alias("n_rep"), "sim"
+        )
+    )
+    need = members.filter(F.col("idx") + k >= F.col("gsize")).select(
+        "vec_id", "rep_id"
+    )
+    n_members = members.select(
+        F.col("rep_id").alias("n_rep"), F.col("vec_id").alias("nbr")
+    )
+    cross = (
+        need.join(sym, need["rep_id"] == sym["q_rep"])
+        .join(n_members, "n_rep")
+        .filter(F.col("nbr") > F.col("vec_id"))
+        .select("vec_id", "nbr", "sim")
+    )
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        within.unionByName(cross)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_lists: int | None = None, n_probe: int | None = None,
                     train_iters: int = 5,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    collapse_dups: bool = True) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the other
     standard ANN scale path next to LSH: spherical k-means splits the
     space into `n_lists` cells; each query probes only its `n_probe`
@@ -314,7 +416,23 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     O(N^1.5 log N) candidate volume).  Pass explicit values to pin the
     layout (the recall fixtures at N<=2k resolve to 16 lists / 4 probes
     either way).
+
+    `collapse_dups=True` (default) indexes only distinct vectors and
+    reconstitutes duplicate members' neighbor lists afterwards — see
+    _topk_with_duplicate_collapse (identity on a duplicate-free corpus;
+    mandatory on duplicate-saturated ones, where cell joins otherwise
+    go quadratic in the duplication factor).
     """
+    if collapse_dups:
+        return _topk_with_duplicate_collapse(
+            spark, emb_df, k,
+            lambda reps: cosine_topk_ivf(
+                spark, reps, k, n_lists=n_lists, n_probe=n_probe,
+                train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+                collapse_dups=False,
+            ),
+            id_col, vec_col,
+        )
     if n_lists is None:
         n_lists = max(16, int(emb_df.count() ** 0.5))
     if n_probe is None:
@@ -385,7 +503,8 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
 def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
                     n_planes: int | None = None, n_tables: int = 16,
                     n_flip: int | None = None, seed: int = 42,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    collapse_dups: bool = True) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: the 100TB scale path.
 
     Each table hashes a vector to a signature bucket (sign pattern against
@@ -422,7 +541,24 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     At the test fixtures' N <= 2k both defaults resolve to the original
     (8 planes, 0 probes) layout, so goldens are unchanged; pass explicit
     values to pin a layout.
+
+    `collapse_dups=True` (default) indexes only distinct vectors and
+    reconstitutes duplicate members' neighbor lists afterwards — see
+    _topk_with_duplicate_collapse (identity on a duplicate-free corpus;
+    mandatory on duplicate-saturated ones, where the bucket join
+    otherwise goes quadratic in the duplication factor — the sf10
+    canary's 100-dup corpus OOM'd a 48 GiB heap without it).
     """
+    if collapse_dups:
+        return _topk_with_duplicate_collapse(
+            spark, emb_df, k,
+            lambda reps: cosine_topk_lsh(
+                spark, reps, k, n_planes=n_planes, n_tables=n_tables,
+                n_flip=n_flip, seed=seed, id_col=id_col, vec_col=vec_col,
+                collapse_dups=False,
+            ),
+            id_col, vec_col,
+        )
     if n_planes is None:
         n_cnt = emb_df.count()
         n_planes = max(8, int(n_cnt).bit_length() - 3)

@@ -12,6 +12,10 @@ set -e
 cd "$(dirname "$0")/.."
 SF1=${SF1:-/tmp/testdata/sf1}
 SF10=${SF10:-/tmp/testdata/sf10}
+# 100x the grading scale needs more than the 8g default single-JVM
+# heap (first run: OOM killed the context after iter_triangle_count);
+# applied to BOTH passes so the ratio compares like against like
+export I2MR_DRIVER_MEM=${I2MR_DRIVER_MEM:-48g}
 # regen when absent OR the generator changed since the fixture was cut
 STAMP=$(md5sum tools/make_sf1.py | cut -d' ' -f1)
 if [ ! -d "$SF1/lineitem.parquet" ] || \
