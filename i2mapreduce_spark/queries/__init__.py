@@ -93,6 +93,25 @@ _GROUP_MODULES = [
 # ts_spectral_peak, iter_maximal_matching).
 # tests/test_registry_window.py enforces all window hygiene.
 #
+# Round-9 final state (2026-08-16): verification-extension round, ZERO
+# new keys.  All r8 verdict items + all 3 advice items executed:
+# window rotated to _R9 (+_R11 rolling-freshness cohort staged), NULL
+# JOIN-KEY fixture added as the 5th degenerate leg (5 keys fixed —
+# the lesson: JOIN keys never match NULL but window/groupBy group
+# NULLs together; pick the oracle's shape), FULL-registry skew sweep
+# (469/469, median 1.00x, two work-growth alarms adjudicated in
+# SWEEP_SKEW.md §r9), sf1-embeddings ANN recall gate
+# (tests/test_sf1_recall.py, opt-in), and the sf10 second-decade
+# canary (tools/sweep_sf10.sh) which found + fixed the
+# duplicate-saturation quadratic in LSH/IVF/MinHash candidate joins
+# (collapse exact duplicates before indexing — similarity.py/dedup.py;
+# was OOM-at-48GiB and 57GB-spill at 100 identical copies per
+# payload).  Zero-variance statistic guards (ts_runs_test,
+# agg_two_proportion_ztest) fixed per r8 advice.  Verification on
+# final r9 code: drive_entry PASS 3x this session (after each source
+# batch); all 5 degenerate legs 469/469; skew + sf10 gates green with
+# adjudications recorded; pytest full suite green (see handoff).
+#
 # Round-8 final state (2026-08-15): scale-hardening round, ZERO new
 # keys.  All r7 verdict items + all 4 advice items executed: window
 # rotated + lifecycle-aware hygiene tests (pytest green again), ALS
