@@ -151,6 +151,74 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 48,
     )
 
 
+def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
+                                   score_col: str, within_score,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate collapse around a pair-listing dedup kernel (r9).
+
+    Shared machinery for minhash_lsh_pairs / simhash_near_pairs: group
+    identical texts (md5), emit within-group pairs directly at the
+    known score (`within_score` — jaccard 1.0 / hamming 0: identical
+    text means identical shingles AND identical simhash), run the
+    banded kernel via `rep_fn` on one representative per distinct text,
+    and expand surviving representative pairs to all member cross
+    pairs.  `eligible_fn(reps) -> DataFrame[id_col]` names the reps
+    whose text can pair at all (>=1 shingle / >=1 token) so the
+    within-group pass matches the uncollapsed path exactly.  Output is
+    unchanged; intermediate volume drops from O(dups^2 x bands) to
+    O(output).  Identity on a duplicate-free corpus.
+    """
+    eligible = df.filter(F.col(text_col).isNotNull())
+    keyed = eligible.select(
+        F.col(id_col), F.col(text_col),
+        F.md5(F.col(text_col).cast("binary")).alias("gid"),
+    )
+    wg = Window.partitionBy("gid").orderBy(id_col)
+    members = keyed.select(
+        id_col, "gid", F.col(text_col),
+        F.row_number().over(wg).alias("rn"),
+    ).localCheckpoint(eager=False)
+    reps = members.filter(F.col("rn") == 1).select(id_col, text_col)
+    pairable_gids = (
+        eligible_fn(reps)
+        .join(members.filter(F.col("rn") == 1), id_col)
+        .select("gid")
+    )
+    m = members.join(pairable_gids, "gid").select(id_col, "gid")
+    l, r = m.alias("l"), m.alias("r")
+    within = (
+        l.join(
+            r,
+            (F.col("l.gid") == F.col("r.gid"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            within_score.alias(score_col),
+        )
+    )
+    rep_pairs = rep_fn(reps)
+    mem = members.select(F.col(id_col).alias("__mid"), F.col("gid"))
+    rep_gid = members.filter(F.col("rn") == 1).select(
+        F.col(id_col).alias("__rid"), F.col("gid").alias("__rgid")
+    )
+    expanded = (
+        rep_pairs
+        .join(rep_gid.alias("g1"), F.col("d1") == F.col("g1.__rid"))
+        .join(rep_gid.alias("g2"), F.col("d2") == F.col("g2.__rid"))
+        .join(mem.alias("m1"), F.col("m1.gid") == F.col("g1.__rgid"))
+        .join(mem.alias("m2"), F.col("m2.gid") == F.col("g2.__rgid"))
+        .select(
+            F.least(F.col("m1.__mid"), F.col("m2.__mid")).alias("d1"),
+            F.greatest(F.col("m1.__mid"), F.col("m2.__mid")).alias("d2"),
+            score_col,
+        )
+    )
+    return within.unionByName(expanded)
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
                       bands: int = 12, shingle_n: int = 3, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -179,61 +247,24 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
     Identity on a duplicate-free corpus.
     """
     if collapse_dups:
-        eligible = df.filter(F.col(text_col).isNotNull())
-        gid = F.md5(F.col(text_col).cast("binary")).alias("gid")
-        keyed = eligible.select(F.col(id_col), F.col(text_col), gid)
-        wg = Window.partitionBy("gid").orderBy(id_col)
-        members = keyed.select(
-            id_col, "gid", F.col(text_col),
-            F.row_number().over(wg).alias("rn"),
-        ).localCheckpoint(eager=False)
-        reps = members.filter(F.col("rn") == 1).select(id_col, text_col)
-        # a group only pairs if its text yields >= 1 shingle (parity
-        # with the uncollapsed path, where shingle-less docs never
-        # reach the signature stage) — decided once per group, on the
-        # representative
-        shingled_reps = (
-            shingles(reps, n=shingle_n, text_col=text_col, id_col=id_col)
-            .select(id_col).distinct()
-            .join(members.filter(F.col("rn") == 1), id_col)
-            .select("gid")
+        return _pairs_with_duplicate_collapse(
+            df,
+            rep_fn=lambda reps: minhash_lsh_pairs(
+                reps, threshold, num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, seed=seed, text_col=text_col,
+                id_col=id_col, collapse_dups=False,
+            ),
+            # a group only pairs if its text yields >= 1 shingle (parity
+            # with the uncollapsed path, where shingle-less docs never
+            # reach the signature stage)
+            eligible_fn=lambda reps: shingles(
+                reps, n=shingle_n, text_col=text_col, id_col=id_col
+            ).select(id_col).distinct(),
+            score_col="jac",
+            within_score=F.lit(1.0),
+            text_col=text_col,
+            id_col=id_col,
         )
-        m = members.join(shingled_reps, "gid").select(id_col, "gid")
-        l, r = m.alias("l"), m.alias("r")
-        within = (
-            l.join(
-                r,
-                (F.col("l.gid") == F.col("r.gid"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            )
-            .select(
-                F.col(f"l.{id_col}").alias("d1"),
-                F.col(f"r.{id_col}").alias("d2"),
-                F.lit(1.0).alias("jac"),
-            )
-        )
-        rep_pairs = minhash_lsh_pairs(
-            reps, threshold, num_hashes=num_hashes, bands=bands,
-            shingle_n=shingle_n, seed=seed, text_col=text_col,
-            id_col=id_col, collapse_dups=False,
-        )
-        mem = members.select(F.col(id_col).alias("__mid"), F.col("gid"))
-        rep_gid = members.filter(F.col("rn") == 1).select(
-            F.col(id_col).alias("__rid"), F.col("gid").alias("__rgid")
-        )
-        expanded = (
-            rep_pairs
-            .join(rep_gid.alias("g1"), F.col("d1") == F.col("g1.__rid"))
-            .join(rep_gid.alias("g2"), F.col("d2") == F.col("g2.__rid"))
-            .join(mem.alias("m1"), F.col("m1.gid") == F.col("g1.__rgid"))
-            .join(mem.alias("m2"), F.col("m2.gid") == F.col("g2.__rgid"))
-            .select(
-                F.least(F.col("m1.__mid"), F.col("m2.__mid")).alias("d1"),
-                F.greatest(F.col("m1.__mid"), F.col("m2.__mid")).alias("d2"),
-                "jac",
-            )
-        )
-        return within.unionByName(expanded)
     rows_per_band = num_hashes // bands
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col).cache()
     sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed, id_col=id_col)
@@ -313,10 +344,38 @@ def simhash_values(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       collapse_dups: bool = True) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
     block banding (pigeonhole: <=3 differing bits leave >=1 block equal),
-    then exact hamming re-check via bit_count(xor)."""
+    then exact hamming re-check via bit_count(xor).
+
+    `collapse_dups=True` (default, r9): identical texts have identical
+    simhashes, so a duplicate-saturated corpus puts whole duplicate
+    groups into every block bucket and the candidate join grows with
+    the duplication factor squared (6.9x wall at the sf10 canary's
+    100-copy corpus even though it survived).  The collapse emits
+    within-group pairs directly at hamming 0 and runs the banding on
+    one representative per distinct text — same output, O(output)
+    intermediates; see _pairs_with_duplicate_collapse.
+    """
+    if collapse_dups:
+        return _pairs_with_duplicate_collapse(
+            df,
+            rep_fn=lambda reps: simhash_near_pairs(
+                reps, max_hamming=max_hamming, text_col=text_col,
+                id_col=id_col, collapse_dups=False,
+            ),
+            # parity with the uncollapsed path: a doc pairs only if it
+            # has >= 1 token (token-less docs never get a simhash row)
+            eligible_fn=lambda reps: tokens(reps, text_col, id_col)
+            .filter(F.size("toks") > 0)
+            .select(id_col),
+            score_col="hamming",
+            within_score=F.lit(0),
+            text_col=text_col,
+            id_col=id_col,
+        )
     sh = simhash_values(df, text_col, id_col)
     blocks = sh.select(
         id_col,

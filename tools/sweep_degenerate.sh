@@ -20,6 +20,7 @@ python tools/make_empty.py /root/testdata/sf0.001 "$OUT_ROOT"
 python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nulls"
 python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nullfk" --fks
 python tools/make_unicode.py /root/testdata/sf0.001 "$OUT_ROOT/sf001uni"
+python tools/make_dups.py /root/testdata/sf0.001 "$OUT_ROOT/sf001dup"
 echo "== sf0 (all tables empty) =="
 I2MR_SF_DIR="$OUT_ROOT/sf0" python tools/check_oracle.py
 echo "== sfmin (one row per table) =="
@@ -29,4 +30,6 @@ I2MR_SF_DIR="$OUT_ROOT/sf001nulls" python tools/check_oracle.py
 echo "== sf001nullfk (5% NULLs in join-key columns) =="
 I2MR_SF_DIR="$OUT_ROOT/sf001nullfk" python tools/check_oracle.py
 echo "== sf001uni (10% multibyte-unicode document text) =="
-I2MR_SF_DIR="$OUT_ROOT/sf001uni" exec python tools/check_oracle.py
+I2MR_SF_DIR="$OUT_ROOT/sf001uni" python tools/check_oracle.py
+echo "== sf001dup (every document/embedding x10 identical copies) =="
+I2MR_SF_DIR="$OUT_ROOT/sf001dup" exec python tools/check_oracle.py
