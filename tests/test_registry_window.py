@@ -25,6 +25,7 @@ from i2mapreduce_spark.queries import (
     _R9_WINDOW,
     _R10_WINDOW,
     _R11_WINDOW,
+    _R12_WINDOW,
     build_registry,
 )
 
@@ -62,66 +63,76 @@ def _is_green(row: dict) -> bool:
 
 
 def test_window_is_first_50_registry_keys():
+    # r10 era: first-50 = _R10_WINDOW (final 18 never-graded hash keys)
+    # + _R11_WINDOW[:32] (oldest re-grades).
     queries, _ = build_registry()
-    assert list(queries)[:50] == _R9_WINDOW
-    assert len(_R9_WINDOW) == 50
-    assert len(set(_R9_WINDOW)) == 50
-
-
-def test_r10_window_staged_right_after_r9():
-    # r10 must be a one-name swap: its first-50 = _R10_WINDOW (the final
-    # 18 never-graded keys) + _R11_WINDOW[:32] (oldest re-grades), which
-    # is exactly registry positions 50..100 today.
-    queries, _ = build_registry()
-    assert list(queries)[50:68] == _R10_WINDOW
-    assert list(queries)[68:118] == _R11_WINDOW
+    assert list(queries)[:50] == _R10_WINDOW + _R11_WINDOW[:32]
     assert len(set(_R10_WINDOW)) == 18
     assert len(set(_R11_WINDOW)) == 50
+
+
+def test_r11_rotation_staged_right_after_r10():
+    # r11 must be a one-name swap: its first-50 = _R11_WINDOW[32:] (the
+    # 18 re-grades r10 didn't reach) + _R12_WINDOW (32 next-oldest),
+    # which is exactly registry positions 50..100 today.
+    queries, _ = build_registry()
+    assert list(queries)[50:68] == _R11_WINDOW[32:]
+    assert list(queries)[68:100] == _R12_WINDOW
+    assert len(set(_R12_WINDOW)) == 32
     assert not set(_R9_WINDOW) & set(_R10_WINDOW)
     assert not (set(_R9_WINDOW) | set(_R10_WINDOW)) & set(_R11_WINDOW)
+    assert not (set(_R10_WINDOW) | set(_R11_WINDOW)) & set(_R12_WINDOW)
 
 
 def test_windows_cover_the_never_graded_backlog_exactly():
-    # _R8(already drained, green in CORRECTNESS_r08) + _R9 + _R10
+    # _R8 + _R9 (both drained green in CORRECTNESS_r08/r09) + _R10
     # covered the 118-key never-graded backlog exactly once; what's
     # enforceable now: every remaining never-graded hash key is in
-    # _R9_WINDOW or _R10_WINDOW.
+    # _R10_WINDOW (the active window's head).  After CORRECTNESS_r10
+    # lands this set is empty and stays empty.
     queries, oracles = build_registry()
     rows = _latest_driver_rows()
     never_graded = [k for k in queries if k in oracles and k not in rows]
-    assert sorted(never_graded) == sorted((set(_R9_WINDOW) | set(_R10_WINDOW)) - set(rows)), (
-        "never-graded hash keys must all sit in the staged windows"
+    assert sorted(never_graded) == sorted(set(_R10_WINDOW) - set(rows)), (
+        "never-graded hash keys must all sit in the active window"
     )
     assert [k for k in _R10_WINDOW if k not in queries] == []
     assert [k for k in _R10_WINDOW if k not in oracles] == []
 
 
-def test_r11_window_is_the_oldest_graded_cohort():
-    # Rolling freshness: _R11_WINDOW must be 50 already-graded hash keys
-    # whose latest driver row is from the OLDEST rounds on record (all
-    # r1/r2 era today).  Recomputed from the committed CORRECTNESS
-    # files so the list can't silently rot.
+def test_staged_regrades_are_the_oldest_graded_cohort():
+    # Rolling freshness: the NEXT round's re-grade cohort
+    # (_R11_WINDOW[32:] + _R12_WINDOW, 50 keys) must be already-graded
+    # hash keys whose latest driver row is from the OLDEST rounds on
+    # record (all r1/r2 era today).  Recomputed from the committed
+    # CORRECTNESS files so the list can't silently rot.  Deliberately
+    # computed over the STAGED cohort, not the active window, so the
+    # test survives CORRECTNESS_r10.json landing (which refreshes the
+    # active window's keys but not these).
     queries, oracles = build_registry()
     rows = _driver_rows_with_round()
-    fresh = set(_R9_WINDOW) | set(_R10_WINDOW)
-    assert all(k in oracles for k in _R11_WINDOW)
-    assert not set(_R11_WINDOW) & fresh
+    staged = _R11_WINDOW[32:] + _R12_WINDOW
+    assert len(staged) == 50
+    active = set(_R10_WINDOW) | set(_R11_WINDOW[:32])
+    assert all(k in oracles for k in staged)
+    assert not set(staged) & active
     graded_rounds = {k: rnd for k, (rnd, _) in rows.items()}
-    # every _R11 key has a driver row, and none is fresher than the
-    # newest round represented inside the window itself
-    assert all(k in graded_rounds for k in _R11_WINDOW)
-    window_max = max(graded_rounds[k] for k in _R11_WINDOW)
+    # every staged key has a driver row, and no graded key outside the
+    # active window + staged cohort is older than the staged cohort's
+    # newest round (ties at the boundary round cut alphabetically)
+    assert all(k in graded_rounds for k in staged)
+    window_max = max(graded_rounds[k] for k in staged)
     stale_outside = [
         k
         for k in queries
         if k in oracles
         and k in graded_rounds
-        and k not in fresh
-        and k not in _R11_WINDOW
+        and k not in active
+        and k not in staged
         and graded_rounds[k] < window_max
     ]
     assert stale_outside == [], (
-        "keys older than the staged re-grade window were left out: "
+        "keys older than the staged re-grade cohort were left out: "
         f"{stale_outside}"
     )
 
@@ -132,7 +143,9 @@ def test_window_keys_all_have_hash_oracles():
     # 2 of 50 slots this way — agg_hll_union, iter_mst_forest)
     _, oracles = build_registry()
     missing = [
-        k for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW if k not in oracles
+        k
+        for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW
+        if k not in oracles
     ]
     assert missing == []
 
@@ -166,7 +179,7 @@ def test_window_keys_are_ungraded_or_green():
     # burned a slot on a key that needs fixing, and the suite should say
     # so loudly.
     rows = _latest_driver_rows()
-    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW:
+    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW:
         if k in RESUBMITTED:
             # resubmission is only justified while the stale err stands
             assert rows[k].get("err") == "no_oracle", k

@@ -52,6 +52,13 @@ def main() -> None:
             stride = con.execute(
                 f"SELECT max({pk}) + 1 FROM read_parquet('{src}/{t}.parquet')"
             ).fetchone()[0]
+            # max() over an empty table is NULL; the REPLACE expression
+            # would then silently write NULL ids — fail loudly instead
+            if stride is None:
+                raise SystemExit(
+                    f"{t} is empty in {src}: cannot derive a duplication "
+                    f"stride from max({pk})"
+                )
             con.execute(
                 f"COPY (SELECT * REPLACE ({pk} + i * {stride} AS {pk}) "
                 f"FROM read_parquet('{src}/{t}.parquet'), "

@@ -30,9 +30,24 @@ goes empty on a single NULL, group keys collect a NULL group, rank
 orders flip NULLS FIRST/LAST):
 
 - orders.o_custkey        NULL where o_orderkey % 20 = 7
-- lineitem.l_partkey      NULL where (l_orderkey + l_linenumber) % 20 = 7
-- lineitem.l_suppkey      NULL where (l_orderkey + l_linenumber) % 20 = 13
+- lineitem.l_partkey      NULL where (l_orderkey + l_linenumber) % 20 IN (7, 3)
+- lineitem.l_suppkey      NULL where (l_orderkey + l_linenumber) % 20 IN (13, 3)
 - events.user_id          NULL where event_id % 20 = 7
+
+r10 extension (r9 verdict item 6) — the keys the first fixture skipped:
+
+- lineitem.l_orderkey     NULL where (l_orderkey + l_linenumber) % 20 = 17
+                          (orders |><| lineitem is the hottest join in
+                          the registry; also breaks the (l_orderkey,
+                          l_linenumber) composite total order)
+- customer.c_nationkey    NULL where c_custkey % 10 = 7   (dim join;
+                          10% because customer is small at sf0.001)
+- supplier.s_nationkey    NULL where s_suppkey % 5 = 2    (20% — only
+                          10 suppliers at sf0.001, %20 would hit none)
+- the (l_partkey, l_suppkey) partsupp-style COMPOSITE key now has rows
+  where BOTH halves are NULL (the shared %20 = 3 slice above), not
+  just each half separately — derived part+supp views must neither
+  match nor group such rows as if `(NULL, NULL) = (NULL, NULL)`.
 
 Usage:  python tools/make_nulls.py [src_dir] [out_dir] [--fks]
         (defaults /root/testdata/sf0.001 -> /tmp/testdata/sf001nulls;
@@ -59,9 +74,12 @@ RULES: dict[str, list[tuple[str, str]]] = {
 #: --fks mode: NULL ~5% of join-key columns (PK-keyed, deterministic)
 FK_RULES: dict[str, list[tuple[str, str]]] = {
     "orders": [("o_custkey", "o_orderkey % 20 = 7")],
-    "lineitem": [("l_partkey", "(l_orderkey + l_linenumber) % 20 = 7"),
-                 ("l_suppkey", "(l_orderkey + l_linenumber) % 20 = 13")],
+    "lineitem": [("l_partkey", "(l_orderkey + l_linenumber) % 20 IN (7, 3)"),
+                 ("l_suppkey", "(l_orderkey + l_linenumber) % 20 IN (13, 3)"),
+                 ("l_orderkey", "(l_orderkey + l_linenumber) % 20 = 17")],
     "events": [("user_id", "event_id % 20 = 7")],
+    "customer": [("c_nationkey", "c_custkey % 10 = 7")],
+    "supplier": [("s_nationkey", "s_suppkey % 5 = 2")],
 }
 
 TABLES = [

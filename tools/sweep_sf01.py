@@ -72,6 +72,14 @@ def main() -> int:
         queries = {k: queries[k] for k in sys.argv[1:]}
     n_part = int(os.environ.get("SWEEP_PARTITIONS", "8"))
     spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=n_part)
+    # The 100 TB memory knob (r9 verdict item 3): instead of growing the
+    # heap with the input, cap scan-partition size so partition count
+    # scales with input bytes and AQE coalescing shrinks it back where
+    # the data is small.  SWEEP_MAX_PARTITION_BYTES exercises exactly
+    # that configuration (e.g. 8 GiB heap + 32m partitions at sf10).
+    mpb = os.environ.get("SWEEP_MAX_PARTITION_BYTES")
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     t_all = time.perf_counter()
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
@@ -97,20 +105,58 @@ def main() -> int:
         allow = set(
             os.environ.get("SWEEP_ALLOW", DEFAULT_ALLOW).split(",")
         )
-        base = json.load(open(base_path))["times"]
+        base_doc = json.load(open(base_path))
+        base = base_doc["times"]
+        base_sf_dir = base_doc.get("sf_dir")
+        # min-of-k adjudication (r9 verdict item 4): loop-heavy keys show
+        # up to 7x run-to-run spread, so a single breaching reading used
+        # to demand a hand-run interleaved re-probe (SWEEP_SF10.md §r9,
+        # iter_connected_components).  The script now performs that
+        # procedure itself: any breaching key is re-timed SWEEP_PROBES
+        # times total, INTERLEAVED at the baseline SF and the sweep SF
+        # in the same warm session, and the alarm fires only if
+        # min(sweep)/min(base) still exceeds the gate.
+        probes = int(os.environ.get("SWEEP_PROBES", "3"))
         for key, dt in times.items():
             b = base.get(key)
             if b is None or b < MIN_BASE or key in allow:
                 continue
+            if dt / b > max_ratio and probes > 1:
+                best_hi, best_lo = dt, b
+                print(
+                    f"  gate breach on first reading — re-probing {key} "
+                    f"(min-of-{probes}, interleaved)",
+                    flush=True,
+                )
+                for _ in range(probes - 1):
+                    if base_sf_dir and os.path.isdir(base_sf_dir):
+                        t0 = time.perf_counter()
+                        queries[key](spark, base_sf_dir).count()
+                        best_lo = min(best_lo, time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    queries[key](spark, sf_dir).count()
+                    best_hi = min(best_hi, time.perf_counter() - t0)
+                print(
+                    f"  re-probe {key}: base {b:.2f}->{best_lo:.2f}s, "
+                    f"sweep {dt:.2f}->{best_hi:.2f}s "
+                    f"(ratio {dt / b:.1f}x -> {best_hi / best_lo:.1f}x)",
+                    flush=True,
+                )
+                times[key], b = round(best_hi, 3), best_lo
+                dt = best_hi
             ratio = dt / b
             if ratio > max_ratio:
                 breaches.append(f"{key}: {b:.2f}s -> {dt:.2f}s ({ratio:.1f}x)")
+        json.dump({"sf_dir": sf_dir, "times": times}, open(out_path, "w"), indent=1)
         if breaches:
-            print(f"RATIO BREACHES (> {max_ratio}x vs {base_path}):")
+            print(f"RATIO BREACHES (> {max_ratio}x vs {base_path}, min-of-{probes}):")
             for line in breaches:
                 print(f"  {line}")
         else:
-            print(f"ratio check vs {base_path}: all keys <= {max_ratio}x")
+            print(
+                f"ratio check vs {base_path}: all keys <= {max_ratio}x "
+                f"(breaches adjudicated min-of-{probes})"
+            )
     if errs:
         print(f"ERRORS ({len(errs)}):")
         for key, msg in errs.items():
