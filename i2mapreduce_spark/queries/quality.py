@@ -236,15 +236,24 @@ def q_dq_uniqueness(spark, sf_dir):
     primary-key contract a warehouse load verifies before publishing.
 
     Plan: one countDistinct aggregate per table (each an independent
-    partial+final hash agg); nothing global."""
+    partial+final hash agg); nothing global.
+
+    NULL join keys (r10): composite keys count distinct over a STRUCT —
+    SQL row-value semantics, where (NULL, 2) is a countable key value —
+    because Spark's variadic countDistinct(a, b) silently DROPS any
+    tuple containing a NULL (it desugars to count(DISTINCT a, b)),
+    undercounting n_keys by every half-NULL key and hiding exactly the
+    violations a PK audit exists to surface.  Scalar keys keep plain
+    countDistinct: both engines skip NULL scalars identically."""
     load_tables(spark, sf_dir)
     parts = []
     for name, table, cols in _UNIQUE_KEYS:
         t = spark.table(table)
+        key = F.col(cols[0]) if len(cols) == 1 else F.struct(*[F.col(c) for c in cols])
         parts.append(
             t.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct(*[F.col(c) for c in cols]).alias("n_keys"),
+                F.countDistinct(key).alias("n_keys"),
             ).select(
                 F.lit(name).alias("key_name"),
                 "n_rows",

@@ -78,9 +78,15 @@ def q_window_heikin_ashi(spark, sf_dir):
     candle-domain member of this repo's exact-integer recursive family:
     Spark folds the day prefix, the DuckDB oracle walks a recursive CTE
     over the MATERIALIZED bar series, every quotient half-up integer
-    cents.  Seed: ha_open_1 = (o_1+c_1)/2, ha_close_1 = OHLC/4 mean."""
+    cents.  Seed: ha_open_1 = (o_1+c_1)/2, ha_close_1 = OHLC/4 mean.
+
+    NULL join keys (r10): rows with NULL l_orderkey are excluded from
+    the bar construction on BOTH sides — the day-bar open/close are
+    picked by the (ok, ln) total order, which is undefined for NULL ok
+    (engines disagree on NULL sort placement, and NULL-ok rows sharing
+    a day+linenumber tie arbitrarily)."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem").select(
+    li = spark.table("lineitem").filter(F.col("l_orderkey").isNotNull()).select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
@@ -136,9 +142,12 @@ def q_window_candle_patterns(spark, sf_dir):
     swallows the previous body, opposite color), hammer (lower shadow ≥
     2× body, close in top third) — every rule an exact integer
     cross-multiplication over cents, one lag for the previous body, no
-    float in any branch."""
+    float in any branch.
+
+    NULL join keys (r10): NULL-l_orderkey rows are excluded on both
+    sides — same (ok, ln) total-order rationale as window_heikin_ashi."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem").select(
+    li = spark.table("lineitem").filter(F.col("l_orderkey").isNotNull()).select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
@@ -285,7 +294,7 @@ ORACLES = {
         "WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_linenumber AS ln, "
         "strftime(l_shipdate, '%Y-%m-%d') AS day, "
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
-        "FROM lineitem), "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY day "
         "ORDER BY ok, ln) AS rn_a, row_number() OVER (PARTITION BY day "
         "ORDER BY ok DESC, ln DESC) AS rn_d FROM li), "
@@ -309,7 +318,7 @@ ORACLES = {
         "WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln, "
         "strftime(l_shipdate, '%Y-%m-%d') AS day, "
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
-        "FROM lineitem), "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY day "
         "ORDER BY ok, ln) AS rn_a, row_number() OVER (PARTITION BY day "
         "ORDER BY ok DESC, ln DESC) AS rn_d FROM li), "

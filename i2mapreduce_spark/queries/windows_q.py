@@ -306,9 +306,14 @@ def q_window_running_distinct(spark, sf_dir):
     distinct parts the supplier has shipped up to and including it.
 
     Plan: two windows over the same (supplier-hash-partitioned) sort —
-    one extra rank, no joins, no quadratic re-scan of history."""
+    one extra rank, no joins, no quadratic re-scan of history.
+
+    NULL join keys (r10): NULL-l_orderkey rows are excluded on both
+    sides — l_orderkey is the running sort's tiebreak, and NULL-key
+    rows sharing (shipdate, linenumber) tie arbitrarily under opposite
+    NULL sort placements (Spark NULLS FIRST asc, DuckDB NULLS LAST)."""
     load_tables(spark, sf_dir)
-    li = spark.table("lineitem")
+    li = spark.table("lineitem").filter(F.col("l_orderkey").isNotNull())
     # partkey last: (shipdate, orderkey, linenumber) is unique in the
     # fixtures, but a total order must not depend on that staying true
     order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
@@ -822,7 +827,7 @@ ORACLES = {
         "WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_partkey, "
         "CASE WHEN row_number() OVER (PARTITION BY l_suppkey, l_partkey "
         "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) = 1 THEN 1 ELSE 0 END "
-        "AS first_seen FROM lineitem) "
+        "AS first_seen FROM lineitem WHERE l_orderkey IS NOT NULL) "
         "SELECT l_suppkey, l_orderkey, l_linenumber, "
         "CAST(sum(first_seen) OVER (PARTITION BY l_suppkey "
         "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey "

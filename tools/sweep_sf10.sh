@@ -12,9 +12,15 @@ set -e
 cd "$(dirname "$0")/.."
 SF1=${SF1:-/tmp/testdata/sf1}
 SF10=${SF10:-/tmp/testdata/sf10}
-# 100x the grading scale needs more than the 8g default single-JVM
-# heap (first run: OOM killed the context after iter_triangle_count);
-# applied to BOTH passes so the ratio compares like against like
+# Default heap is 48g for historical comparability with the r9 tables.
+# The REAL 100 TB answer is input-scaled partitioning, not heap (r9
+# verdict item 3) — verified r10 with the default 8g heap:
+#   I2MR_DRIVER_MEM=8g SWEEP_PARTITIONS=256 \
+#   SWEEP_MAX_PARTITION_BYTES=33554432 \
+#   BASE=/tmp/sweep_sf10_base_8g.json sh tools/sweep_sf10.sh
+# (results: SWEEP_SF10.md §r10 — smaller scan partitions + AQE
+# coalescing replace the big heap).  Applied to BOTH passes so the
+# ratio compares like against like.
 export I2MR_DRIVER_MEM=${I2MR_DRIVER_MEM:-48g}
 # regen when absent OR the generator changed since the fixture was cut
 STAMP=$(md5sum tools/make_sf1.py | cut -d' ' -f1)
