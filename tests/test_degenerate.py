@@ -113,6 +113,15 @@ NULLFK_KEYS = [
     "iter_als_topitems",    # NULL keys are not entities (rows-only)
     "join_null_safe",       # <=> must keep matching NULL keys
     "join_not_in_null_trap",  # NOT IN over a now-NULLable key column
+    # r10 extension classes (NULL l_orderkey / nationkeys / composite):
+    "mr_total_order_sort",  # total order over a NULL key is engine-
+                            # divergent -> complete-case the sort key
+    "window_heikin_ashi",   # row_number open/close picks over NULL keys
+    "iter_apriori_pairs",   # groupBy would pool a giant NULL basket;
+                            # the oracle's self-join shape excludes it
+    "dq_uniqueness",        # variadic countDistinct drops half-NULL
+                            # tuples; STRUCT = row-value semantics
+    "join_multiway",        # customer->nation dim join, NULL c_nationkey
 ]
 
 
