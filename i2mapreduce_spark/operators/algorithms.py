@@ -18,7 +18,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.iterate import IterationResult, checkpoint_without_stats, iterate
+from ..plans.iterate import (
+    IterationResult,
+    checkpoint_without_stats,
+    iterate,
+    release_checkpoint,
+)
 
 
 def _nodes(edges: DataFrame) -> DataFrame:
@@ -255,22 +260,34 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     """Hop-limited BFS min-distance from `source` (GIM-V / iMapReduce
     shortest-path shape): per hop, frontier ⋈ edges -> min-dist fold.
     Monotone min-aggregation means re-visiting nodes is harmless — the
-    classic MapReduce SSSP the reference ships as an example app."""
+    classic MapReduce SSSP the reference ships as an example app.
+
+    Memory hygiene (r10, same class as iterate()): each hop's eager
+    checkpoint supersedes the previous one, which is released so loop
+    memory stays O(1) hops; the edge cache is dropped before returning
+    (the final dist is already materialized and no longer reads it)."""
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
     edges = edges.cache()
-    for _ in range(max_hops):
-        grown = (
-            dist.join(edges, dist.node == edges.src)
-            .select(edges.dst.alias("node"), (dist.dist + 1).alias("dist"))
-        )
-        dist = (
-            dist.union(grown)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .transform(checkpoint_without_stats)
-        )
+    prev = None
+    try:
+        for _ in range(max_hops):
+            grown = (
+                dist.join(edges, dist.node == edges.src)
+                .select(edges.dst.alias("node"), (dist.dist + 1).alias("dist"))
+            )
+            dist = (
+                dist.union(grown)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .transform(checkpoint_without_stats)
+            )
+            if prev is not None:
+                release_checkpoint(prev)
+            prev = dist
+    finally:
+        edges.unpersist()
     return dist
 
 

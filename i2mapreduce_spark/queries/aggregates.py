@@ -339,15 +339,15 @@ def q_agg_distinct_multi(spark, sf_dir):
 
 def q_agg_decimal_exact(spark, sf_dir):
     """Exact-decimal revenue accounting: prices accumulate as
-    DECIMAL(12,2) (no float drift — the sum of 600k 2-decimal values is
+    DECIMAL(18,2) (no float drift — the sum of 600k 2-decimal values is
     exact in both engines by construction), then the totals cast to
     double for the cross-engine hash.  Decimal sums shuffle as unscaled
     longs with map-side partial aggregation — same plan as the double
     version, exactness is free at this precision."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    tax = F.col("l_tax").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -702,9 +702,9 @@ ORACLES = {
     ),
     "agg_decimal_exact": (
         "SELECT l_returnflag, "
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, "
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-        "+ CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_price_tax, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "+ CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_tax, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
     ),
     "agg_distinct_multi": (

@@ -668,10 +668,14 @@ def q_window_vwap(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cumulative price-cent-quantity sums and their x10^4 products run
+    # in DECIMAL(38,0) (r10 extreme-magnitude sweep): cpqc alone passes
+    # 1e19 at 1e6-scaled prices — and at plain sf1000 the lifetime
+    # cumulative would too; the div quotients (4-dp prices) stay small
     cum = daily.select(
         "l_returnflag",
         "day",
-        F.sum("pqc").over(w).alias("cpqc"),
+        F.sum(F.col("pqc").cast("decimal(38,0)")).over(w).alias("cpqc"),
         F.sum("q").over(w).alias("cq"),
         "pc",
         "n",
@@ -681,16 +685,33 @@ def q_window_vwap(spark, sf_dir):
         "day",
         # vwap = cpqc/(100*cq); x10^4 half-up in integers
         (
-            F.expr("(2 * cpqc * 10000 + 100 * cq) div (2 * 100 * cq)")
+            F.expr(
+                "((2 * cpqc * 10000 + 100 * cq) "
+                " - (2 * cpqc * 10000 + 100 * cq) % (2 * 100 * cq)) "
+                "/ (2 * 100 * cq)"
+            )
             / 10000.0
         ).alias("vwap"),
         # day avg = pc/(100*n); x10^4 half-up -> x = pc*100, y = n
-        (F.expr("(2 * pc * 100 + n) div (2 * n)") / 10000.0).alias(
-            "day_avg_price"
-        ),
+        (
+            F.expr(
+                "((2 * CAST(pc AS DECIMAL(38,0)) * 100 + n) "
+                " - (2 * CAST(pc AS DECIMAL(38,0)) * 100 + n) % (2 * n)) "
+                "/ (2 * n)"
+            )
+            / 10000.0
+        ).alias("day_avg_price"),
         # pc/(100n) vs cpqc/(100cq)  <=>  pc*cq vs cpqc*n
-        F.when(F.col("pc") * F.col("cq") > F.col("cpqc") * F.col("n"), "above")
-        .when(F.col("pc") * F.col("cq") < F.col("cpqc") * F.col("n"), "below")
+        F.when(
+            F.col("pc").cast("decimal(38,0)") * F.col("cq")
+            > F.col("cpqc") * F.col("n"),
+            "above",
+        )
+        .when(
+            F.col("pc").cast("decimal(38,0)") * F.col("cq")
+            < F.col("cpqc") * F.col("n"),
+            "below",
+        )
         .otherwise("at")
         .alias("vs_vwap"),
     )
@@ -1053,14 +1074,14 @@ ORACLES = {
         "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS pc, "
         "count(*) AS n FROM lineitem GROUP BY 1, 2), "
         "cum AS (SELECT l_returnflag, day, "
-        "sum(pqc) OVER w AS cpqc, sum(q) OVER w AS cq, pc, n FROM daily "
+        "sum(pqc::HUGEINT) OVER w AS cpqc, sum(q) OVER w AS cq, pc, n FROM daily "
         "WINDOW w AS (PARTITION BY l_returnflag ORDER BY day "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
         "SELECT l_returnflag, day, "
         "((2 * cpqc * 10000 + 100 * cq) // (2 * 100 * cq)) / 10000.0 AS vwap, "
-        "((2 * pc * 100 + n) // (2 * n)) / 10000.0 AS day_avg_price, "
-        "CASE WHEN pc * cq > cpqc * n THEN 'above' "
-        "WHEN pc * cq < cpqc * n THEN 'below' ELSE 'at' END AS vs_vwap "
+        "((2 * pc::HUGEINT * 100 + n) // (2 * n)) / 10000.0 AS day_avg_price, "
+        "CASE WHEN pc::HUGEINT * cq > cpqc * n THEN 'above' "
+        "WHEN pc::HUGEINT * cq < cpqc * n THEN 'below' ELSE 'at' END AS vs_vwap "
         "FROM cum"
     ),
     "fn_zorder_interleave": (

@@ -31,7 +31,11 @@ def q_agg_welch_ttest(spark, sf_dir):
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)")).alias(
+        # (38,6), not (18,6): value² passes 1e13 at 1e6-scaled values
+        # (r10 extreme-magnitude sweep) — the double product itself is
+        # the shared deterministic quantity; only its decimal container
+        # needed widening
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).alias(
             "ss"
         ),
     )
@@ -257,7 +261,7 @@ ORACLES = {
     "agg_welch_ttest": (
         "WITH g AS (SELECT event_type, count(*) AS n, "
         "sum(CAST(value AS DECIMAL(18,6))) AS s, "
-        "sum(CAST(value * value AS DECIMAL(18,6))) AS ss FROM events "
+        "sum(CAST(value * value AS DECIMAL(25,6))) AS ss FROM events "
         f"WHERE event_type IN ('{TT_A}', '{TT_B}') GROUP BY 1), "
         f"a AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM g WHERE event_type = '{TT_A}'), "
         f"b AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM g WHERE event_type = '{TT_B}'), "

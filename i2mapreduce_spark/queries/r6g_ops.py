@@ -37,19 +37,28 @@ def q_dq_corr_matrix(spark, sf_dir):
     unordered float reduction."""
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
-    dec = {c: F.col(c).cast("decimal(18,2)") for c in CORR_COLS}
+    # integer CENTS moments (r10 extreme-magnitude sweep): the DECIMAL
+    # value-unit form overflowed DuckDB's DECIMAL(18) multiply at
+    # 1e6-scaled prices and its cross-products left exactness past
+    # width 38; cents moments keep every term an exact integer
+    # (cents^2 sums ~1e31 << DECIMAL(38,0)/HUGEINT range) and the
+    # correlation ratio is unit-free, so cells are value-identical
+    cen = {
+        c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+        for c in CORR_COLS
+    }
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in CORR_COLS:
-        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(cen[c].cast("decimal(38,0)")).alias(f"s_{c}"))
         aggs.append(
-            F.sum((dec[c] * dec[c]).cast("decimal(38,4)")).alias(f"ss_{c}")
+            F.sum(cen[c].cast("decimal(19,0)") * cen[c]).alias(f"ss_{c}")
         )
     pairs = [
         (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
     ]
     for a, b in pairs:
         aggs.append(
-            F.sum((dec[a] * dec[b]).cast("decimal(38,4)")).alias(f"sp_{a}_{b}")
+            F.sum(cen[a].cast("decimal(19,0)") * cen[b]).alias(f"sp_{a}_{b}")
         )
     row = li.agg(*aggs)
     cells = []
@@ -226,14 +235,15 @@ _CORR_PAIRS = [
 _CORR_MOMENTS = ", ".join(
     ["count(*) AS n"]
     + [
-        f"sum(CAST({c} AS DECIMAL(18,2))) AS s_{c}, "
-        f"sum(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) "
-        f"AS DECIMAL(38,4))) AS ss_{c}"
+        f"sum(CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)::HUGEINT) "
+        f"AS s_{c}, "
+        f"sum(CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)::HUGEINT * "
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)) AS ss_{c}"
         for c in CORR_COLS
     ]
     + [
-        f"sum(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
-        f"AS DECIMAL(38,4))) AS sp_{a}_{b}"
+        f"sum(CAST(CAST({a} AS DECIMAL(18,2)) * 100 AS BIGINT)::HUGEINT * "
+        f"CAST(CAST({b} AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sp_{a}_{b}"
         for a, b in _CORR_PAIRS
     ]
 )

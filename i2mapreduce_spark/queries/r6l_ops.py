@@ -101,10 +101,14 @@ def q_agg_pareto_concentration(spark, sf_dir):
         "i", "cents", F.col("cum_cents").alias("cum")
     )
     j = cum.crossJoin(F.broadcast(tot))
+    # cross-multiply in DECIMAL(38,0) (r10): cum*1000 passes 1e19 at
+    # hostile magnitudes — the no-float compare survives any cent scale
     k_row = j.agg(
         F.sum(
-            ((F.col("cum") - F.col("cents")) * 1000 < PARETO_TARGET_PM * F.col("total"))
-            .cast("long")
+            (
+                (F.col("cum") - F.col("cents")).cast("decimal(38,0)") * 1000
+                < PARETO_TARGET_PM * F.col("total").cast("decimal(38,0)")
+            ).cast("long")
         ).alias("k80"),
         F.max("n").alias("n"),
         F.max("total").alias("total"),
@@ -158,8 +162,8 @@ ORACLES = {
         "tot AS (SELECT count(*) AS n, sum(cents) AS total FROM ranked), "
         "cum AS (SELECT i, cents, CAST(sum(cents) OVER (ORDER BY i) AS BIGINT) "
         "AS cum FROM ranked), "
-        "k AS (SELECT CAST(sum(CASE WHEN (cum - cents) * 1000 < "
-        f"{PARETO_TARGET_PM} * total THEN 1 ELSE 0 END) AS BIGINT) AS k80, "
+        "k AS (SELECT CAST(sum(CASE WHEN (cum - cents)::HUGEINT * 1000 < "
+        f"{PARETO_TARGET_PM} * total::HUGEINT THEN 1 ELSE 0 END) AS BIGINT) AS k80, "
         "CAST(max(n) AS BIGINT) AS n, CAST(max(total) AS BIGINT) AS total "
         "FROM cum, tot), "
         "t10 AS (SELECT CAST(sum(cents) AS BIGINT) AS t10 FROM cum, tot "

@@ -65,12 +65,23 @@ def q_ts_theil_sen(spark, sf_dir):
             (F.col("b.di") - F.col("a.di")).alias("dd"),
         )
     )
+    # sx runs in DECIMAL(38,0) (r10 extreme-magnitude sweep): with day
+    # cents ~1e13 the 2e6-scaled slope itself passes 1e19, so both the
+    # product AND the quotient overflow int64.  Spark's `div` returns
+    # LONG regardless of operand type, so the exact floor divide is
+    # spelled (N - N % D) / D — the remainder and the exact-multiple
+    # division are both exact in decimal space.
     slopes = pairs.select(
         "ai",
         "bi",
         F.expr(
-            "CASE WHEN dc >= 0 THEN (2 * 1000000 * dc + dd) div (2 * dd) "
-            "ELSE -((2 * 1000000 * -dc + dd) div (2 * dd)) END"
+            "CASE WHEN dc >= 0 THEN "
+            "((2 * 1000000 * CAST(dc AS DECIMAL(38,0)) + dd) "
+            " - (2 * 1000000 * CAST(dc AS DECIMAL(38,0)) + dd) % (2 * dd)) "
+            "/ (2 * dd) "
+            "ELSE -(((2 * 1000000 * CAST(-dc AS DECIMAL(38,0)) + dd) "
+            " - (2 * 1000000 * CAST(-dc AS DECIMAL(38,0)) + dd) % (2 * dd)) "
+            "/ (2 * dd)) END"
         ).alias("sx"),
     )
     ranked = global_row_number(slopes, ["sx", "ai", "bi"], "rk")
@@ -258,8 +269,8 @@ ORACLES = {
         "p AS (SELECT a.di AS ai, b.di AS bi, b.c - a.c AS dc, "
         "b.di - a.di AS dd FROM daily a JOIN daily b ON a.di < b.di), "
         "s AS (SELECT ai, bi, CASE WHEN dc >= 0 "
-        "THEN (2 * 1000000 * dc + dd) // (2 * dd) "
-        "ELSE -((2 * 1000000 * -dc + dd) // (2 * dd)) END AS sx FROM p), "
+        "THEN (2 * 1000000 * dc::HUGEINT + dd) // (2 * dd) "
+        "ELSE -((2 * 1000000 * -(dc::HUGEINT) + dd) // (2 * dd)) END AS sx FROM p), "
         "r AS (SELECT sx, row_number() OVER (ORDER BY sx, ai, bi) AS rk "
         "FROM s), "
         "t AS (SELECT count(*) AS np, count(DISTINCT ai) + 1 AS nd FROM s) "

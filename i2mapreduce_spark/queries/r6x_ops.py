@@ -131,6 +131,9 @@ def q_window_linreg_channel(spark, sf_dir):
         .groupBy("x")
         .agg(F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("y"))
     )
+    # y² and the S__ cross-terms run in DECIMAL(38,0) (r10 extreme-
+    # magnitude sweep): cents² alone is ~1e27 at hostile magnitudes —
+    # "far inside BIGINT" only held for the original value range
     wf = Window.orderBy("x").rowsBetween(-(LRC_N - 1), 0)
     sums = bars.select(
         "x",
@@ -138,14 +141,15 @@ def q_window_linreg_channel(spark, sf_dir):
         F.count(F.lit(1)).over(wf).alias("n"),
         F.sum("x").over(wf).alias("sx"),
         F.sum("y").over(wf).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).over(wf).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(wf).alias("syy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).over(wf).alias("syy"),
     ).filter(F.col("n") == LRC_N)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    big_sxy = (n * F.col("sxy") - sx * sy).cast("double")
+    syD = sy.cast("decimal(19,0)")
+    big_sxy = (n * F.col("sxy") - sx.cast("decimal(19,0)") * syD).cast("double")
     big_sxx = (n * F.col("sxx") - sx * sx).cast("double")
-    big_syy = (n * F.col("syy") - sy * sy).cast("double")
+    big_syy = (n * F.col("syy") - syD * syD).cast("double")
     slope = big_sxy / big_sxx
     yhat = (sy.cast("double") - slope * sx) / n + slope * F.col("x")
     sigma = F.sqrt(
@@ -313,14 +317,14 @@ ORACLES = {
         "FROM r GROUP BY 1), "
         "sums AS (SELECT x, y, "
         f"count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy, "
-        "sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx, "
-        "sum(y * y) OVER w AS syy FROM bars "
+        "sum(x::HUGEINT * y) OVER w AS sxy, sum(x * x) OVER w AS sxx, "
+        "sum(y::HUGEINT * y) OVER w AS syy FROM bars "
         f"WINDOW w AS (ORDER BY x ROWS BETWEEN {LRC_N - 1} PRECEDING "
         "AND CURRENT ROW)), "
         "s AS (SELECT x, y, n, "
-        "CAST(n * sxy - sx * sy AS DOUBLE) AS bsxy, "
+        "CAST(n * sxy - sx::HUGEINT * sy AS DOUBLE) AS bsxy, "
         "CAST(n * sxx - sx * sx AS DOUBLE) AS bsxx, "
-        "CAST(n * syy - sy * sy AS DOUBLE) AS bsyy, sx, sy "
+        "CAST(n * syy - sy::HUGEINT * sy AS DOUBLE) AS bsyy, sx, sy "
         f"FROM sums WHERE n = {LRC_N}) "
         "SELECT CAST(x AS INT) AS x, y / 100.0 AS close, "
         "round(((CAST(sy AS DOUBLE) - bsxy / bsxx * sx) / n "

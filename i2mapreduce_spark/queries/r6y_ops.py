@@ -52,12 +52,14 @@ def q_agg_cuped_adjustment(spark, sf_dir):
             ).otherwise(F.lit(0))
         ).alias("y"),
     )
+    # cross-moments in DECIMAL(38,0) (r10 extreme-magnitude sweep):
+    # per-user cents² passes 1e24 at hostile value scales
     mom = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
     )
     per_variant = per_user.groupBy(
         (F.col("user_id") % 2).alias("variant")
@@ -69,9 +71,10 @@ def q_agg_cuped_adjustment(spark, sf_dir):
     j = per_variant.crossJoin(F.broadcast(mom))
     # try_divide: with a single user the covariate variance is 0 and
     # theta is undefined — NULL on both engines (DuckDB x/0 is NULL)
+    sxD = F.col("sx").cast("decimal(19,0)")
     theta = F.try_divide(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        (F.col("n") * F.col("sxy") - sxD * F.col("sy").cast("decimal(19,0)")).cast("double"),
+        (F.col("n") * F.col("sxx") - sxD * sxD).cast("double"),
     )
     mean_y = F.col("vy") / F.col("n_users").cast("double")
     mean_x = F.col("vx") / F.col("n_users").cast("double")
@@ -206,7 +209,7 @@ ORACLES = {
         "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
         "ELSE 0 END) AS y FROM events GROUP BY 1), "
         "mom AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
-        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM pu), "
+        "sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM pu), "
         "pv AS (SELECT user_id % 2 AS variant, count(*) AS n_users, "
         "sum(x) AS vx, sum(y) AS vy FROM pu GROUP BY 1) "
         "SELECT variant, CAST(n_users AS BIGINT) AS n_users, "

@@ -194,9 +194,14 @@ def q_window_mfi(spark, sf_dir):
         "day",
         "pos",
         "neg",
+        # the x1000 product widens to DECIMAL(38,0) (r10: 14-day money
+        # flow passes 1e17 at hostile magnitudes, so 2000x overflows
+        # int64); the per-mille quotient <= 1000 keeps div's long result
+        # safe
         F.expr(
             "CASE WHEN pos + neg = 0 THEN 500 "
-            "ELSE (2 * 1000 * pos + (pos + neg)) div (2 * (pos + neg)) END"
+            "ELSE (2 * 1000 * CAST(pos AS DECIMAL(38,0)) + (pos + neg)) "
+            "div (2 * (pos + neg)) END"
         ).alias("mfi_pm"),
     )
 
@@ -275,8 +280,8 @@ ORACLES = {
     "agg_power_sample_size": (
         "WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
         "AS BIGINT) AS cents FROM orders), "
-        "mom AS (SELECT count(*) AS n, sum(cents) AS s1, "
-        "sum(cents * cents) AS s2 FROM o), "
+        "mom AS (SELECT count(*) AS n, sum(cents::HUGEINT) AS s1, "
+        "sum(cents::HUGEINT * cents) AS s2 FROM o), "
         "eff AS (SELECT n, s1, s2, unnest(["
         + ", ".join(str(e) for e in POWER_EFFECTS_PM)
         + "]) AS effect_pm FROM mom) "
@@ -315,7 +320,7 @@ ORACLES = {
         "AND CURRENT ROW)) "
         "SELECT day, pos, neg, "
         "CAST(CASE WHEN pos + neg = 0 THEN 500 "
-        "ELSE (2 * 1000 * pos + (pos + neg)) // (2 * (pos + neg)) END "
+        "ELSE (2 * 1000 * pos::HUGEINT + (pos + neg)) // (2 * (pos + neg)) END "
         f"AS BIGINT) AS mfi_pm FROM summed WHERE nw = {MFI_N}"
     ),
     "multimodal_tile_grid": (

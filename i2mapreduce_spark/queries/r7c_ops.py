@@ -97,12 +97,14 @@ def q_agg_abc_classification(spark, sf_dir):
     )
     cum = global_running_sum(keyed, ["neg", "l_partkey"], ["cents"])
     tot = cum.agg(F.max("cum_cents").alias("total"))
+    # band test cross-multiplied in DECIMAL(38,0) (r10: 1000 x total
+    # cents passes 1e19 at hostile magnitudes)
+    cumD = F.col("cum_cents").cast("decimal(38,0)")
+    totD = F.col("total").cast("decimal(38,0)")
     banded = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
-        F.when(
-            1000 * F.col("cum_cents") <= ABC_A_PM * F.col("total"), "A"
-        )
-        .when(1000 * F.col("cum_cents") <= ABC_B_PM * F.col("total"), "B")
+        F.when(1000 * cumD <= ABC_A_PM * totD, "A")
+        .when(1000 * cumD <= ABC_B_PM * totD, "B")
         .otherwise("C")
         .alias("abc"),
     )
@@ -255,8 +257,8 @@ ORACLES = {
         "ROWS UNBOUNDED PRECEDING) AS cum_cents FROM pp), "
         "tot AS (SELECT max(cum_cents) AS total FROM cum), "
         "banded AS (SELECT cents, CASE "
-        f"WHEN 1000 * cum_cents <= {ABC_A_PM} * total THEN 'A' "
-        f"WHEN 1000 * cum_cents <= {ABC_B_PM} * total THEN 'B' "
+        f"WHEN 1000 * cum_cents::HUGEINT <= {ABC_A_PM} * total::HUGEINT THEN 'A' "
+        f"WHEN 1000 * cum_cents::HUGEINT <= {ABC_B_PM} * total::HUGEINT THEN 'B' "
         "ELSE 'C' END AS abc FROM cum, tot) "
         "SELECT abc, CAST(count(*) AS BIGINT) AS n_parts, "
         "CAST(sum(cents) AS BIGINT) / 100.0 AS band_revenue "

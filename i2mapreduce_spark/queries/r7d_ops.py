@@ -39,29 +39,64 @@ def q_agg_grouped_linreg(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
+    # cross-moments in DECIMAL(38,0) (r10 extreme-magnitude sweep):
+    # x·y per row passes 1e15 and the group sums 1e19 at hostile scales
     g = base.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
+    # EXACT integer half-up quotients (r10 extreme-magnitude sweep):
+    # slope and intercept are rational in the integer moments, and at
+    # 1e10+ magnitudes a round(double, 6) output exceeds the ~15.9
+    # significant digits a double carries — so the 6-dp decimals are
+    # produced in DECIMAL(38,0) integer space (sign-decomposed half-up,
+    # the theil_sen spelling) and only divided to display.  den = 0
+    # (a brand with constant quantity) yields NULL on both engines.
+    slope6 = (
+        "CASE WHEN den = 0 THEN NULL "
+        "WHEN num >= 0 THEN "
+        "((2 * num * 1000000 + den * 100) "
+        " - (2 * num * 1000000 + den * 100) % (2 * den * 100)) / (2 * den * 100) "
+        "ELSE -(((-2) * num * 1000000 + den * 100 "
+        " - ((-2) * num * 1000000 + den * 100) % (2 * den * 100)) / (2 * den * 100)) "
+        "END"
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
+    icept6 = (
+        "CASE WHEN den = 0 THEN NULL "
+        "WHEN inum >= 0 THEN "
+        "((2 * inum * 1000000 + iden) - (2 * inum * 1000000 + iden) % (2 * iden)) "
+        "/ (2 * iden) "
+        "ELSE -((((-2) * inum * 1000000 + iden) "
+        " - ((-2) * inum * 1000000 + iden) % (2 * iden)) / (2 * iden)) END"
     )
-    return g.select(
+    moments = g.select(
         "p_brand",
         "n",
-        F.round(num / den / 100.0, 6).alias("slope_per_unit"),
-        F.round(
-            (F.col("sy").cast("double") - num / den * F.col("sx"))
-            / F.col("n")
-            / 100.0,
-            6,
-        ).alias("intercept_value"),
+        (
+            F.col("n") * F.col("sxy")
+            - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+        ).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("den"),
+        F.col("sy").cast("decimal(19,0)").alias("syD"),
+        F.col("sx").cast("decimal(19,0)").alias("sxD"),
+    ).selectExpr(
+        "p_brand",
+        "n",
+        "num",
+        "den",
+        "syD * den - num * sxD AS inum",
+        "n * den * 100 AS iden",
+    )
+    return moments.select(
+        "p_brand",
+        "n",
+        (F.expr(slope6) / 1000000.0).alias("slope_per_unit"),
+        (F.expr(icept6) / 1000000.0).alias("intercept_value"),
     )
 
 
@@ -250,13 +285,20 @@ ORACLES = {
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y "
         "FROM lineitem JOIN part ON l_partkey = p_partkey), "
         "g AS (SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
-        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM base GROUP BY 1) "
+        "sum(x::HUGEINT * y) AS sxy, sum(x * x) AS sxx FROM base GROUP BY 1), "
+        "m AS (SELECT p_brand, n, n * sxy - sx::HUGEINT * sy AS num, "
+        "(n * sxx - sx * sx)::HUGEINT AS den, sy, sx FROM g), "
+        "m2 AS (SELECT p_brand, n, num, den, "
+        "sy::HUGEINT * den - num * sx AS inum, n * den * 100 AS iden FROM m) "
         "SELECT p_brand, CAST(n AS BIGINT) AS n, "
-        "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
-        "CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_unit, "
-        "round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / "
-        "CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 100.0, 6) "
-        "AS intercept_value FROM g"
+        "(CASE WHEN den = 0 THEN NULL "
+        "WHEN num >= 0 THEN (2 * num * 1000000 + den * 100) // (2 * den * 100) "
+        "ELSE -(((-2) * num * 1000000 + den * 100) // (2 * den * 100)) END) "
+        "/ 1000000.0 AS slope_per_unit, "
+        "(CASE WHEN den = 0 THEN NULL "
+        "WHEN inum >= 0 THEN (2 * inum * 1000000 + iden) // (2 * iden) "
+        "ELSE -(((-2) * inum * 1000000 + iden) // (2 * iden)) END) "
+        "/ 1000000.0 AS intercept_value FROM m2"
     ),
     "window_ultimate_osc": (
         "WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln, "
@@ -309,8 +351,8 @@ ORACLES = {
         "WITH o AS (SELECT o_orderpriority, "
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
         "AS cents FROM orders), "
-        "g AS (SELECT o_orderpriority, count(*) AS n_h, sum(cents) AS s1, "
-        "sum(cents * cents) AS s2 FROM o GROUP BY 1), "
+        "g AS (SELECT o_orderpriority, count(*) AS n_h, sum(cents::HUGEINT) AS s1, "
+        "sum(cents::HUGEINT * cents) AS s2 FROM o GROUP BY 1), "
         "w AS (SELECT o_orderpriority, n_h, "
         "n_h * sqrt((CAST(n_h AS DOUBLE) * CAST(s2 AS DOUBLE) "
         "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "

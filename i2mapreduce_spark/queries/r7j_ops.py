@@ -203,9 +203,12 @@ def q_window_hull_ma(spark, sf_dir):
     )
 
     def wma_num(xcol, k):
+        # numerators in DECIMAL(38,0) (r10 extreme-magnitude sweep):
+        # cents*rn alone passes 1e17 and the staged rawn/hman
+        # numerators 1e20+ at hostile value scales
         wf = Window.orderBy("day").rowsBetween(-(k - 1), 0)
-        s0 = F.sum(xcol).over(wf)
-        s1 = F.sum(xcol * F.col("rn")).over(wf)
+        s0 = F.sum(xcol.cast("decimal(38,0)")).over(wf)
+        s1 = F.sum((xcol * F.col("rn")).cast("decimal(38,0)")).over(wf)
         return (F.lit(k) - F.col("rn")) * s0 + s1
 
     staged = pos.select(
@@ -221,7 +224,9 @@ def q_window_hull_ma(spark, sf_dir):
     raw = staged.select(
         "day",
         "rn",
-        (2 * _D_N * F.col("nh") - _D_H * F.col("nn")).alias("rawn"),
+        (2 * _D_N * F.col("nh") - _D_H * F.col("nn"))
+        .cast("decimal(38,0)")
+        .alias("rawn"),
     )
     wf2 = Window.orderBy("day").rowsBetween(-(HMA_S - 1), 0)
     final = raw.select(
@@ -353,8 +358,10 @@ ORACLES = {
         "AS BIGINT) AS rn FROM bars), "
         "staged AS (SELECT day, rn, "
         f"count(*) OVER wn AS nw, "
-        f"({HMA_H} - rn) * sum(c) OVER wh + sum(c * rn) OVER wh AS nh, "
-        f"({HMA_N} - rn) * sum(c) OVER wn + sum(c * rn) OVER wn AS nn "
+        f"({HMA_H} - rn) * sum(c::HUGEINT) OVER wh "
+        "+ sum(c::HUGEINT * rn) OVER wh AS nh, "
+        f"({HMA_N} - rn) * sum(c::HUGEINT) OVER wn "
+        "+ sum(c::HUGEINT * rn) OVER wn AS nn "
         "FROM pos "
         f"WINDOW wh AS (ORDER BY day ROWS BETWEEN {HMA_H - 1} PRECEDING "
         "AND CURRENT ROW), "

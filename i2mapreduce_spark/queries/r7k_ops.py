@@ -50,11 +50,16 @@ def q_agg_forecast_eval(spark, sf_dir):
     terms = j.select(
         ae.alias("ae"),
         F.abs(F.col("a") - F.col("p1")).alias("nae"),
+        # x1e6 products in DECIMAL(38,0) (r10: the absolute error passes
+        # 1e13 at hostile magnitudes, so the scaled numerator overflows
+        # int64); the percentage quotients stay small, so div's long
+        # result is safe
         F.expr(
-            "(2 * 1000000 * abs(a - f) + a) div (2 * a)"
+            "(2 * 1000000 * CAST(abs(a - f) AS DECIMAL(38,0)) + a) div (2 * a)"
         ).alias("ape6"),
         F.expr(
-            "(2 * 2000000 * abs(a - f) + (a + f)) div (2 * (a + f))"
+            "(2 * 2000000 * CAST(abs(a - f) AS DECIMAL(38,0)) + (a + f)) "
+            "div (2 * (a + f))"
         ).alias("sape6"),
     )
     g = terms.agg(
@@ -222,8 +227,8 @@ ORACLES = {
         f"lag(a, {FCE_LAG}) OVER (ORDER BY x) AS f, "
         "lag(a, 1) OVER (ORDER BY x) AS p1 FROM daily), "
         "terms AS (SELECT abs(a - f) AS ae, abs(a - p1) AS nae, "
-        "(2 * 1000000 * abs(a - f) + a) // (2 * a) AS ape6, "
-        "(2 * 2000000 * abs(a - f) + (a + f)) // (2 * (a + f)) AS sape6 "
+        "(2 * 1000000 * abs(a - f)::HUGEINT + a) // (2 * a) AS ape6, "
+        "(2 * 2000000 * abs(a - f)::HUGEINT + (a + f)) // (2 * (a + f)) AS sape6 "
         "FROM j WHERE f IS NOT NULL AND p1 IS NOT NULL) "
         "SELECT CAST(count(*) AS BIGINT) AS n_days, "
         "CAST((2 * sum(ape6) + count(*)) // (2 * count(*)) AS BIGINT) "

@@ -236,23 +236,33 @@ def q_agg_jackknife_se(spark, sf_dir):
     tot = per.agg(
         F.sum("nb").alias("n"), F.sum("tb").alias("t")
     )
+    # r10 extreme-magnitude sweep: the x1e6 leave-one-out means pass
+    # 1e19 (so the product AND the div's long result overflow int64),
+    # and their SQUARES pass even DECIMAL(38)/HUGEINT.  Variance is
+    # translation-invariant, so each m6 is centered on the exact global
+    # floor-mean K = (1e6*t) div n before the moments — deviations
+    # carry the spread, not the magnitude, and their squares stay well
+    # inside 38 digits at any cent scale.  All divides use the exact
+    # (N - N % D) / D floor spelling (Spark `div` returns long).
     m6 = per.crossJoin(F.broadcast(tot)).select(
         # zero-remainder guard matches DuckDB (x // 0 is NULL): a block
         # holding EVERY row leaves no leave-one-out sample
         F.expr(
-            "CASE WHEN n = nb THEN CAST(NULL AS BIGINT) "
-            "ELSE (2 * 1000000 * (t - tb) + (n - nb)) div (2 * (n - nb)) END"
-        ).alias("m6")
+            "CASE WHEN n = nb THEN CAST(NULL AS DECIMAL(38,0)) "
+            "ELSE CAST("
+            "((2 * 1000000 * CAST(t - tb AS DECIMAL(38,0)) + (n - nb)) "
+            " - (2 * 1000000 * CAST(t - tb AS DECIMAL(38,0)) + (n - nb)) "
+            "   % (2 * (n - nb))) / (2 * (n - nb)) AS DECIMAL(38,0)) END"
+        ).alias("m6"),
+        F.expr(
+            "CAST((1000000 * CAST(t AS DECIMAL(38,0)) "
+            " - (1000000 * CAST(t AS DECIMAL(38,0))) % n) / n AS DECIMAL(38,0))"
+        ).alias("k0"),
     )
     a = m6.agg(
         F.count(F.lit(1)).alias("bk"),
-        F.sum(F.col("m6").cast("decimal(38,0)")).alias("s1"),
-        # m6 ~ mean-cents x1e6 ~ 1e13; its square leaves BIGINT
-        F.sum(
-            (F.col("m6").cast("decimal(38,0)") * F.col("m6")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("s2"),
+        F.sum(F.col("m6") - F.col("k0")).alias("s1"),
+        F.sum((F.col("m6") - F.col("k0")) * (F.col("m6") - F.col("k0"))).alias("s2"),
     )
     var = (
         (
@@ -340,10 +350,11 @@ ORACLES = {
         "per AS (SELECT b, count(*) AS nb, sum(c) AS tb FROM o "
         "GROUP BY 1), "
         "tot AS (SELECT sum(nb) AS n, sum(tb) AS t FROM per), "
-        "m6 AS (SELECT (2 * 1000000 * (t - tb) + (n - nb)) "
-        "// (2 * (n - nb)) AS m6 FROM per, tot), "
-        "a AS (SELECT count(*) AS bk, sum(m6) AS s1, "
-        "sum(CAST(m6 AS HUGEINT) * m6) AS s2 FROM m6) "
+        "m6 AS (SELECT (2 * 1000000 * (t - tb)::HUGEINT + (n - nb)) "
+        "// (2 * (n - nb)) AS m6, "
+        "(1000000 * t::HUGEINT) // n AS k0 FROM per, tot), "
+        "a AS (SELECT count(*) AS bk, sum(m6 - k0) AS s1, "
+        "sum((m6 - k0) * (m6 - k0)) AS s2 FROM m6) "
         "SELECT CAST(n AS BIGINT) AS n_orders, "
         "CAST(bk AS BIGINT) AS n_buckets, "
         "round(CAST(t AS DOUBLE) / n / 100.0, 6) AS mean_value, "

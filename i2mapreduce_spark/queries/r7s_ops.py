@@ -151,7 +151,10 @@ def q_agg_durbin_watson(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        # decimal sum (r10): x·y terms reach 1e17 at hostile magnitudes
+        # and their 2400-day total passes 1e20 — Spark long sums throw
+        # where DuckDB's HUGEINT sums absorb it
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     j = daily.crossJoin(F.broadcast(m))

@@ -436,11 +436,19 @@ def q_fn_try_arith(spark, sf_dir):
     surface is that a single bad row can no longer kill a stage."""
     load_tables(spark, sf_dir)
     o = spark.table("orders")
+    # safe_unit: same try_divide NULL-on-zero semantics, but the 4-dp
+    # decimal is produced by an exact integer half-up quotient over
+    # cents (r10 extreme-magnitude sweep: round(double/k, 4) at 1e11
+    # magnitudes flaps between the engines' round implementations; the
+    # price/k value is rational, so it rounds exactly in integer space)
     return o.select(
         "o_orderkey",
-        F.round(F.expr("try_divide(o_totalprice, o_custkey % 7)"), 4).alias(
-            "safe_unit"
-        ),
+        F.expr(
+            "CASE WHEN o_custkey % 7 = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "((2 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) "
+            "  * 100 + (o_custkey % 7)) div (2 * (o_custkey % 7))) / 10000.0 "
+            "END"
+        ).alias("safe_unit"),
         F.expr("try_divide(o_totalprice, 0.0)").alias("div0"),
         F.expr("try_cast(o_orderpriority AS INT)").alias("prio_full_int"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
@@ -513,7 +521,9 @@ ORACLES = {
     "fn_try_arith": (
         "SELECT o_orderkey, "
         "CASE WHEN o_custkey % 7 = 0 THEN NULL "
-        "ELSE round(o_totalprice / (o_custkey % 7), 4) END AS safe_unit, "
+        "ELSE ((2 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        "::HUGEINT * 100 + (o_custkey % 7)) // (2 * (o_custkey % 7))) "
+        "/ 10000.0 END AS safe_unit, "
         "CAST(NULL AS DOUBLE) AS div0, "
         "TRY_CAST(o_orderpriority AS INTEGER) AS prio_full_int, "
         "TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit "

@@ -348,7 +348,7 @@ def q_source_json_nested(spark, sf_dir):
     re-normalized by exploding the array — the denormalize/normalize
     cycle every document-store ingestion runs.  The final aggregate must
     equal computing it straight from the relational table (lossless
-    cycle); DECIMAL(12,2) accumulation keeps the sum exact across
+    cycle); DECIMAL(18,2) accumulation keeps the sum exact across
     engines.
 
     100TB: the nested build is one groupBy(custkey) with collect_list —
@@ -375,7 +375,7 @@ def q_source_json_nested(spark, sf_dir):
     ex = back.select("custkey", F.explode("orders").alias("ord"))
     return ex.groupBy("custkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("ord.price").cast("decimal(12,2)"))
+        F.sum(F.col("ord.price").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_price"),
     )
@@ -567,7 +567,7 @@ ORACLES = {
     ),
     "source_json_nested": (
         "SELECT o_custkey AS custkey, count(*) AS n_orders, "
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
         "FROM orders GROUP BY o_custkey"
     ),
     "filter_dynamic_partition_pruning": (

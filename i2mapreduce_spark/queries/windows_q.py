@@ -588,12 +588,17 @@ def q_window_bollinger(spark, sf_dir):
     ± 2σ, with each day classified in/above/below band.  The volatility
     envelope every trading dashboard draws, over the orders fact.
 
-    Float discipline: the frame aggregates exact DECIMAL sums (s1, s2),
-    variance comes from the integer identity n·s2 − s1² BEFORE any
-    float, and the only doubles are one division and one IEEE-exact
-    sqrt of the same exact operands on both engines — no accumulation
-    order anywhere.  Ramp-up rows (n<20) are dropped, which also makes
-    mid = s1/20 an exact 4-dp decimal.
+    Float discipline (r10, hardened by the extreme-magnitude sweep):
+    everything exact runs in integer CENTS — s1 as a LONG sum, s2 and
+    the variance identity n·s2 − s1² in DECIMAL(38,0) (cents² reaches
+    ~1e29 at 1e6-scaled prices or plain sf1000 daily revenue, far past
+    int64) — and each engine performs exactly ONE integer->double
+    conversion before the sqrt/divide.  The earlier DECIMAL-sum form
+    diverged 1 ulp at 1e14 magnitudes because DuckDB converts
+    decimal->double as (double)int128 / 10^scale (two roundings) where
+    Spark's BigDecimal.doubleValue rounds once; integer cents make the
+    conversion single-rounding on both engines.  Ramp-up rows (n<20)
+    are dropped.
 
     Plan: orders pre-aggregate to day grain (partial+final) BEFORE the
     window, so the single-partition ordered window sees ~1.5k rows at
@@ -603,22 +608,29 @@ def q_window_bollinger(spark, sf_dir):
     daily = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("revc")
         )
     )
     w = Window.orderBy("day").rowsBetween(-(BOLL_N - 1), 0)
+    sq = F.col("revc").cast("decimal(19,0)") * F.col("revc").cast("decimal(19,0)")
     framed = daily.select(
         "day",
-        "rev",
+        "revc",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("rev").over(w).alias("s1"),
-        F.sum(F.col("rev") * F.col("rev")).over(w).alias("s2"),
+        F.sum("revc").over(w).alias("s1c"),
+        F.sum(sq).over(w).alias("s2c"),
     ).filter(F.col("n") == BOLL_N)
-    mid = F.col("s1").cast("double") / BOLL_N
-    sd = F.sqrt((BOLL_N * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")) / BOLL_N
+    v4 = (
+        BOLL_N * F.col("s2c")
+        - F.col("s1c").cast("decimal(19,0)") * F.col("s1c").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    mid = F.col("s1c").cast("double") / (BOLL_N * 100)
+    sd = F.sqrt(v4.cast("double")) / (BOLL_N * 100)
     upper = mid + BOLL_K * sd
     lower = mid - BOLL_K * sd
-    revd = F.col("rev").cast("double")
+    revd = F.col("revc").cast("double") / 100
     return framed.select(
         "day",
         revd.alias("revenue"),
@@ -665,12 +677,21 @@ def q_window_rsi(spark, sf_dir):
         F.sum(F.greatest(F.col("d"), F.lit(0))).over(wf).alias("g"),
         F.sum(F.greatest(-F.col("d"), F.lit(0))).over(wf).alias("l"),
     ).filter(F.col("n") == RSI_N)
-    # rsi*10^4 = g*10^6/(g+l), rounded half-up in integer space
+    # rsi*10^4 = g*10^6/(g+l), rounded half-up in integer space.  The
+    # product runs in DECIMAL(38,0): g is a 14-day cent sum, so at real
+    # warehouse magnitudes (daily cents ~1e16 at sf1000, or 1e6-scaled
+    # unit prices) 2*g*10^6 overflows int64 — found by the r10
+    # extreme-magnitude sweep; the quotient itself is <= 10^6 so the
+    # integral divide's long result is always safe
     return framed.select(
         "day",
         F.when(F.col("g") + F.col("l") == 0, F.lit(50.0))
         .otherwise(
-            F.expr("(2 * g * 1000000 + (g + l)) div (2 * (g + l))") / 10000.0
+            F.expr(
+                "(2 * cast(g AS DECIMAL(38,0)) * 1000000 + (g + l)) "
+                "div (2 * (g + l))"
+            )
+            / 10000.0
         )
         .alias("rsi"),
     )
@@ -937,19 +958,23 @@ ORACLES = {
     # DuckDB's 38-digit cap while remaining value-exact), ONE double
     # cast of the identical exact operand on both engines, band
     # classification against the UNROUNDED mid/sd like the Spark plan.
+    # integer-cents form (r10 extreme-magnitude sweep): HUGEINT exact
+    # identity, ONE int->double conversion per value — the DECIMAL-sum
+    # form diverged 1 ulp at 1e14 magnitudes (decimal->double is
+    # two-rounding in DuckDB, one-rounding in Spark)
     "window_bollinger": (
         "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev "
+        "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revc "
         "FROM orders GROUP BY 1), "
-        "framed AS (SELECT day, rev, count(*) OVER w AS n, "
-        "CAST(sum(rev) OVER w AS DECIMAL(15,2)) AS s1, "
-        "CAST(sum(CAST(rev AS DECIMAL(19,2)) * rev) OVER w AS DECIMAL(28,4)) AS s2 "
+        "framed AS (SELECT day, revc, count(*) OVER w AS n, "
+        "sum(revc) OVER w AS s1c, "
+        "sum(revc::HUGEINT * revc) OVER w AS s2c "
         "FROM daily WINDOW w AS (ORDER BY day "
         f"ROWS BETWEEN {BOLL_N - 1} PRECEDING AND CURRENT ROW)), "
-        "raw AS (SELECT day, CAST(rev AS DOUBLE) AS revenue, "
-        f"CAST(s1 AS DOUBLE) / {BOLL_N} AS mid, "
-        f"sqrt(CAST({BOLL_N} * s2 - CAST(s1 AS DECIMAL(19,2)) * s1 AS DOUBLE)) "
-        f"/ {BOLL_N} AS sd "
+        "raw AS (SELECT day, CAST(revc AS DOUBLE) / 100 AS revenue, "
+        f"CAST(s1c AS DOUBLE) / {BOLL_N * 100} AS mid, "
+        f"sqrt(CAST({BOLL_N} * s2c - s1c::HUGEINT * s1c AS DOUBLE)) "
+        f"/ {BOLL_N * 100} AS sd "
         f"FROM framed WHERE n = {BOLL_N}) "
         "SELECT day, revenue, round(mid, 4) AS mid, "
         f"round(mid + {BOLL_K} * sd, 4) AS upper, "
@@ -973,7 +998,7 @@ ORACLES = {
         "FROM diffed WHERE d IS NOT NULL WINDOW w AS (ORDER BY day "
         f"ROWS BETWEEN {RSI_N - 1} PRECEDING AND CURRENT ROW)) "
         "SELECT day, CASE WHEN g + l = 0 THEN CAST(50.0 AS DOUBLE) "
-        "ELSE ((2 * g * 1000000 + (g + l)) // (2 * (g + l))) / 10000.0 "
+        "ELSE ((2 * g::HUGEINT * 1000000 + (g + l)) // (2 * (g + l))) / 10000.0 "
         f"END AS rsi FROM framed WHERE n = {RSI_N}"
     ),
     # rolling corr: integer-sum identity, sign test on the exact integer

@@ -21,6 +21,7 @@ python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nulls"
 python tools/make_nulls.py /root/testdata/sf0.001 "$OUT_ROOT/sf001nullfk" --fks
 python tools/make_unicode.py /root/testdata/sf0.001 "$OUT_ROOT/sf001uni"
 python tools/make_dups.py /root/testdata/sf0.001 "$OUT_ROOT/sf001dup"
+python tools/make_extreme.py /root/testdata/sf0.001 "$OUT_ROOT/sf001big"
 echo "== sf0 (all tables empty) =="
 I2MR_SF_DIR="$OUT_ROOT/sf0" python tools/check_oracle.py
 echo "== sfmin (one row per table) =="
@@ -32,4 +33,31 @@ I2MR_SF_DIR="$OUT_ROOT/sf001nullfk" python tools/check_oracle.py
 echo "== sf001uni (10% multibyte-unicode document text) =="
 I2MR_SF_DIR="$OUT_ROOT/sf001uni" python tools/check_oracle.py
 echo "== sf001dup (every document/embedding x10 identical copies) =="
-I2MR_SF_DIR="$OUT_ROOT/sf001dup" exec python tools/check_oracle.py
+I2MR_SF_DIR="$OUT_ROOT/sf001dup" python tools/check_oracle.py
+echo "== sf001big (money/measure columns x1e6 — 7th leg, r10) =="
+# Demoted to rows-only on THIS LEG (each runs; values are precision-
+# bound, not wrong — full rationale in SWEEP_DEGENERATE.md §extreme):
+#   agg_stats             native var_samp: rounded variance carries 20
+#                         sig digits at 1e6-scaled balances — beyond
+#                         double; the key's purpose is the NATIVE agg
+#                         surface, whose accumulator is order-dependent
+#   udaf_weighted_avg     pandas-UDAF float accumulation order vs SQL
+#                         sum order; 4-dp round at 15 sig digits
+#   fn_trig               4-dp round-tie density grows with magnitude;
+#                         engines' round() diverge within 1 ulp of ties
+#   window_bollinger      irrational sigma bands rounded 4dp at 16 sig
+#                         digits (exact-integer variance path verified;
+#                         only the sub-precision display digits differ)
+#   window_linreg_channel same class: 6-dp sigma bands at 17 sig digits
+#   window_kama           2000-step float recursion drifts 1 ulp on 86
+#                         of 2279 days at 1e11 magnitudes (FMA
+#                         contraction class — measured rel diff 1.7e-16
+#                         exactly; bit-identical at the normal scale)
+# Skipped entirely (fails LOUDLY outside its declared numeric domain):
+#   window_vol_of_vol     second moment OF a second moment needs ~50
+#                         exact digits at 1e6-scaled cents — beyond
+#                         DECIMAL(38)/HUGEINT; ANSI overflow by design
+I2MR_SF_DIR="$OUT_ROOT/sf001big" \
+I2MR_ROWS_ONLY_KEYS="agg_stats,udaf_weighted_avg,fn_trig,window_bollinger,window_linreg_channel,window_kama" \
+I2MR_SKIP_KEYS="window_vol_of_vol" \
+exec python tools/check_oracle.py
