@@ -26,6 +26,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from i2mapreduce_spark.queries import build_registry  # noqa: E402
 from i2mapreduce_spark.session import get_spark  # noqa: E402
 
+def _arrow_calibration(spark) -> float:
+    """Fixed-size Arrow-path probe (r10 verdict item 4): BENCH_r10 read
+    +6% on sim_topk_cosine with the kernel untouched since r2, and the
+    scalar calibration query (agg_pricing_summary) could not arbitrate
+    because ambient load hit the pandas-UDF path but not the JVM scalar
+    path.  This runs a fixed 1000x64 synthetic corpus through the SAME
+    cogroup + numpy-matmul machinery as sim_topk_cosine — input size
+    frozen, plan frozen — so its warm minimum moves only with the
+    host's Python/Arrow throughput.  Compare rounds on BOTH
+    calibrations: scalar flat + arrow up => ambient Arrow-path load,
+    not a plan regression."""
+    import numpy as np
+    import pandas as pd
+
+    from i2mapreduce_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((1000, 64))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(1000, dtype=np.int64),
+        "embedding": [row.tolist() for row in M],
+    })
+    emb = spark.createDataFrame(pdf)
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        similarity.cosine_topk(spark, emb, k=5).toPandas()
+        return round(time.perf_counter() - t0, 3)
+
+    run()  # warm-up
+    return min(run() for _ in range(3))
+
+
 #: Headline set — the BASELINE.md §1 measured queries, one per major group.
 HEADLINE = [
     "agg_pricing_summary",     # D: TPC-H Q1 hash-agg
@@ -84,6 +117,8 @@ def main() -> None:
         ),
         "calibration": {"query": "agg_pricing_summary",
                         "sec": timings["agg_pricing_summary"]},
+        "calibration_arrow": {"kernel": "cosine_topk_1000x64",
+                              "sec": _arrow_calibration(spark)},
     }))
 
 

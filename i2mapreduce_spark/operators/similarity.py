@@ -322,10 +322,18 @@ def _topk_with_duplicate_collapse(spark: SparkSession, emb_df: DataFrame,
       hold only smaller-id members would otherwise see fewer than k
       survivors from a rep graph truncated at exactly k.  The final
       per-member row_number still cuts at k, so output volume is
-      unchanged; only candidate slack doubles.  The residual corner
-      (ALL 2k rep neighbors' expansions filtered away while deeper
-      bucket candidates would have survived) is a bounded recall loss
-      in an already-approximate kernel, covered by the recall gates.
+      unchanged; only candidate slack doubles.  The residual corner is
+      rep-graph truncation (2k pairs per rep, larger-id direction
+      only), with two manifestations pinned by an adversarial fixture
+      (tests/test_ann_collapse_corner.py): (i) a deficit member whose
+      2k rep-pair expansions are ALL id-filtered misses deeper bucket
+      candidates the uncollapsed kernel would keep, and (ii) a member
+      whose only route to a duplicate group is the group REP's list
+      (the rep's id is smaller, so the member's own upward list can
+      never emit it) loses that group when 2k nearer reps crowd it
+      out.  Both are bounded recall loss in an already-approximate
+      kernel, covered by the recall gates; both vanish on a
+      duplicate-free corpus (the wrapper is then identity).
     - NULL embeddings are filtered before grouping (mirroring the
       dedup wrapper's NULL-text filter): grouping keys on exact
       serialized bytes, so a NULL group would otherwise reach the

@@ -23,6 +23,7 @@ reliable `checkpoint()` to HDFS instead — same call site, configurable.
 
 from __future__ import annotations
 
+import logging
 import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame
 #: the fallback silently reverts every iterative loop to the quadratic
 #: stats-compounding behavior, so it must be visible in logs (r7 advice)
 _STATS_RESET_FALLBACK_WARNED = False
+_RELEASE_LOGGED = False
 
 
 def checkpoint_without_stats(df: DataFrame) -> DataFrame:
@@ -127,11 +129,26 @@ def release_checkpoint(df: DataFrame) -> None:
     later action on a released frame fails.  Best-effort: on internals
     mismatch the blocks simply age out with the session (pre-r10
     behavior).
+
+    A released frame that IS read again fails far from here, as a
+    missing-rdd-block error inside some later job — so the first
+    release logs once (r10 advice): a `BlockNotFoundException` /
+    "block rdd_N_M not found" stack trace in a session whose log shows
+    this latch means some caller retained a superseded iterate() state.
     """
+    global _RELEASE_LOGGED
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(False)
+            if not _RELEASE_LOGGED:
+                _RELEASE_LOGGED = True
+                logging.getLogger(__name__).info(
+                    "release_checkpoint: dropping superseded local-"
+                    "checkpoint blocks (logged once per session); a later "
+                    "missing-rdd-block failure means a released state was "
+                    "retained — see iterate() docstring"
+                )
     except Exception:
         pass
 
@@ -167,6 +184,17 @@ def iterate(
     the PREVIOUS CHECKPOINTED state (so the delta job never recomputes a
     lazy chain) — the measured delta spans `checkpoint_every` steps, a
     conservative stop for any contracting iteration.
+
+    Memory contract (r10): each superseded in-loop checkpoint is
+    RELEASED (its blocks dropped — the only copy) as soon as a newer
+    eager checkpoint re-roots the lineage, keeping loop memory O(1)
+    rounds.  Consequently `step` and `delta_fn` must not retain
+    references to intermediate states for use in LATER iterations
+    (e.g. a closure stashing frames, or a delta_fn deferring its
+    action): any action on a state from two or more checkpoints ago
+    fails with a missing-rdd-block error.  `delta_fn` runs its action
+    before the release; `state0` and the returned final state are never
+    released here.
     """
     state = state0
     deltas: list[float] = []

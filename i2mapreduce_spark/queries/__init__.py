@@ -79,18 +79,20 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R11 HANDOFF: the r10 window (active below) = _R10_WINDOW (the final
-# 18 never-driver-graded hash keys) + _R11_WINDOW[:32] (oldest
-# re-grades).  Once CORRECTNESS_r10.json lands green, EVERY hash-oracled
-# key has a driver row and the ledger is pure rolling freshness.  The
-# r11 rotation is again a one-name swap in build_registry():
-# `_R11_WINDOW[32:] + _R12_WINDOW + <recomputed next cohort>` — its
-# first-50 = the 18 re-grades r10 didn't reach + the 32 next-oldest
-# (staged in _R12_WINDOW, all latest-graded round 2; ALWAYS recompute
-# cohorts from the committed CORRECTNESS files, never hard-code
-# counts).  7 rows-only keys stay out of windows by design
-# (sim_mmr_rerank, iter_scc, embedding_pq_codes, embedding_whitening,
-# iter_als_topitems, ts_spectral_peak, iter_maximal_matching).
+# R12 HANDOFF: the r11 window (active below) = _R11_WINDOW[32:] (the 18
+# re-grades the r10 window didn't reach) + _R12_WINDOW (32 next-oldest,
+# all last graded round 2).  CORRECTNESS_r10.json landed 50/50 green, so
+# every hash-oracled key now has a green driver row and the ledger is
+# pure rolling freshness.  The r12 rotation is again a one-name swap in
+# build_registry(): `_R13_WINDOW + <recomputed next cohort>` — its
+# first-50 is exactly _R13_WINDOW (1 new never-graded key + the 49
+# oldest re-grades, 12 r2-era + 37 r3-era; ALWAYS recompute cohorts
+# from the committed CORRECTNESS files, never hard-code counts).  New
+# hash-oracled keys enter at the HEAD of the next staged window so they
+# get a driver row the round after they land.  7 rows-only keys stay
+# out of windows by design (sim_mmr_rerank, iter_scc,
+# embedding_pq_codes, embedding_whitening, iter_als_topitems,
+# ts_spectral_peak, iter_maximal_matching).
 # tests/test_registry_window.py enforces all window hygiene.
 # Per-round history lives in ROUNDS.md (moved out of this file in r10).
 #
@@ -349,6 +351,69 @@ _R12_WINDOW = [
 ]
 
 
+# _R13_WINDOW: the third rolling-freshness cohort, staged for the r12
+# one-name swap.  Head = dedup_simhash_grouped, the r11-new hash key
+# (the grouped O(unique^2) dedup output mode promoted to the graded
+# surface — r10 verdict item 7): never-graded keys take window priority
+# so no key waits more than one round for a driver row.  The remaining
+# 49 are the next-oldest driver rows, recomputed this session from
+# CORRECTNESS_r01-r10 (the 12 remaining round-2 keys + the 37
+# alphabetically-first round-3 keys — same boundary-round alphabetical
+# cut convention as _R11/_R12).
+_R13_WINDOW = [
+    "dedup_simhash_grouped",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_python_native",
+    "udtf_split_props",
+    "window_cume_dist",
+    "window_first_last_nth",
+    "window_gaps_islands",
+    "window_lag_lead",
+    "window_range_interval",
+    "window_rank_dense_ntile",
+    "window_running_frame",
+    "window_topk_per_group",
+    "agg_distinct_multi",
+    "dedup_cluster_resolve",
+    "dedup_containment",
+    "dedup_simhash",
+    "fn_trig",
+    "inc_apriori_pairs",
+    "inc_delta_retract",
+    "inc_mapreduce_wordcount",
+    "iter_apriori_pairs",
+    "iter_apriori_rules",
+    "iter_apriori_triples",
+    "iter_gimv",
+    "iter_sssp",
+    "iter_triangle_count",
+    "join_skew_salted",
+    "multimodal_extract",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "multimodal_resize",
+    "sample_stratified",
+    "sim_label_centroid",
+    "sim_threshold_pairs",
+    "sim_topk_cosine",
+    "sink_bucketed_join",
+    "sink_parquet_roundtrip",
+    "sink_upsert_merge",
+    "source_csv_quoted_roundtrip",
+    "source_incremental_files",
+    "stream_complete_totals",
+    "stream_dedup_exact",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_bigram_top",
+]
+
+
 def build_registry() -> tuple[dict, dict]:
     queries: dict = {}
     oracles: dict = {}
@@ -363,13 +428,13 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    # r10 rotation (r9 verdict item 1): _R9_WINDOW drained 50/50 green in
-    # CORRECTNESS_r09.json, so it folds back into module order.  The r10
-    # first-50 = _R10_WINDOW (the final 18 never-driver-graded hash keys)
-    # + _R11_WINDOW[:32] (the oldest re-grades) — after this round every
-    # hash-oracled key has a driver row and the ledger is pure rolling
-    # freshness (_R11_WINDOW[32:] + _R12_WINDOW next).
-    for k in _R10_WINDOW + _R11_WINDOW + _R12_WINDOW:
+    # r11 rotation (r10 verdict item 1): the r10 window drained 50/50
+    # green in CORRECTNESS_r10.json, so _R10_WINDOW + _R11_WINDOW[:32]
+    # fold back into module order.  The r11 first-50 = _R11_WINDOW[32:]
+    # (the 18 re-grades r10 didn't reach) + _R12_WINDOW (the 32
+    # next-oldest) — pure rolling freshness from here on (_R13_WINDOW
+    # staged next: 1 new key + the 49 next-oldest re-grades).
+    for k in _R11_WINDOW[32:] + _R12_WINDOW + _R13_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

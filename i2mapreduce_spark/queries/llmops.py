@@ -62,6 +62,23 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(spark.table("documents"), max_hamming=3)
 
 
+def q_dedup_simhash_grouped(spark, sf_dir):
+    """SimHash near-dup GROUP pairs (hamming <= 3): the grouped output
+    mode (`expand_members=False`, r10) promoted to the graded surface.
+
+    One row per duplicate-GROUP pair instead of per member pair —
+    (d1, d2, hamming, g1, g2) with d1/d2 the groups' min-doc_id
+    representatives and g1/g2 the group sizes; within-group duplicate
+    mass appears as the diagonal row d1 == d2 at hamming 0 (groups of
+    size >= 2 with >= 1 token).  O(unique^2) output regardless of the
+    corpus duplication factor — the shape a 100 TB dedup job actually
+    persists (cluster membership, not quadratic pair lists)."""
+    load_tables(spark, sf_dir)
+    return dedup.simhash_near_pairs(
+        spark.table("documents"), max_hamming=3, expand_members=False
+    )
+
+
 EMBED_DEDUP_THRESHOLD = 0.35  # 271 edges/500 vecs at sf0.01: small comps
 
 
@@ -777,6 +794,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_grouped": q_dedup_simhash_grouped,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_threshold_pairs": q_sim_threshold_pairs,
@@ -1234,6 +1252,32 @@ ORACLES["dedup_simhash"] = (
     "bit_count(xor(a.h, b.h)) AS hamming "
     "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
     "WHERE bit_count(xor(a.h, b.h)) <= 3"
+)
+
+# grouped mode: collapse identical texts first (GROUP BY text == the
+# Spark path's md5(text) gid, collisions aside), rep = min(doc_id),
+# diagonal rows (rep, rep, 0, gsize, gsize) for pairable groups of
+# size >= 2, then the SAME brute-force simhash pair check over the
+# representatives only, carrying both group sizes
+ORACLES["dedup_simhash_grouped"] = (
+    "WITH grp AS (SELECT min(doc_id) AS rep, count(*) AS gsize, text "
+    "FROM documents WHERE text IS NOT NULL GROUP BY text), "
+    "tok AS (SELECT rep, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM grp), "
+    f"v AS (SELECT rep, {_SIMHASH_VOTES_SQL} FROM tok GROUP BY rep), "
+    f"u AS (SELECT rep, ({_SIMHASH_BITS_SQL})::HUGEINT AS uh FROM v), "
+    "sh AS (SELECT rep, (CASE WHEN uh >= 9223372036854775808 "
+    "THEN uh - 18446744073709551616 ELSE uh END)::BIGINT AS h FROM u), "
+    "pairable AS (SELECT DISTINCT rep FROM tok), "
+    "diag AS (SELECT g.rep AS d1, g.rep AS d2, 0 AS hamming, "
+    "g.gsize AS g1, g.gsize AS g2 "
+    "FROM grp g JOIN pairable p ON g.rep = p.rep WHERE g.gsize >= 2), "
+    "crossg AS (SELECT a.rep AS d1, b.rep AS d2, "
+    "bit_count(xor(a.h, b.h)) AS hamming, ga.gsize AS g1, gb.gsize AS g2 "
+    "FROM sh a JOIN sh b ON a.rep < b.rep "
+    "JOIN grp ga ON ga.rep = a.rep JOIN grp gb ON gb.rep = b.rep "
+    "WHERE bit_count(xor(a.h, b.h)) <= 3) "
+    "SELECT * FROM diag UNION ALL SELECT * FROM crossg"
 )
 
 # reconstructs the fake decoder exactly: image = text bytes tiled to

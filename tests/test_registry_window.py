@@ -26,6 +26,7 @@ from i2mapreduce_spark.queries import (
     _R10_WINDOW,
     _R11_WINDOW,
     _R12_WINDOW,
+    _R13_WINDOW,
     build_registry,
 )
 
@@ -63,41 +64,43 @@ def _is_green(row: dict) -> bool:
 
 
 def test_window_is_first_50_registry_keys():
-    # r10 era: first-50 = _R10_WINDOW (final 18 never-graded hash keys)
-    # + _R11_WINDOW[:32] (oldest re-grades).
+    # r11 era: first-50 = _R11_WINDOW[32:] (the 18 re-grades r10 didn't
+    # reach) + _R12_WINDOW (32 next-oldest) — pure rolling freshness.
     queries, _ = build_registry()
-    assert list(queries)[:50] == _R10_WINDOW + _R11_WINDOW[:32]
+    assert list(queries)[:50] == _R11_WINDOW[32:] + _R12_WINDOW
     assert len(set(_R10_WINDOW)) == 18
     assert len(set(_R11_WINDOW)) == 50
-
-
-def test_r11_rotation_staged_right_after_r10():
-    # r11 must be a one-name swap: its first-50 = _R11_WINDOW[32:] (the
-    # 18 re-grades r10 didn't reach) + _R12_WINDOW (32 next-oldest),
-    # which is exactly registry positions 50..100 today.
-    queries, _ = build_registry()
-    assert list(queries)[50:68] == _R11_WINDOW[32:]
-    assert list(queries)[68:100] == _R12_WINDOW
     assert len(set(_R12_WINDOW)) == 32
+
+
+def test_r12_rotation_staged_right_after_r11():
+    # r12 must be a one-name swap: its first-50 = _R13_WINDOW (1 new
+    # never-graded key + 49 next-oldest re-grades), which is exactly
+    # registry positions 50..100 today.
+    queries, _ = build_registry()
+    assert list(queries)[50:100] == _R13_WINDOW
+    assert len(set(_R13_WINDOW)) == 50
     assert not set(_R9_WINDOW) & set(_R10_WINDOW)
     assert not (set(_R9_WINDOW) | set(_R10_WINDOW)) & set(_R11_WINDOW)
     assert not (set(_R10_WINDOW) | set(_R11_WINDOW)) & set(_R12_WINDOW)
+    assert not (set(_R11_WINDOW) | set(_R12_WINDOW)) & set(_R13_WINDOW)
 
 
 def test_windows_cover_the_never_graded_backlog_exactly():
-    # _R8 + _R9 (both drained green in CORRECTNESS_r08/r09) + _R10
-    # covered the 118-key never-graded backlog exactly once; what's
-    # enforceable now: every remaining never-graded hash key is in
-    # _R10_WINDOW (the active window's head).  After CORRECTNESS_r10
-    # lands this set is empty and stays empty.
+    # The never-graded backlog drained in r10 (CORRECTNESS_r10.json,
+    # 50/50 green).  From r11 on, the only never-graded hash keys are
+    # keys NEW this round, and they must sit at the head of the staged
+    # window (_R13_WINDOW) so no key waits more than one round for a
+    # driver row.
     queries, oracles = build_registry()
     rows = _latest_driver_rows()
     never_graded = [k for k in queries if k in oracles and k not in rows]
-    assert sorted(never_graded) == sorted(set(_R10_WINDOW) - set(rows)), (
-        "never-graded hash keys must all sit in the active window"
+    n = len(never_graded)
+    assert sorted(never_graded) == sorted(_R13_WINDOW[:n]), (
+        "new never-graded hash keys must head the staged window"
     )
-    assert [k for k in _R10_WINDOW if k not in queries] == []
-    assert [k for k in _R10_WINDOW if k not in oracles] == []
+    assert [k for k in _R13_WINDOW if k not in queries] == []
+    assert [k for k in _R13_WINDOW if k not in oracles] == []
 
 
 def test_staged_regrades_are_the_oldest_graded_cohort():
@@ -111,17 +114,20 @@ def test_staged_regrades_are_the_oldest_graded_cohort():
     # active window's keys but not these).
     queries, oracles = build_registry()
     rows = _driver_rows_with_round()
-    staged = _R11_WINDOW[32:] + _R12_WINDOW
+    staged = _R13_WINDOW
     assert len(staged) == 50
-    active = set(_R10_WINDOW) | set(_R11_WINDOW[:32])
+    active = set(_R11_WINDOW[32:]) | set(_R12_WINDOW)
     assert all(k in oracles for k in staged)
     assert not set(staged) & active
     graded_rounds = {k: rnd for k, (rnd, _) in rows.items()}
-    # every staged key has a driver row, and no graded key outside the
-    # active window + staged cohort is older than the staged cohort's
-    # newest round (ties at the boundary round cut alphabetically)
-    assert all(k in graded_rounds for k in staged)
-    window_max = max(graded_rounds[k] for k in staged)
+    # every staged key either has a driver row or is new this round
+    # (never-graded keys head the staged window, checked above); no
+    # graded key outside the active window + staged cohort is older
+    # than the staged cohort's newest round (ties at the boundary round
+    # cut alphabetically)
+    staged_graded = [k for k in staged if k in graded_rounds]
+    assert len(staged) - len(staged_graded) <= 1  # only the new key
+    window_max = max(graded_rounds[k] for k in staged_graded)
     stale_outside = [
         k
         for k in queries
@@ -145,6 +151,7 @@ def test_window_keys_all_have_hash_oracles():
     missing = [
         k
         for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW
+        + _R13_WINDOW
         if k not in oracles
     ]
     assert missing == []
@@ -179,7 +186,8 @@ def test_window_keys_are_ungraded_or_green():
     # burned a slot on a key that needs fixing, and the suite should say
     # so loudly.
     rows = _latest_driver_rows()
-    for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW:
+    for k in (_R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW
+              + _R13_WINDOW):
         if k in RESUBMITTED:
             # resubmission is only justified while the stale err stands
             assert rows[k].get("err") == "no_oracle", k

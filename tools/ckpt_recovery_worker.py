@@ -203,10 +203,16 @@ def phase2(workdir: str, provider: str) -> None:
     final = con.execute(
         f"""
         WITH dedup AS (
-            SELECT DISTINCT user_id, batch_id, n_events, total_value
+            -- round BEFORE DISTINCT (r10 advice): a replayed final
+            -- pre-crash batch may recompute sums in a different order,
+            -- and two rows for the same (user_id, batch_id) that
+            -- differ only in float LSBs must collapse to one here, not
+            -- survive to an arbitrary QUALIFY tie-break
+            SELECT DISTINCT user_id, batch_id, n_events,
+                   round(total_value, 2) AS total_value
             FROM read_parquet('{p["sink"]}/*.parquet')
         )
-        SELECT user_id, n_events, round(total_value, 2) AS total_value
+        SELECT user_id, n_events, total_value
         FROM dedup
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY batch_id DESC

@@ -35,8 +35,16 @@ I2MR_SF_DIR="$OUT_ROOT/sf001uni" python tools/check_oracle.py
 echo "== sf001dup (every document/embedding x10 identical copies) =="
 I2MR_SF_DIR="$OUT_ROOT/sf001dup" python tools/check_oracle.py
 echo "== sf001big (money/measure columns x1e6 — 7th leg, r10) =="
-# Demoted to rows-only on THIS LEG (each runs; values are precision-
-# bound, not wrong — full rationale in SWEEP_DEGENERATE.md §extreme):
+# Checked at an EXPLICIT value tolerance on THIS LEG (r11, upgraded
+# from the r10 rows-only demotion; the leg now checks VALUES again —
+# a wrong row/group/sign still fails, only sub-precision float drift
+# passes).  Measured max relative diffs on this fixture (r11 probe):
+# agg_stats 1.4e-16, udaf_weighted_avg 1.9e-15, fn_trig 4.4e-13,
+# window_bollinger 2.4e-15, window_linreg_channel 1.0e-15,
+# window_kama 1.8e-16 — each gate below carries ~2-3 orders of
+# headroom over its measured drift, 10+ orders below a real defect.
+# Original precision-bound rationale per key (SWEEP_DEGENERATE.md
+# §extreme):
 #   agg_stats             native var_samp: rounded variance carries 20
 #                         sig digits at 1e6-scaled balances — beyond
 #                         double; the key's purpose is the NATIVE agg
@@ -58,6 +66,6 @@ echo "== sf001big (money/measure columns x1e6 — 7th leg, r10) =="
 #                         exact digits at 1e6-scaled cents — beyond
 #                         DECIMAL(38)/HUGEINT; ANSI overflow by design
 I2MR_SF_DIR="$OUT_ROOT/sf001big" \
-I2MR_ROWS_ONLY_KEYS="agg_stats,udaf_weighted_avg,fn_trig,window_bollinger,window_linreg_channel,window_kama" \
+I2MR_TOL_KEYS="agg_stats=1e-13:1e-9,udaf_weighted_avg=1e-12:1e-9,fn_trig=1e-10:1e-9,window_bollinger=1e-12:1e-9,window_linreg_channel=1e-13:1e-9,window_kama=1e-13:1e-9" \
 I2MR_SKIP_KEYS="window_vol_of_vol" \
 exec python tools/check_oracle.py

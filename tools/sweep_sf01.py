@@ -97,7 +97,15 @@ def main() -> int:
     print(f"\n=== {len(times)}/{len(queries)} succeeded in {total:.1f}s ===")
     for key, dt in sorted(times.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  slow: {key} {dt:.2f}s")
-    json.dump({"sf_dir": sf_dir, "times": times}, open(out_path, "w"), indent=1)
+    # the session config that produced these timings, recorded so a
+    # later re-probe can tell whether the recorded numbers are
+    # comparable to its own session (r10 advice: min(recorded, fresh)
+    # across DIFFERENT configs can false-alarm when the current config
+    # speeds up the baseline SF)
+    config = {"shuffle_partitions": n_part,
+              "max_partition_bytes": mpb or None}
+    json.dump({"sf_dir": sf_dir, "times": times, "config": config},
+              open(out_path, "w"), indent=1)
     print(f"timings written to {out_path}")
 
     breaches: list[str] = []
@@ -117,12 +125,26 @@ def main() -> int:
         # in the same warm session, and the alarm fires only if
         # min(sweep)/min(base) still exceeds the gate.
         probes = int(os.environ.get("SWEEP_PROBES", "3"))
+        # configs must match for the recorded baseline to join the
+        # min-of-k pool: an interleaved fresh baseline is timed under
+        # THIS session's partitioning, so min(recorded, fresh) across
+        # different configs would compare a numerator and denominator
+        # from different plans (r10 advice).  On mismatch the recorded
+        # reading seeds the breach check only, not the adjudication min.
+        base_config = base_doc.get("config")
+        config_match = base_config == config
+        if base_config is not None and not config_match:
+            print(
+                f"  note: baseline config {base_config} != current "
+                f"{config}; re-probes will use same-session timings only"
+            )
         for key, dt in times.items():
             b = base.get(key)
             if b is None or b < MIN_BASE or key in allow:
                 continue
             if dt / b > max_ratio and probes > 1:
-                best_hi, best_lo = dt, b
+                best_hi = dt
+                best_lo = b if config_match else float("inf")
                 print(
                     f"  gate breach on first reading — re-probing {key} "
                     f"(min-of-{probes}, interleaved)",
@@ -136,6 +158,16 @@ def main() -> int:
                     t0 = time.perf_counter()
                     queries[key](spark, sf_dir).count()
                     best_hi = min(best_hi, time.perf_counter() - t0)
+                if best_lo == float("inf"):
+                    # config mismatch AND no baseline SF dir to re-time
+                    # under this session: the recorded reading is the
+                    # only denominator left — conservative (may still
+                    # false-alarm), said out loud
+                    print(
+                        f"  warn: {key}: baseline SF dir unavailable; "
+                        "using recorded baseline despite config mismatch"
+                    )
+                    best_lo = b
                 print(
                     f"  re-probe {key}: base {b:.2f}->{best_lo:.2f}s, "
                     f"sweep {dt:.2f}->{best_hi:.2f}s "
@@ -147,7 +179,8 @@ def main() -> int:
             ratio = dt / b
             if ratio > max_ratio:
                 breaches.append(f"{key}: {b:.2f}s -> {dt:.2f}s ({ratio:.1f}x)")
-        json.dump({"sf_dir": sf_dir, "times": times}, open(out_path, "w"), indent=1)
+        json.dump({"sf_dir": sf_dir, "times": times, "config": config},
+                  open(out_path, "w"), indent=1)
         if breaches:
             print(f"RATIO BREACHES (> {max_ratio}x vs {base_path}, min-of-{probes}):")
             for line in breaches:
