@@ -12,6 +12,20 @@ via Arrow (`toPandas`) — the engine's production collection path; plain
 `collect()` deserializes row objects one by one in Python and at 95k
 output rows costs more than the query itself (measured: 0.97 s collect
 vs 0.18 s toPandas for the same warm session-window result).
+
+Cross-round comparison protocol (r6/r10 lessons): totals are only
+comparable WITHIN a host state, so the JSON carries two fixed-shape
+calibration probes and readers should normalize by them before calling
+a delta a regression —
+- `calibration`: agg_pricing_summary's warm min (JVM scalar path;
+  plan frozen since r1) — moves only with JVM/host load;
+- `calibration_arrow` (r11): a frozen 1000x64 corpus through the same
+  cogroup + numpy matmul machinery as sim_topk_cosine — moves only
+  with Python/Arrow-path load.  BENCH_r10 read +6% purely because
+  ambient load hit the Arrow path while the scalar probe stayed flat;
+  with both probes that adjudication needs no re-run: scalar flat +
+  arrow up + arrow-heavy queries up proportionally => ambient load,
+  not a plan change.
 """
 
 from __future__ import annotations
