@@ -64,6 +64,16 @@ def get_spark(app_name: str = "i2mapreduce-spark", cpus: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("I2MR_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", "/tmp/i2mr-warehouse")
+        # Iterative fixpoints make old shuffle files garbage every
+        # round, but ContextCleaner only deletes them after the stale
+        # lineage is GC'd — and a big-heap driver can go the default
+        # 30 MINUTES between GCs, so shuffle spill accumulates
+        # O(iterations x shuffle bytes) on local disk (measured r11:
+        # iter_pagerank at sf100 retained 31 GB and filled the disk).
+        # A short periodic GC bounds retained spill to ~one round's
+        # worth; same tuning applies on real clusters for long
+        # iterative jobs with large executor/driver heaps.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     spark = builder.getOrCreate()
     return configure_session(spark, shuffle_partitions)
