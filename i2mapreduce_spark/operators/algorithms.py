@@ -752,13 +752,30 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             .select("cs", "cd", "m.w", "m.a", "m.b")
             .transform(checkpoint_without_stats)
         )
-        # bounded probe: limit pushes into the plan, so this collects AT
-        # MOST BORUVKA_LOCAL_EDGES_MAX+1 rows however large the graph is
-        probe = contracted.limit(BORUVKA_LOCAL_EDGES_MAX + 1).collect()
-        if not probe:
+        # bounded probe, JVM-side only: limit pushes into the plan, so
+        # the count scans AT MOST BORUVKA_LOCAL_EDGES_MAX+1 rows of the
+        # (already checkpoint-materialized) contracted graph and moves
+        # ZERO rows to the driver.  The r11 sf100 sweep caught the
+        # previous spelling (`limit(MAX+1).collect()` as the probe):
+        # while the graph is still big every round paid a full
+        # MAX-row Py4J collect just to learn "still too big" — a
+        # per-round driver transfer that never shows up at SFs where
+        # round 0 already fits locally.  The one real transfer (the
+        # local-finish edge list, below) goes over Arrow instead of
+        # row-at-a-time Py4J.
+        probe_n = contracted.limit(BORUVKA_LOCAL_EDGES_MAX + 1).count()
+        if probe_n == 0:
             break
-        if len(probe) <= BORUVKA_LOCAL_EDGES_MAX:
-            local_rows = probe
+        if probe_n <= BORUVKA_LOCAL_EDGES_MAX:
+            pdf = contracted.toPandas()
+            # .tolist() yields native python ints/floats — numpy
+            # scalars would fail createDataFrame's LongType check on
+            # the finish edges
+            local_rows = list(
+                zip(pdf["w"].tolist(), pdf["a"].tolist(),
+                    pdf["b"].tolist(), pdf["cs"].tolist(),
+                    pdf["cd"].tolist())
+            )
             break
         # distributed Borůvka round
         pick = (
@@ -795,9 +812,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             )
         comp = comp.transform(checkpoint_without_stats)
     if local_rows:
-        finish = _local_kruskal(
-            [(r["w"], r["a"], r["b"], r["cs"], r["cd"]) for r in local_rows]
-        )
+        finish = _local_kruskal(local_rows)
         if finish:
             chosen = chosen.unionByName(
                 spark.createDataFrame(finish, "a long, b long, w double")

@@ -309,3 +309,24 @@ def test_mst_forest_matches_kruskal(spark, sf_dir):
     nodes = {x for _, a, b in weighted for x in (a, b)}
     comps = len(nodes) - len(want)
     assert len(got) == len(nodes) - comps
+
+
+def test_mst_forest_distributed_rounds_match_local(spark, sf_dir, monkeypatch):
+    """Force the DISTRIBUTED Borůvka path (probe > local threshold) and
+    pin it to the local-finish result.  At every test SF the contracted
+    round-0 graph fits BORUVKA_LOCAL_EDGES_MAX, so the default run never
+    exercises the per-round contract (min-edge pick + CC contraction +
+    JVM-side count probe) that the sf100 sweep runs — the r11 probe
+    rewrite (count() instead of a MAX-row collect per round) changed
+    exactly that path.  MSF under a total order is unique, so the two
+    paths must agree edge-for-edge."""
+    from i2mapreduce_spark.queries.iterative import q_iter_mst_forest
+
+    baseline = {(r.a, r.b, r.dist)
+                for r in q_iter_mst_forest(spark, sf_dir).collect()}
+    # small enough to force >=2 distributed rounds on every fixture,
+    # large enough that 8 rounds + local finish always terminate
+    monkeypatch.setattr(algorithms, "BORUVKA_LOCAL_EDGES_MAX", 64)
+    forced = {(r.a, r.b, r.dist)
+              for r in q_iter_mst_forest(spark, sf_dir).collect()}
+    assert forced == baseline
