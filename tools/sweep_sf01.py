@@ -103,7 +103,14 @@ def main() -> int:
     # across DIFFERENT configs can false-alarm when the current config
     # speeds up the baseline SF)
     config = {"shuffle_partitions": n_part,
-              "max_partition_bytes": mpb or None}
+              "max_partition_bytes": mpb or None,
+              # heap and task-slot count change per-task memory share,
+              # so a baseline timed under a different executor shape
+              # must not join the min-of-k pool either (r11: the sf100
+              # leg mixed 8g- and 16g-heap readings before these were
+              # recorded)
+              "driver_memory": os.environ.get("I2MR_DRIVER_MEM", "8g"),
+              "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*")}
     json.dump({"sf_dir": sf_dir, "times": times, "config": config},
               open(out_path, "w"), indent=1)
     print(f"timings written to {out_path}")
