@@ -80,6 +80,19 @@ def main() -> int:
     mpb = os.environ.get("SWEEP_MAX_PARTITION_BYTES")
     if mpb:
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+    # The POST-shuffle twin of the knob above (r11 sf100 lesson):
+    # raising spark.sql.shuffle.partitions alone does nothing under
+    # AQE, which coalesces small partitions back to the 64 MB advisory
+    # target — so per-task post-shuffle bytes stay constant while the
+    # data grows 10x, and an 8-task/16g executor OOMs at the same
+    # stage at 1024 AND 4096 configured partitions (a 64 MB compressed
+    # edge partition decompresses + hash-builds to ~1 GB).  The
+    # advisory size must track per-task execution memory, not the
+    # default: ~16 MB for 8 tasks sharing a 16 GB heap at sf100.
+    apb = os.environ.get("SWEEP_ADVISORY_PARTITION_BYTES")
+    if apb:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", apb)
     t_all = time.perf_counter()
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
@@ -110,7 +123,8 @@ def main() -> int:
               # leg mixed 8g- and 16g-heap readings before these were
               # recorded)
               "driver_memory": os.environ.get("I2MR_DRIVER_MEM", "8g"),
-              "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*")}
+              "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+              "advisory_partition_bytes": apb or None}
     json.dump({"sf_dir": sf_dir, "times": times, "config": config},
               open(out_path, "w"), indent=1)
     print(f"timings written to {out_path}")
