@@ -21,9 +21,33 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.iterate import (
     IterationResult,
     checkpoint_without_stats,
+    is_local_checkpoint,
     iterate,
     release_checkpoint,
 )
+
+
+def _own_edges(edges: DataFrame) -> tuple[DataFrame, bool]:
+    """Materialize a loop-invariant edges input WITHOUT pinning its
+    lineage, with ownership tracking.
+
+    The previous idiom (`edges.cache()` + `unpersist()` in finally)
+    kept the input's whole lineage reachable for the entire fixpoint —
+    for derived graphs (the lineitem co-purchase self-join) that pins
+    the build's shuffle files on local disk until the loop ends,
+    because ContextCleaner only deletes shuffle files whose dependency
+    became unreachable (measured r11, sf100 decade sweep: 50 GB
+    retained, disk-full death mid-fixpoint).  localCheckpoint truncates
+    the lineage, so the build shuffle is collectible immediately and
+    the loop holds only the materialized edge blocks.
+
+    Returns (frame, owned): `owned=False` when the caller already
+    checkpointed the input — then it is used as-is and NOT released on
+    exit (the caller may read it again, e.g. warm-start keys calling
+    connected_components twice on one frame)."""
+    if is_local_checkpoint(edges):
+        return edges, False
+    return checkpoint_without_stats(edges), True
 
 
 def _nodes(edges: DataFrame) -> DataFrame:
@@ -60,13 +84,21 @@ def pagerank(
     partially aggregate map-side.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    nodes = _nodes(edges).repartition(n_part, "node").cache()
+    # checkpoint, not cache, for the loop-invariant structure (same
+    # rationale as _own_edges): a cached frame keeps the DERIVATION
+    # lineage — the edges-build and outdeg shuffles — reachable for the
+    # whole fixpoint, so their shuffle files survive on local disk
+    # until the loop ends.  The checkpoint truncates lineage; only the
+    # materialized structure blocks stay resident, released below.
+    nodes = checkpoint_without_stats(
+        _nodes(edges).repartition(n_part, "node")
+    )
     n = nodes.count()
     if n == 0:
         # empty graph (an empty date slice is routine at scale): the rank
         # vector over zero nodes is empty by definition — return it
         # instead of dividing the teleport mass by zero
-        nodes.unpersist()
+        release_checkpoint(nodes)
         return IterationResult(
             state=spark.createDataFrame([], "node long, rank double"),
             iterations=0, converged=True, deltas=[],
@@ -77,11 +109,10 @@ def pagerank(
     # Only this derived structure (and nodes) is cached — raw edges are
     # scanned once to build it and never touched again.
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_inv = (
+    edges_inv = checkpoint_without_stats(
         edges.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
         .repartition(n_part, "src")
-        .cache()
     )
 
     if teleport_to is not None:
@@ -145,10 +176,10 @@ def pagerank(
         )
     finally:
         # the returned state is eagerly checkpointed, so the structure
-        # caches can be dropped — repeated calls (warm-start scenarios)
-        # would otherwise pile cached copies up
-        nodes.unpersist()
-        edges_inv.unpersist()
+        # blocks can be dropped — repeated calls (warm-start scenarios)
+        # would otherwise pile materialized copies up
+        release_checkpoint(nodes)
+        release_checkpoint(edges_inv)
 
 
 def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
@@ -167,7 +198,12 @@ def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
     joined back by broadcast — no driver-side collect in the loop.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = edges.select("src", "dst").repartition(n_part, "src").cache()
+    # checkpoint, not cache (same rationale as _own_edges): truncates
+    # the build lineage so its shuffle files are collectible during the
+    # loop instead of pinned until it ends
+    e = checkpoint_without_stats(
+        edges.select("src", "dst").repartition(n_part, "src")
+    )
     srcs = e.select(F.col("src").alias("node")).distinct()
 
     def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
@@ -216,7 +252,7 @@ def hits(spark: SparkSession, edges: DataFrame, iters: int = 4) -> DataFrame:
             )
         )
     finally:
-        e.unpersist()
+        release_checkpoint(e)
 
 
 def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
@@ -269,7 +305,7 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
-    edges = edges.cache()
+    edges, owned = _own_edges(edges)
     prev = None
     try:
         for _ in range(max_hops):
@@ -287,7 +323,8 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
                 release_checkpoint(prev)
             prev = dist
     finally:
-        edges.unpersist()
+        if owned:
+            release_checkpoint(edges)
     return dist
 
 
@@ -317,7 +354,7 @@ def gimv(
     damped add).  SSSP = (combine2 add; combineAll min; assign least).
     CC = (combine2 identity; combineAll min; assign least).
     """
-    edges = edges.cache()
+    edges, owned = _own_edges(edges)
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         s, e = state.alias("s"), edges.alias("e")
@@ -336,7 +373,8 @@ def gimv(
     try:
         return iterate(state0, step, iters, checkpoint_every=checkpoint_every)
     finally:
-        edges.unpersist()
+        if owned:
+            release_checkpoint(edges)
 
 
 def connected_components(edges: DataFrame, iters: int = 16,
@@ -375,7 +413,7 @@ def connected_components(edges: DataFrame, iters: int = 16,
                 ).alias("val"),
             )
         )
-    edges = edges.cache()
+    edges, owned = _own_edges(edges)
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         s, e = state.alias("s"), edges.alias("e")
@@ -423,7 +461,8 @@ def connected_components(edges: DataFrame, iters: int = 16,
     try:
         res = iterate(labels, step, iters, delta_fn=changed, tol=0.5)
     finally:
-        edges.unpersist()
+        if owned:
+            release_checkpoint(edges)
     connected_components.last_iters_run = res.iterations
     return res.state.select("node", F.col("val").alias("label"))
 

@@ -109,6 +109,24 @@ def checkpoint_without_stats(df: DataFrame) -> DataFrame:
         return ckpt  # stats reset is a de-pessimization only
 
 
+def is_local_checkpoint(df: DataFrame) -> bool:
+    """True when `df` is already a materialized local checkpoint
+    (its analyzed plan is a LogicalRDD).
+
+    Loop operators use this for input OWNERSHIP: an edges frame the
+    caller already checkpointed must be neither re-checkpointed (a
+    second full block copy) nor released on exit (the caller may read
+    it again — e.g. warm-start keys call connected_components twice on
+    the same frame).  Same internals probe as release_checkpoint;
+    returns False on any mismatch, which degrades to an extra (safe)
+    checkpoint copy."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:
+        return False
+
+
 def release_checkpoint(df: DataFrame) -> None:
     """Drop the cached blocks behind a SUPERSEDED local checkpoint.
 

@@ -73,7 +73,8 @@ def get_spark(app_name: str = "i2mapreduce-spark", cpus: str | None = None,
         # A short periodic GC bounds retained spill to ~one round's
         # worth; same tuning applies on real clusters for long
         # iterative jobs with large executor/driver heaps.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("I2MR_PERIODIC_GC", "2min"))
     )
     spark = builder.getOrCreate()
     return configure_session(spark, shuffle_partitions)
