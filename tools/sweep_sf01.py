@@ -71,6 +71,16 @@ def main() -> int:
     if len(sys.argv) > 1:
         queries = {k: queries[k] for k in sys.argv[1:]}
     n_part = int(os.environ.get("SWEEP_PARTITIONS", "8"))
+    # Propagate through the env var configure_session() reads: every
+    # query key calls load_tables -> configure_session, which re-applies
+    # shuffle partitions from I2MR_SHUFFLE_PARTITIONS (default 32) on
+    # EVERY call — so a value passed only to get_spark() is silently
+    # clobbered back to 32 before the first query runs.  (r11: found at
+    # sf100 when the self-join stage kept sorting ~20M rows/task and
+    # demanding 1 GB pages no matter what SWEEP_PARTITIONS said — the
+    # recorded partition counts of earlier sweep files were aspirational,
+    # not effective.)
+    os.environ["I2MR_SHUFFLE_PARTITIONS"] = str(n_part)
     spark = get_spark(app_name="i2mr-sweep", shuffle_partitions=n_part)
     # The 100 TB memory knob (r9 verdict item 3): instead of growing the
     # heap with the input, cap scan-partition size so partition count
