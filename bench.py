@@ -20,7 +20,7 @@ a delta a regression —
 - `calibration`: agg_pricing_summary's warm min (JVM scalar path;
   plan frozen since r1) — moves only with JVM/host load;
 - `calibration_arrow` (r11): a frozen 1000x64 corpus through the same
-  cogroup + numpy matmul machinery as sim_topk_cosine — moves only
+  grouped-kernel + numpy matmul machinery as sim_topk_cosine — moves only
   with Python/Arrow-path load.  BENCH_r10 read +6% purely because
   ambient load hit the Arrow path while the scalar probe stayed flat;
   with both probes that adjudication needs no re-run: scalar flat +
@@ -46,7 +46,7 @@ def _arrow_calibration(spark) -> float:
     scalar calibration query (agg_pricing_summary) could not arbitrate
     because ambient load hit the pandas-UDF path but not the JVM scalar
     path.  This runs a fixed 1000x64 synthetic corpus through the SAME
-    cogroup + numpy-matmul machinery as sim_topk_cosine — input size
+    grouped-kernel + numpy-matmul machinery as sim_topk_cosine — input size
     frozen, plan frozen — so its warm minimum moves only with the
     host's Python/Arrow throughput.  Compare rounds on BOTH
     calibrations: scalar flat + arrow up => ambient Arrow-path load,

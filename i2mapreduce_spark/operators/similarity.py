@@ -4,12 +4,14 @@ Correctness surface: exact cosine top-k / threshold pairs, computed with a
 vectorized numpy kernel — the SQL higher-order function form is ~10x
 slower (measured: 35s vs 3.5s at sf0.1, SURVEY §6).
 
-Distributed shape: the exact all-pairs kernel is a BLOCK x BLOCK cogroup —
-each vector is assigned a block by id, every (i <= j) block pair meets once
-on an executor via cogroup().applyInPandas, and numpy does the dense
-matmul per block pair.  Nothing is collected to the driver; per-task
-memory is (2 blocks x dim) doubles, tuned by n_blocks (communication is
-O(n_blocks x corpus): each row is shipped to n_blocks+1 block pairs).
+Distributed shape: the exact all-pairs kernel is a BLOCK x BLOCK grouped
+kernel — each vector is assigned a block by id, replicated JVM-side
+(explode of a sequence literal) to every (i <= j) block pair it meets,
+and every pair lands once on an executor via groupBy(gi, gj)
+.applyInPandas, where numpy does the dense matmul.  Nothing is collected
+to the driver; per-task memory is (2 blocks x dim) doubles, tuned by
+n_blocks (communication is O(n_blocks x corpus): each row is shipped to
+n_blocks block pairs through a single Exchange).
 At 100 TB, size n_blocks so one block fits an executor core's memory
 budget; the quadratic block-pair fan-out is inherent to EXACT all-pairs —
 the LSH/IVF paths below are the sub-quadratic scale route, re-scoring
@@ -34,29 +36,43 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 N_BLOCKS = 4
 
 
-def _block_pair_frames(spark: SparkSession, emb_df: DataFrame, id_col: str,
-                       vec_col: str, extra_cols: tuple = (),
-                       n_blocks: int = N_BLOCKS):
-    """Tag each row with its id-block and replicate it to every (gi <= gj)
-    block pair it participates in.  Returns (left, right) frames for
-    cogroup: left carries block gi's rows, right block gj's (right's
-    columns carry an `_r` suffix — fresh exprIds, so the self-derived
-    cogroup analyzes unambiguously).  The block-pair list is tiny
-    (n_blocks*(n_blocks+1)/2 rows) and broadcast; the corpus is never
-    collected."""
-    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+def _block_pair_grouped(emb_df: DataFrame, id_col: str, vec_col: str,
+                        extra_cols: tuple = (),
+                        n_blocks: int = N_BLOCKS) -> DataFrame:
+    """Tag each row with its id-block and explode it to every (gi <= gj)
+    block pair it participates in, with a `side` marker (0 = the row
+    belongs to block gi, 1 = to block gj; diagonal pairs carry each row
+    once, side 0).  Single-frame feed for a grouped applyInPandas kernel.
 
-    def side(match: str, suffix: str):
-        e = emb_df.select(id_col, vec_col, *extra_cols).withColumn(
-            "_g", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
-        )
-        bp = spark.createDataFrame(pairs, "gi int, gj int")
-        out = e.join(F.broadcast(bp), F.col("_g") == F.col(match)).drop("_g")
-        if suffix:
-            out = out.select([F.col(c).alias(c + suffix) for c in out.columns])
-        return out
+    r11 optimization (guide §2.3/§2.4): the previous spelling built two
+    frames (left/right) for cogroup, which cost TWO parquet scans, two
+    broadcast joins against a Python-RDD pair list, and two Exchanges —
+    and shipped diagonal-block rows twice (n_blocks+1 copies per row).
+    This single frame costs one scan, zero joins (the pair fan-out is a
+    JVM-side explode of a sequence literal) and ONE Exchange, at
+    n_blocks copies per row.  NULL ids are dropped exactly as the old
+    inner join on pmod(id) did.  The corpus is never collected."""
+    e = emb_df.select(id_col, vec_col, *extra_cols).withColumn(
+        "_g", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    ).filter(F.col("_g").isNotNull())
+    pair_expr = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}), h -> "
+        "struct(least(_g, h) AS gi, greatest(_g, h) AS gj, "
+        "if(_g <= h, 0, 1) AS side))"
+    )
+    return e.select(
+        F.explode(pair_expr).alias("_p"), id_col, vec_col, *extra_cols
+    ).select("_p.gi", "_p.gj", "_p.side", id_col, vec_col, *extra_cols)
 
-    return side("gi", ""), side("gj", "_r")
+
+def _split_sides(key, pdf: pd.DataFrame):
+    """Kernel-side view of a block-pair group: (same_block, lpdf, rpdf).
+    Diagonal groups expose the whole group as both sides — identical to
+    what the old cogroup delivered (both sides held the same rows)."""
+    if key[0] == key[1]:
+        return True, pdf, pdf
+    mask = pdf["side"].values == 0
+    return False, pdf[mask], pdf[~mask]
 
 
 def _norm_rows(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
@@ -78,17 +94,16 @@ def cosine_topk(spark: SparkSession, emb_df: DataFrame, k: int = 5,
     keeps the true top-k — exact because the global top-k is a subset of
     the union of per-block-pair top-ks.
     """
-    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
-                                     n_blocks=n_blocks)
+    grouped = _block_pair_grouped(emb_df, id_col, vec_col, n_blocks=n_blocks)
 
-    def kernel(key, lpdf, rpdf):
+    def kernel(key, pdf):
+        same_block, lpdf, rpdf = _split_sides(key, pdf)
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"vec_id": [], "nbr": [], "sim": []})
-        same_block = key[0] == key[1]
         Ln = _norm_rows(lpdf, vec_col)
-        Rn = _norm_rows(rpdf, vec_col + "_r")
+        Rn = Ln if same_block else _norm_rows(rpdf, vec_col)
         lid = lpdf[id_col].values
-        rid = rpdf[id_col + "_r"].values
+        rid = rpdf[id_col].values
         S = Ln @ Rn.T
         out_v, out_n, out_s = [], [], []
 
@@ -124,10 +139,8 @@ def cosine_topk(spark: SparkSession, emb_df: DataFrame, k: int = 5,
             "sim": np.concatenate(out_s),
         })
 
-    cand = (
-        left.groupBy("gi", "gj")
-        .cogroup(right.groupBy("gi_r", "gj_r"))
-        .applyInPandas(kernel, schema="vec_id long, nbr long, sim double")
+    cand = grouped.groupBy("gi", "gj").applyInPandas(
+        kernel, schema="vec_id long, nbr long, sim double"
     )
     from pyspark.sql import Window
 
@@ -146,18 +159,19 @@ def cosine_threshold_pairs(spark: SparkSession, emb_df: DataFrame, threshold: fl
     """Count pairs with cosine >= threshold, grouped by (label_a, label_b)
     where a is the smaller vec_id.  Same block-pair kernel, fully
     vectorized emission (2-D nonzero, no per-row python loop)."""
-    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
-                                     (label_col,), n_blocks=n_blocks)
+    grouped = _block_pair_grouped(emb_df, id_col, vec_col, (label_col,),
+                                  n_blocks=n_blocks)
 
-    def kernel(key, lpdf, rpdf):
+    def kernel(key, pdf):
+        same_block, lpdf, rpdf = _split_sides(key, pdf)
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"label_a": [], "label_b": []})
-        same_block = key[0] == key[1]
-        S = _norm_rows(lpdf, vec_col) @ _norm_rows(rpdf, vec_col + "_r").T
+        Ln = _norm_rows(lpdf, vec_col)
+        S = Ln @ (Ln if same_block else _norm_rows(rpdf, vec_col)).T
         lid = lpdf[id_col].values
-        rid = rpdf[id_col + "_r"].values
+        rid = rpdf[id_col].values
         llab = lpdf[label_col].values
-        rlab = rpdf[label_col + "_r"].values
+        rlab = rpdf[label_col].values
         hit = S >= threshold
         la_parts, lb_parts = [], []
         ii, jj = np.nonzero(hit & (rid[None, :] > lid[:, None]))
@@ -170,10 +184,8 @@ def cosine_threshold_pairs(spark: SparkSession, emb_df: DataFrame, threshold: fl
             "label_b": np.concatenate(lb_parts),
         })
 
-    pairs = (
-        left.groupBy("gi", "gj")
-        .cogroup(right.groupBy("gi_r", "gj_r"))
-        .applyInPandas(kernel, schema="label_a int, label_b int")
+    pairs = grouped.groupBy("gi", "gj").applyInPandas(
+        kernel, schema="label_a int, label_b int"
     )
     return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
 
@@ -184,16 +196,16 @@ def cosine_pairs(spark: SparkSession, emb_df: DataFrame, threshold: float,
     """All pairs (a < b) with cosine >= threshold: (a, b, sim) rounded 4dp.
     Same block-pair kernel as cosine_topk; at 100 TB the LSH/IVF candidate
     generators replace exact all-pairs and this becomes their re-scorer."""
-    left, right = _block_pair_frames(spark, emb_df, id_col, vec_col,
-                                     n_blocks=n_blocks)
+    grouped = _block_pair_grouped(emb_df, id_col, vec_col, n_blocks=n_blocks)
 
-    def kernel(key, lpdf, rpdf):
+    def kernel(key, pdf):
+        same_block, lpdf, rpdf = _split_sides(key, pdf)
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"a": [], "b": [], "sim": []})
-        same_block = key[0] == key[1]
-        S = _norm_rows(lpdf, vec_col) @ _norm_rows(rpdf, vec_col + "_r").T
+        Ln = _norm_rows(lpdf, vec_col)
+        S = Ln @ (Ln if same_block else _norm_rows(rpdf, vec_col)).T
         lid = lpdf[id_col].values
-        rid = rpdf[id_col + "_r"].values
+        rid = rpdf[id_col].values
         hit = S >= threshold
         a_parts, b_parts, s_parts = [], [], []
         ii, jj = np.nonzero(hit & (rid[None, :] > lid[:, None]))
@@ -207,10 +219,8 @@ def cosine_pairs(spark: SparkSession, emb_df: DataFrame, threshold: float,
             "sim": np.round(np.concatenate(s_parts), 4),
         })
 
-    return (
-        left.groupBy("gi", "gj")
-        .cogroup(right.groupBy("gi_r", "gj_r"))
-        .applyInPandas(kernel, schema="a long, b long, sim double")
+    return grouped.groupBy("gi", "gj").applyInPandas(
+        kernel, schema="a long, b long, sim double"
     )
 
 

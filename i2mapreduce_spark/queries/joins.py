@@ -48,13 +48,22 @@ def q_join_shuffle_equi(spark, sf_dir):
 
 
 def q_join_multiway(spark, sf_dir):
-    """customer ⋈ orders ⋈ lineitem ⋈ nation -> revenue per nation."""
+    """customer ⋈ orders ⋈ lineitem ⋈ nation -> revenue per nation.
+
+    r11 join order (guide §3.1): lineitem (the fact table) is the
+    STREAMED side throughout — li probes orders, then customer, then
+    nation.  The previous (c ⋈ o) ⋈ li spelling made Catalyst broadcast
+    lineitem itself (BuildRight under the 10 MB estimate at bench scale)
+    — i.e. the biggest table was collected into a hash relation while
+    the dims streamed.  Inner-join reordering; result multiset
+    unchanged.  No added hints: at real scale Catalyst/AQE pick
+    SMJ/shuffled-hash for o and c, and the fact side still streams."""
     load_tables(spark, sf_dir)
     c, o = spark.table("customer"), spark.table("orders")
     li, n = spark.table("lineitem"), spark.table("nation")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))

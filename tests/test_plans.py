@@ -207,10 +207,12 @@ def test_lsh_rescore_is_candidate_restricted(spark, sf_dir):
     assert not solo_shingle_keys, solo_shingle_keys
 
 
-def test_exact_cosine_is_distributed_cogroup(spark, sf_dir):
-    """The exact cosine kernel must be the block-pair cogroup — no driver
-    collect anywhere in its lineage (the r1 design broadcast a
-    driver-collected matrix, a guaranteed OOM at scale)."""
+def test_exact_cosine_is_distributed_grouped_kernel(spark, sf_dir):
+    """The exact cosine kernel must be the distributed block-pair grouped
+    kernel — no driver collect anywhere in its lineage (the r1 design
+    broadcast a driver-collected matrix, a guaranteed OOM at scale), and
+    (r11) a SINGLE Exchange feeding the pandas kernel: the old cogroup
+    spelling paid two scans + two Exchanges for the same block pairs."""
     from i2mapreduce_spark.operators import similarity
 
     load_tables(spark, sf_dir)
@@ -220,8 +222,11 @@ def test_exact_cosine_is_distributed_cogroup(spark, sf_dir):
         similarity.cosine_pairs(spark, emb, 0.3),
     ):
         plan = _plan(df)
-        assert "FlatMapCoGroupsInPandas" in plan, plan[:500]
+        assert "FlatMapGroupsInPandas" in plan, plan[:500]
         assert "CollectLimit" not in plan
+        # one scan of the corpus (formatted explain prints each scan
+        # once in the tree and once in details; Location: appears once)
+        assert plan.count("Location:") <= 1, plan[:800]
 
 
 def test_dynamic_partition_pruning_fires(spark, sf_dir):
