@@ -83,7 +83,8 @@ APPROVED_BROADCASTS = {
     ("i2mapreduce_spark/queries/tpch_q.py", "q_join_potential_promotion"),  # nation dim (25) only
     ("i2mapreduce_spark/queries/windows_q.py", "q_window_percent_of_total"),  # nation+region dims
     # k-bounded candidate / block tables
-    ("i2mapreduce_spark/operators/similarity.py", "side"),  # n_blocks^2 block pairs
+    # (similarity.py's block-pair broadcast removed r11: the single-frame
+    #  exploded feed has no join, hence no hint — see _block_pair_grouped)
     ("i2mapreduce_spark/queries/r6_ops.py", "q_sim_mmr_rerank"),  # fixed MMR_N_QUERIES=20-row query block
     ("i2mapreduce_spark/queries/r6b_ops.py", "q_text_ngram_coverage"),  # 1-row global bigram total
     ("i2mapreduce_spark/queries/r6b_ops.py", "q_agg_ks_test"),  # 1-row (n1, n2) totals
