@@ -65,23 +65,42 @@ def q_ts_theil_sen(spark, sf_dir):
             (F.col("b.di") - F.col("a.di")).alias("dd"),
         )
     )
-    # sx runs in DECIMAL(38,0) (r10 extreme-magnitude sweep): with day
-    # cents ~1e13 the 2e6-scaled slope itself passes 1e19, so both the
-    # product AND the quotient overflow int64.  Spark's `div` returns
+    # sx needs DECIMAL(38,0) headroom (r10 extreme-magnitude sweep): with
+    # day cents ~1e13 the 2e6-scaled slope itself passes 1e19, so both
+    # the product AND the quotient overflow int64.  Spark's `div` returns
     # LONG regardless of operand type, so the exact floor divide is
     # spelled (N - N % D) / D — the remainder and the exact-multiple
     # division are both exact in decimal space.
+    #
+    # r11 (guide §2.3 "narrower types"): decimal128 modulo/divide per
+    # pair made this the registry's slowest key (the widening alone was
+    # +80% wall on 2.9M pairs).  The guarded CASE below runs the SAME
+    # floor-divide in pure BIGINT whenever 2e6*|dc|+dd provably fits
+    # (|dc| <= 4e12 keeps N < 8.01e18 < 2^63), casting only the result
+    # to decimal; the decimal spelling remains as the ELSE branch for
+    # extreme magnitudes.  Codegen evaluates only the taken branch, so
+    # the ANSI overflow the guard excludes can never fire.  Measured
+    # interleaved at sf0.1: 16.8s -> 11.0s, bit-identical output; the
+    # extreme leg still routes through the decimal branch.
+    _dec = (
+        "((2 * 1000000 * CAST({v} AS DECIMAL(38,0)) + dd) "
+        " - (2 * 1000000 * CAST({v} AS DECIMAL(38,0)) + dd) % (2 * dd)) "
+        "/ (2 * dd)"
+    )
+    _long = (
+        "((2000000 * {v} + dd) - (2000000 * {v} + dd) % (2 * dd)) "
+        "div (2 * dd)"
+    )
     slopes = pairs.select(
         "ai",
         "bi",
         F.expr(
-            "CASE WHEN dc >= 0 THEN "
-            "((2 * 1000000 * CAST(dc AS DECIMAL(38,0)) + dd) "
-            " - (2 * 1000000 * CAST(dc AS DECIMAL(38,0)) + dd) % (2 * dd)) "
-            "/ (2 * dd) "
-            "ELSE -(((2 * 1000000 * CAST(-dc AS DECIMAL(38,0)) + dd) "
-            " - (2 * 1000000 * CAST(-dc AS DECIMAL(38,0)) + dd) % (2 * dd)) "
-            "/ (2 * dd)) END"
+            "CASE WHEN abs(dc) <= 4000000000000 THEN CAST((CASE WHEN dc >= 0 "
+            f"THEN {_long.format(v='dc')} "
+            f"ELSE -({_long.format(v='(-dc)')}) END) AS DECIMAL(38,0)) "
+            "WHEN dc >= 0 THEN "
+            f"{_dec.format(v='dc')} "
+            f"ELSE -({_dec.format(v='(-dc)')}) END"
         ).alias("sx"),
     )
     ranked = global_row_number(slopes, ["sx", "ai", "bi"], "rk")
