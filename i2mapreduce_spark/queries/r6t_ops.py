@@ -27,6 +27,12 @@ FW_KEY_W, FW_NAME_W, FW_BRAND_W, FW_TYPE_W, FW_SIZE_W, FW_CENTS_W = (
 
 TWO_PI = 6.283185307179586
 
+#: Theil-Sen int64-exact regime: |dc| <= this keeps 2e6*|dc|+dd below
+#: 2^63 with headroom (see the in-plan proof comment).  Module-level so
+#: the cross-branch equality test can force the DECIMAL plan on any
+#: fixture by monkeypatching it to -1.
+TS_INT64_DC_BOUND = 4_000_000_000_000
+
 
 def q_ts_theil_sen(spark, sf_dir):
     """Theil-Sen estimator of the daily-revenue trend: the MEDIAN of all
@@ -48,13 +54,17 @@ def q_ts_theil_sen(spark, sf_dir):
     # (a NULL day would pair as NULL slopes, ranked differently by each
     # engine's default NULL order); excluded on both sides
     o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
+    # materialize the ~2.4k-day grain ONCE (r11): the self-join below
+    # used to duplicate the whole scan+agg subtree under its a/b
+    # aliases, and the magnitude probe would add a third pass — the
+    # eager checkpoint leaves one orders scan total at any scale
     daily = o.groupBy(
         F.expr(f"datediff(o_orderdate, DATE '{BD_ANCHOR}')").alias("di")
     ).agg(
         (F.sum("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("c")
-    )
+    ).localCheckpoint(eager=True)
     pairs = (
         daily.alias("a")
         .join(daily.alias("b"), F.col("a.di") < F.col("b.di"))
@@ -91,18 +101,35 @@ def q_ts_theil_sen(spark, sf_dir):
         "((2000000 * {v} + dd) - (2000000 * {v} + dd) % (2 * dd)) "
         "div (2 * dd)"
     )
-    slopes = pairs.select(
-        "ai",
-        "bi",
-        F.expr(
-            "CASE WHEN abs(dc) <= 4000000000000 THEN CAST((CASE WHEN dc >= 0 "
-            f"THEN {_long.format(v='dc')} "
-            f"ELSE -({_long.format(v='(-dc)')}) END) AS DECIMAL(38,0)) "
-            "WHEN dc >= 0 THEN "
-            f"{_dec.format(v='dc')} "
-            f"ELSE -({_dec.format(v='(-dc)')}) END"
-        ).alias("sx"),
+    # r11 second pass (guide §2.2, narrower types THROUGH the shuffle):
+    # the per-pair CASE guard above still yields DECIMAL(38,0) — both
+    # branches must share a type — so the 2.9M-row rank sort, exchange
+    # and median agg all ran on decimal128 even when every value fits
+    # int64.  The magnitude test is a GLOBAL property of the daily
+    # grain (|dc| <= max(c) - min(c)), so probe it ONCE on the ~2.4k
+    # aggregated days and pick the sx type for the whole plan: pure
+    # BIGINT end-to-end in the normal regime, the decimal spelling only
+    # when the probe says int64 could overflow (the extreme-magnitude
+    # leg).  Both plans produce bit-identical output: the same floor-
+    # divided integer, and LONG->double vs DECIMAL->double of the same
+    # integer are the same IEEE rounding, divided once for display.
+    bound = daily.agg(F.max("c").alias("mx"), F.min("c").alias("mn")).first()
+    fits_long = (
+        bound is None
+        or bound["mx"] is None
+        or (bound["mx"] - bound["mn"]) <= TS_INT64_DC_BOUND
     )
+    if fits_long:
+        sx_expr = (
+            f"CASE WHEN dc >= 0 THEN {_long.format(v='dc')} "
+            f"ELSE -({_long.format(v='(-dc)')}) END"
+        )
+    else:
+        sx_expr = (
+            f"CASE WHEN dc >= 0 THEN {_dec.format(v='dc')} "
+            f"ELSE -({_dec.format(v='(-dc)')}) END"
+        )
+    slopes = pairs.select("ai", "bi", F.expr(sx_expr).alias("sx"))
     ranked = global_row_number(slopes, ["sx", "ai", "bi"], "rk")
     tot = ranked.agg(
         F.count(F.lit(1)).alias("np"),
