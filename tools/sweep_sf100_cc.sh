@@ -10,6 +10,11 @@
 # executor down).  8 tasks per 8 GiB is the ratio a real cluster runs;
 # partitions stay input-scaled.  Same per-key process isolation +
 # config recording as tools/sweep_sf100.sh.
+#
+# Default KEYS = every heavy fixpoint displaced from the local[32] leg
+# (iter_scc/triangle/mst/pagerank all exhaust per-task execution memory
+# there at sf100) plus CC, the §r10 local[8] exemplar.  Ordered
+# fastest-first so an interrupted run still leaves usable per-key JSONs.
 set -e
 cd "$(dirname "$0")/.."
 SF10=${SF10:-/tmp/testdata/sf10}
@@ -18,7 +23,7 @@ export I2MR_DRIVER_MEM=${I2MR_DRIVER_MEM:-8g}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
 export SWEEP_PARTITIONS=${SWEEP_PARTITIONS:-1024}
 export SWEEP_MAX_PARTITION_BYTES=${SWEEP_MAX_PARTITION_BYTES:-33554432}
-KEYS=${KEYS:-"iter_scc iter_triangle_count iter_connected_components"}
+KEYS=${KEYS:-"iter_mst_forest iter_triangle_count iter_pagerank iter_scc iter_connected_components"}
 FAIL=0
 for K in $KEYS; do
     B="/tmp/sweep_sf100_base8_$K.json"
