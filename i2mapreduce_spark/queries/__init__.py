@@ -79,20 +79,20 @@ _GROUP_MODULES = [
     "r7w_ops",      # mixed groups — round-6 additions, batch 49 (graded r7)
 ]
 
-# R12 HANDOFF: the r11 window (active below) = _R11_WINDOW[32:] (the 18
-# re-grades the r10 window didn't reach) + _R12_WINDOW (32 next-oldest,
-# all last graded round 2).  CORRECTNESS_r10.json landed 50/50 green, so
-# every hash-oracled key now has a green driver row and the ledger is
-# pure rolling freshness.  The r12 rotation is again a one-name swap in
-# build_registry(): `_R13_WINDOW + <recomputed next cohort>` — its
-# first-50 is exactly _R13_WINDOW (1 new never-graded key + the 49
-# oldest re-grades, 12 r2-era + 37 r3-era; ALWAYS recompute cohorts
-# from the committed CORRECTNESS files, never hard-code counts).  New
-# hash-oracled keys enter at the HEAD of the next staged window so they
-# get a driver row the round after they land.  7 rows-only keys stay
-# out of windows by design (sim_mmr_rerank, iter_scc,
+# R13 HANDOFF: the r12 window (active below) = _R13_WINDOW (the staged
+# cohort, swapped in verbatim per the r11 verdict item 7: 1 new key +
+# 49 re-grades last graded r2/r3).  CORRECTNESS_r11.json landed 50/50
+# green, so the ledger stays pure rolling freshness.  The r13 rotation
+# is again a one-name swap in build_registry():
+# `_R14_WINDOW + <recomputed next cohort>` — its first-50 is exactly
+# _R14_WINDOW (50 oldest re-grades, 9 r3-era + 41 r4-era; ALWAYS
+# recompute cohorts from the committed CORRECTNESS files, never
+# hard-code counts).  New hash-oracled keys enter at the HEAD of the
+# next staged window so they get a driver row the round after they
+# land.  Rows-only keys (no hash oracle — sim_mmr_rerank, iter_scc,
 # embedding_pq_codes, embedding_whitening, iter_als_topitems,
-# ts_spectral_peak, iter_maximal_matching).
+# ts_spectral_peak, iter_maximal_matching, the ANN/approx families)
+# stay out of windows by design.
 # tests/test_registry_window.py enforces all window hygiene.
 # Per-round history lives in ROUNDS.md (moved out of this file in r10).
 #
@@ -414,6 +414,71 @@ _R13_WINDOW = [
 ]
 
 
+# _R14_WINDOW: the fourth rolling-freshness cohort, staged for the r13
+# one-name swap.  No new hash-oracled keys landed in r12 (optimization
+# round — no new features), so the cohort is pure re-grades: the 50
+# next-oldest driver rows outside the active _R13_WINDOW, recomputed
+# this session from CORRECTNESS_r01-r11 (the 9 remaining hash-oracled
+# round-3 keys + the 41 alphabetically-first round-4 keys — same
+# boundary-round alphabetical cut convention as _R11-_R13; the older
+# r1-r4 keys that look skipped — agg_approx_distinct, mr_partition_custom,
+# the ANN/minhash family, agg_approx_percentile, inc_iter_warmstart —
+# are rows-only keys with no hash oracle, excluded from windows by
+# design).
+_R14_WINDOW = [
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lang_stats",
+    "text_quality_score",
+    "text_scrub_pii",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_token_histogram",
+    "text_ttr",
+    "agg_decimal_exact",
+    "agg_equidepth_histogram",
+    "agg_gini",
+    "agg_linreg",
+    "agg_mode",
+    "agg_skew_kurt",
+    "agg_weighted_median",
+    "dedup_embedding_cosine",
+    "dq_benford",
+    "dq_constraint_check",
+    "dq_drift_psi",
+    "dq_uniqueness",
+    "embedding_quantize",
+    "fn_base64_hex",
+    "fn_ip_addr",
+    "fn_url_parse",
+    "iter_connected_components",
+    "iter_pagerank",
+    "iter_sssp_weighted",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_interval_overlap",
+    "join_mark_exists",
+    "join_point_in_time",
+    "join_prefilter_bitmap",
+    "multimodal_audio_energy",
+    "multimodal_phash",
+    "pipeline_dataset_card",
+    "pipeline_mixture_weights",
+    "pipeline_pack_sequences",
+    "sample_reservoir",
+    "setop_symmetric_diff",
+    "source_schema_evolution",
+    "stream_cdc_apply",
+    "stream_late_watermark",
+    "stream_scd2_compact",
+    "text_entropy",
+    "text_readability",
+    "text_zipf_fit",
+    "ts_resample_interpolate",
+    "ts_time_weighted_avg",
+]
+
+
 def build_registry() -> tuple[dict, dict]:
     queries: dict = {}
     oracles: dict = {}
@@ -428,13 +493,15 @@ def build_registry() -> tuple[dict, dict]:
                 raise ValueError(f"oracle without query: {k}")
             oracles[k] = sql
     ordered: dict = {}
-    # r11 rotation (r10 verdict item 1): the r10 window drained 50/50
-    # green in CORRECTNESS_r10.json, so _R10_WINDOW + _R11_WINDOW[:32]
-    # fold back into module order.  The r11 first-50 = _R11_WINDOW[32:]
-    # (the 18 re-grades r10 didn't reach) + _R12_WINDOW (the 32
-    # next-oldest) — pure rolling freshness from here on (_R13_WINDOW
-    # staged next: 1 new key + the 49 next-oldest re-grades).
-    for k in _R11_WINDOW[32:] + _R12_WINDOW + _R13_WINDOW:
+    # r12 rotation (r11 verdict item 7): the r11 window
+    # (_R11_WINDOW[32:] + _R12_WINDOW) drained 50/50 green in
+    # CORRECTNESS_r11.json, so those keys fold back into module order.
+    # The r12 first-50 = _R13_WINDOW exactly as staged (1 new key,
+    # dedup_simhash_grouped, + the 49 next-oldest re-grades — this puts
+    # official driver rows on the r11-rewritten sim_topk_cosine and
+    # ts_theil_sen).  _R14_WINDOW staged next: the 50 next-oldest
+    # re-grades, recomputed from CORRECTNESS_r01-r11.
+    for k in _R13_WINDOW + _R14_WINDOW:
         ordered[k] = queries.pop(k)  # KeyError = stale window list; fail loud
     ordered.update(queries)          # everything already graded, module order
     return ordered, oracles

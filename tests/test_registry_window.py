@@ -27,6 +27,7 @@ from i2mapreduce_spark.queries import (
     _R11_WINDOW,
     _R12_WINDOW,
     _R13_WINDOW,
+    _R14_WINDOW,
     build_registry,
 )
 
@@ -64,59 +65,65 @@ def _is_green(row: dict) -> bool:
 
 
 def test_window_is_first_50_registry_keys():
-    # r11 era: first-50 = _R11_WINDOW[32:] (the 18 re-grades r10 didn't
-    # reach) + _R12_WINDOW (32 next-oldest) — pure rolling freshness.
+    # r12 era: first-50 = _R13_WINDOW verbatim (1 new key + 49 oldest
+    # re-grades, swapped in per the r11 verdict item 7) — pure rolling
+    # freshness.
     queries, _ = build_registry()
-    assert list(queries)[:50] == _R11_WINDOW[32:] + _R12_WINDOW
+    assert list(queries)[:50] == _R13_WINDOW
     assert len(set(_R10_WINDOW)) == 18
     assert len(set(_R11_WINDOW)) == 50
     assert len(set(_R12_WINDOW)) == 32
 
 
-def test_r12_rotation_staged_right_after_r11():
-    # r12 must be a one-name swap: its first-50 = _R13_WINDOW (1 new
-    # never-graded key + 49 next-oldest re-grades), which is exactly
-    # registry positions 50..100 today.
+def test_r13_rotation_staged_right_after_r12():
+    # r13 must be a one-name swap: its first-50 = _R14_WINDOW (the 50
+    # next-oldest re-grades), which is exactly registry positions
+    # 50..100 today.
     queries, _ = build_registry()
-    assert list(queries)[50:100] == _R13_WINDOW
+    assert list(queries)[50:100] == _R14_WINDOW
     assert len(set(_R13_WINDOW)) == 50
+    assert len(set(_R14_WINDOW)) == 50
     assert not set(_R9_WINDOW) & set(_R10_WINDOW)
     assert not (set(_R9_WINDOW) | set(_R10_WINDOW)) & set(_R11_WINDOW)
     assert not (set(_R10_WINDOW) | set(_R11_WINDOW)) & set(_R12_WINDOW)
     assert not (set(_R11_WINDOW) | set(_R12_WINDOW)) & set(_R13_WINDOW)
+    assert not (set(_R12_WINDOW) | set(_R13_WINDOW)) & set(_R14_WINDOW)
 
 
 def test_windows_cover_the_never_graded_backlog_exactly():
     # The never-graded backlog drained in r10 (CORRECTNESS_r10.json,
     # 50/50 green).  From r11 on, the only never-graded hash keys are
     # keys NEW this round, and they must sit at the head of the staged
-    # window (_R13_WINDOW) so no key waits more than one round for a
-    # driver row.
+    # window (_R14_WINDOW) so no key waits more than one round for a
+    # driver row.  (dedup_simhash_grouped, new in r11, got its driver
+    # row in CORRECTNESS file r11 or sits in the active r12 window.)
     queries, oracles = build_registry()
     rows = _latest_driver_rows()
-    never_graded = [k for k in queries if k in oracles and k not in rows]
+    never_graded = [
+        k for k in queries
+        if k in oracles and k not in rows and k not in _R13_WINDOW
+    ]
     n = len(never_graded)
-    assert sorted(never_graded) == sorted(_R13_WINDOW[:n]), (
+    assert sorted(never_graded) == sorted(_R14_WINDOW[:n]), (
         "new never-graded hash keys must head the staged window"
     )
-    assert [k for k in _R13_WINDOW if k not in queries] == []
-    assert [k for k in _R13_WINDOW if k not in oracles] == []
+    assert [k for k in _R14_WINDOW if k not in queries] == []
+    assert [k for k in _R14_WINDOW if k not in oracles] == []
 
 
 def test_staged_regrades_are_the_oldest_graded_cohort():
-    # Rolling freshness: the NEXT round's re-grade cohort
-    # (_R11_WINDOW[32:] + _R12_WINDOW, 50 keys) must be already-graded
-    # hash keys whose latest driver row is from the OLDEST rounds on
-    # record (all r1/r2 era today).  Recomputed from the committed
-    # CORRECTNESS files so the list can't silently rot.  Deliberately
-    # computed over the STAGED cohort, not the active window, so the
-    # test survives CORRECTNESS_r10.json landing (which refreshes the
-    # active window's keys but not these).
+    # Rolling freshness: the staged re-grade cohort (_R14_WINDOW, 50
+    # keys) must be already-graded hash keys whose latest driver row is
+    # from the OLDEST rounds on record (9 r3-era + 41 r4-era today).
+    # Recomputed from the committed CORRECTNESS files so the list can't
+    # silently rot.  Deliberately computed over the STAGED cohort, not
+    # the active window, so the test survives CORRECTNESS_r12.json
+    # landing (which refreshes the active window's keys but not these).
     queries, oracles = build_registry()
     rows = _driver_rows_with_round()
-    staged = _R13_WINDOW
+    staged = _R14_WINDOW
     assert len(staged) == 50
-    active = set(_R11_WINDOW[32:]) | set(_R12_WINDOW)
+    active = set(_R13_WINDOW)
     assert all(k in oracles for k in staged)
     assert not set(staged) & active
     graded_rounds = {k: rnd for k, (rnd, _) in rows.items()}
@@ -151,7 +158,7 @@ def test_window_keys_all_have_hash_oracles():
     missing = [
         k
         for k in _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW
-        + _R13_WINDOW
+        + _R13_WINDOW + _R14_WINDOW
         if k not in oracles
     ]
     assert missing == []
@@ -187,7 +194,7 @@ def test_window_keys_are_ungraded_or_green():
     # so loudly.
     rows = _latest_driver_rows()
     for k in (_R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW
-              + _R13_WINDOW):
+              + _R13_WINDOW + _R14_WINDOW):
         if k in RESUBMITTED:
             # resubmission is only justified while the stale err stands
             assert rows[k].get("err") == "no_oracle", k
