@@ -859,6 +859,90 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     return chosen
 
 
+def _fwbw_coloring(active: DataFrame, active_nodes: DataFrame,
+                   iters: int = 16) -> DataFrame:
+    """Fused forward+backward min-label coloring for scc(): ONE
+    pointer-doubling fixpoint over state (node, f, b) where
+    f[v] = min id reachable FROM v and b[v] = min id reaching v.
+
+    r12 rewrite (guide §2.4 remove shuffles / §5.1 fewer actions): the
+    r6-r11 shape ran TWO independent `connected_components` fixpoints
+    (forward on reversed edges, backward on the originals) and joined
+    their outputs.  Each fixpoint paid its own per-round checkpoint +
+    fixpoint-sum action, its own `_nodes` build (union+distinct
+    shuffle), and the forward pass re-checkpointed the reversed edge
+    frame (a full second copy of the edge blocks); the final fwd ⋈ bwd
+    join added one more shuffle + checkpoint.  Min-label fixpoints are
+    UNIQUE (the min over a fixed reachable set), so computing both
+    labels in one loop returns bit-identical results while: rounds run
+    max(r_f, r_b) instead of r_f + r_b wall-clock, one checkpoint + one
+    sum action per round instead of two of each, zero extra edge
+    copies, no nodes rebuilds, and no final join (the state already
+    holds both labels).  Per round: two msg joins (one per direction,
+    both against the SAME checkpointed edge blocks), one two-sided
+    propagation join, two label-of-label doubling joins."""
+    labels = active_nodes.select(
+        "node", F.col("node").alias("f"), F.col("node").alias("b")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        s, e = state.alias("s"), active.alias("e")
+        # fwd: for edge u->v, u can reach whatever v reaches
+        fagg = (
+            s.join(e, F.col("s.node") == F.col("e.dst"))
+            .select(F.col("e.src").alias("node"), F.col("s.f").alias("mf"))
+            .groupBy("node").agg(F.min("mf").alias("mf"))
+        )
+        # bwd: for edge u->v, whatever reaches u also reaches v
+        bagg = (
+            s.join(e, F.col("s.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"), F.col("s.b").alias("mb"))
+            .groupBy("node").agg(F.min("mb").alias("mb"))
+        )
+        prop = (
+            state.alias("s")
+            .join(fagg.alias("fa"), "node", "left")
+            .join(bagg.alias("ba"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("s.f"),
+                        F.coalesce(F.col("fa.mf"), F.col("s.f"))).alias("f"),
+                F.least(F.col("s.b"),
+                        F.coalesce(F.col("ba.mb"), F.col("s.b"))).alias("b"),
+            )
+        )
+        # pointer doubling, both directions off one LUT: my f-label is a
+        # node I can reach, so ITS f-label is still reachable (and dually
+        # for b) — label-of-label keeps convergence O(log diameter)
+        lut = prop.select(F.col("node").alias("l_node"),
+                          F.col("f").alias("l_f"), F.col("b").alias("l_b"))
+        p2 = (
+            prop.alias("p")
+            .join(lut.alias("q"), F.col("p.f") == F.col("q.l_node"), "left")
+            .select(F.col("p.node").alias("node"),
+                    F.coalesce(F.col("q.l_f"), F.col("p.f")).alias("f"),
+                    F.col("p.b").alias("b"))
+        )
+        return (
+            p2.alias("p")
+            .join(lut.alias("q"), F.col("p.b") == F.col("q.l_node"), "left")
+            .select(F.col("p.node").alias("node"), F.col("p.f").alias("f"),
+                    F.coalesce(F.col("q.l_b"), F.col("p.b")).alias("b"))
+        )
+
+    # monotone fixpoint: both label columns only ever decrease, so
+    # sum(f)+sum(b) is strictly decreasing until the joint fixpoint
+    last_sum = [None]
+
+    def changed(_old: DataFrame, new: DataFrame) -> float:
+        s = new.agg((F.sum("f") + F.sum("b")).alias("t")).collect()[0][0]
+        d = 1.0 if last_sum[0] is None else float(last_sum[0] - s)
+        last_sum[0] = s
+        return d
+
+    return iterate(labels, step, iters, delta_fn=changed, tol=0.5).state
+
+
 def scc(edges: DataFrame, max_passes: int = 64,
         max_trim_rounds: int = 32) -> DataFrame:
     """Strongly connected components of a directed graph via
@@ -871,24 +955,32 @@ def scc(edges: DataFrame, max_passes: int = 64,
        (kills the DAG periphery, which is what makes pure coloring
        O(#SCC) passes in the worst case).
     2. One coloring pass: fwd[v] = min id reachable FROM v, bwd[v] = min
-       id reaching v; both are computed with the SAME pointer-doubling
-       min-label kernel as `connected_components` (directed propagation
-       is sound for doubling because a node's current label is always a
-       node it can reach, so label-of-label is still reachable) —
-       O(log diameter) rounds, monotone-sum fixpoint detection.
+       id reaching v; both computed in ONE fused pointer-doubling
+       fixpoint (`_fwbw_coloring` — directed propagation is sound for
+       doubling because a node's current label is always a node it can
+       reach, so label-of-label is still reachable) — O(log diameter)
+       rounds, monotone-sum fixpoint detection.
        fwd[v] == bwd[v] == m proves v and m mutually reachable, so every
        such v is labeled scc = m (this always finishes at least the SCC
-       of the active minimum, so passes <= #SCC and in practice 1-2
-       after trimming).
-    3. Remove labeled nodes + incident edges, repeat.
+       of each class minimum — see step 3 — so passes are O(log #SCC)
+       expected and 1-2 in practice after trimming).
+    3. Remove labeled nodes + incident edges, AND drop every surviving
+       edge whose endpoints differ in (f, b): mutually reachable nodes
+       share both labels (same reachable/reaching sets => same minima),
+       so an SCC never spans two (f, b) classes and cross-class edges
+       can never be intra-SCC.  This is the classic FW-BW recursion
+       expressed data-parallel: the next pass colors every class
+       independently and resolves (at least) each class's own minimum —
+       the r6-r11 shape, which kept cross-class edges, resolved exactly
+       ONE SCC per pass on a chain of 2-cycles; with class splitting
+       the same chain needs 2 passes total.  Repeat on the residual.
 
     Returns (node, scc) for every node incident to an edge; scc = the
     minimum member id.  Deterministic — no randomness, fixpoints only.
     Raises RuntimeError if `max_passes` outer passes leave active nodes
-    (each pass resolves >=1 SCC, so passes needed <= #SCC; a trim-immune
-    chain of 2-cycles resolves exactly one per pass — better a loud
-    failure than a silent partial labeling).  Empty edge input returns
-    an empty (node, scc) frame.
+    (each pass resolves >=1 SCC — better a loud failure than a silent
+    partial labeling).  Empty edge input returns an empty (node, scc)
+    frame.
 
     100TB: every step is an equi-join/agg on node id; the trim fixpoint
     and coloring fixpoint are each one cheap count/sum action per round
@@ -915,18 +1007,28 @@ def scc(edges: DataFrame, max_passes: int = 64,
                 .groupBy("node")
                 .agg(F.max("o").alias("o"), F.max("i").alias("i"))
             )
-            both = deg.filter((F.col("o") == 1) & (F.col("i") == 1)).select(
-                "node"
+            # checkpoint the survivor set ONCE and reuse the materialized
+            # blocks for the anti-join probe, the node set, and both
+            # edge-rebuild joins — the r6-r11 shape re-derived `both`
+            # lazily at each use site, recomputing the degree aggregation
+            # up to 4x per trim round (guide §2.4: share the exchange)
+            both = (
+                deg.filter((F.col("o") == 1) & (F.col("i") == 1))
+                .select("node")
+                .transform(checkpoint_without_stats)
             )  # nodes with >=1 in AND >=1 out
             trimmed = active_nodes.join(both, "node", "left_anti")
             if trimmed.isEmpty():
+                release_checkpoint(both)  # unchanged: keep prior frames
                 break
-            # trimmed derives from the just-checkpointed `active`;
+            # trimmed derives from two materialized checkpoints;
             # no extra checkpoint needed to keep it computable
             labeled_parts.append(
                 trimmed.select("node", F.col("node").alias("scc"))
             )
-            active_nodes = both.transform(checkpoint_without_stats)
+            active_nodes = both
+            if both.isEmpty():
+                break  # everything peeled — skip a no-op degree round
             active = (
                 active.join(both.withColumnRenamed("node", "src"), "src")
                 .join(both.withColumnRenamed("node", "dst"), "dst")
@@ -937,29 +1039,33 @@ def scc(edges: DataFrame, max_passes: int = 64,
             break
         # --- FW-BW coloring pass on the trimmed core (every active node
         # now has >=1 in- and >=1 out-edge, so the colorings cover all)
-        fwd = connected_components(
-            active.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).withColumnRenamed("label", "f")
-        bwd = connected_components(active).withColumnRenamed("label", "b")
-        j = fwd.join(bwd, "node").transform(checkpoint_without_stats)
+        j = _fwbw_coloring(active, active_nodes)
         done = j.filter(F.col("f") == F.col("b"))
         labeled_parts.append(done.select("node", F.col("f").alias("scc")))
-        rest = j.filter(F.col("f") != F.col("b")).select("node")
+        rest = j.filter(F.col("f") != F.col("b"))
         if rest.isEmpty():
-            active_nodes = rest  # converged: nothing left unlabeled
+            active_nodes = rest.select("node")  # converged: all labeled
             break
-        active_nodes = rest.transform(checkpoint_without_stats)
+        active_nodes = rest.select("node").transform(checkpoint_without_stats)
+        # keep only edges INSIDE one (f, b) class: cross-class edges can
+        # never be intra-SCC (see docstring step 3), and dropping them
+        # both splits the residual into independent subproblems and
+        # exposes new trim targets for the next pass
+        sl = rest.select(F.col("node").alias("src"),
+                         F.col("f").alias("sf"), F.col("b").alias("sb"))
+        dl = rest.select(F.col("node").alias("dst"),
+                         F.col("f").alias("df"), F.col("b").alias("db"))
         active = (
-            active.join(rest.withColumnRenamed("node", "src"), "src")
-            .join(rest.withColumnRenamed("node", "dst"), "dst")
+            active.join(sl, "src").join(dl, "dst")
+            .filter((F.col("sf") == F.col("df")) & (F.col("sb") == F.col("db")))
             .select("src", "dst")
             .transform(checkpoint_without_stats)
         )
     if not active_nodes.isEmpty():
         raise RuntimeError(
             f"scc(): {max_passes} FW-BW passes exhausted with active nodes "
-            "remaining — raise max_passes (graphs need <= #SCC passes; a "
-            "chain of 2-cycles needs one pass per cycle)"
+            "remaining — raise max_passes (every pass resolves each (f,b) "
+            "class's minimum SCC, so passes are O(log #SCC) expected)"
         )
     if not labeled_parts:
         # empty edge input: no node is incident to an edge

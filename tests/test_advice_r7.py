@@ -36,9 +36,12 @@ def _chain_of_two_cycles(spark, n_cycles: int):
 
 
 def test_scc_raises_on_pass_cap_instead_of_partial(spark):
+    # pass 1 resolves only the minimum's cycle (the whole graph is one
+    # (f, b) class at the start), so a 1-pass cap must fail loudly on a
+    # 4-cycle chain rather than return a partial labeling
     edges = _chain_of_two_cycles(spark, n_cycles=4)
     with pytest.raises(RuntimeError, match="passes exhausted"):
-        scc(edges, max_passes=2)
+        scc(edges, max_passes=1)
 
 
 def test_scc_chain_of_two_cycles_fully_labeled(spark):
@@ -47,6 +50,19 @@ def test_scc_chain_of_two_cycles_fully_labeled(spark):
     got = {
         (r["node"], r["scc"]) for r in scc(edges, max_passes=n + 1).collect()
     }
+    want = {(2 * i + j, 2 * i) for i in range(n) for j in (0, 1)}
+    assert got == want
+
+
+def test_scc_class_splitting_resolves_chain_in_two_passes(spark):
+    # r12: after pass 1, every unresolved cycle i sits in its own
+    # (f, b) = (2i, 0) class and the bridge edges (cross-class) are
+    # dropped, so pass 2 resolves ALL remaining cycles at once — the
+    # r6-r11 shape needed one pass per cycle.  Same labels either way
+    # (min-label fixpoints are unique); this pins the pass complexity.
+    n = 6
+    edges = _chain_of_two_cycles(spark, n_cycles=n)
+    got = {(r["node"], r["scc"]) for r in scc(edges, max_passes=2).collect()}
     want = {(2 * i + j, 2 * i) for i in range(n) for j in (0, 1)}
     assert got == want
 
