@@ -84,20 +84,42 @@ def q_window_kama(spark, sf_dir):
         * (er * (KAMA_FAST - KAMA_SLOW) + KAMA_SLOW)
     )
     scored = vol.select("day", "c", sc_expr.alias("sc"))
-    wf = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    framed = scored.select(
-        "day",
-        F.collect_list(F.struct("day", "sc", "c")).over(wf).alias("arr"),
+
+    # r12 (guide §2.3 / verdict item 5): the r6-r11 spelling collected
+    # the FULL prefix per row (collect_list over an unbounded frame —
+    # O(n^2) structs, ~2.9M copies on the 2.4k-day grain) and re-folded
+    # it per row with an `aggregate` lambda whose generated code is the
+    # reason the key read 45 s single-shot (codegen/JIT) vs 2.1 s warm.
+    # The recurrence is sequential by definition, so compute it ONCE,
+    # linearly, in an Arrow kernel over the single bounded group —
+    # bit-identical arithmetic: the JVM fold evaluates
+    # acc + sc * (double(c) - acc) as plain IEEE-754 double ops (Java
+    # forbids FMA contraction), exactly what the Python float loop
+    # does, in the same order, from the same init (first row's c).
+    # Division by 100 and the 6dp HALF_UP round stay in Spark,
+    # unchanged.  The daily grain is bounded (~2.4k rows at any SF), so
+    # one group/task is the same single-partition shape the global
+    # window already had.
+    def _kama_fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = pdf["c"].tolist()
+        sc = pdf["sc"].tolist()
+        k: list[float] = []
+        acc = 0.0
+        for i in range(len(c)):
+            acc = float(c[0]) if i == 0 else acc + sc[i] * (float(c[i]) - acc)
+            k.append(acc)
+        return pd.DataFrame({"day": pdf["day"], "c": pdf["c"], "kama": k})
+
+    folded = scored.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _kama_fold, "day string, c long, kama double"
     )
-    kama = F.expr(
-        "aggregate(slice(arr, 2, size(arr) - 1), "
-        "cast(element_at(arr, 1).c as double), "
-        "(acc, x) -> acc + x.sc * (x.c - acc))"
-    )
-    return framed.select(
+    return folded.select(
         "day",
-        (F.element_at("arr", -1)["c"] / 100.0).alias("close"),
-        F.round(kama / 100.0, 6).alias("kama"),
+        (F.col("c") / 100.0).alias("close"),
+        F.round(F.col("kama") / 100.0, 6).alias("kama"),
     )
 
 
