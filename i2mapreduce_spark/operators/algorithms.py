@@ -301,17 +301,32 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
     Memory hygiene (r10, same class as iterate()): each hop's eager
     checkpoint supersedes the previous one, which is released so loop
     memory stays O(1) hops; the edge cache is dropped before returning
-    (the final dist is already materialized and no longer reads it)."""
+    (the final dist is already materialized and no longer reads it).
+
+    r12 (guide §2.3 shuffle fewer bytes): messages propagate from the
+    FRONTIER only — the nodes first reached on the previous hop (dist
+    == h), not the whole reached set.  In unweighted BFS a node's
+    distance is final the first time the min-fold assigns it, so a
+    non-frontier node's re-sent message can only lose to an existing
+    minimum: dropping those messages is result-identical while the
+    per-hop join/shuffle volume falls from O(edges out of everything
+    reached so far) to O(edges out of the new frontier) — on the dense
+    co-purchase graph hops 3+ previously re-shipped nearly the whole
+    reached subgraph every round.  An empty frontier ends the loop
+    early (the remaining hops were no-ops)."""
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
     edges, owned = _own_edges(edges)
     prev = None
     try:
-        for _ in range(max_hops):
+        for h in range(max_hops):
+            frontier = dist.filter(F.col("dist") == h)
             grown = (
-                dist.join(edges, dist.node == edges.src)
-                .select(edges.dst.alias("node"), (dist.dist + 1).alias("dist"))
+                frontier.join(edges, frontier.node == edges.src)
+                .select(
+                    edges.dst.alias("node"), (frontier.dist + 1).alias("dist")
+                )
             )
             dist = (
                 dist.union(grown)
@@ -322,6 +337,15 @@ def sssp(edges: DataFrame, source: int, max_hops: int = 4) -> DataFrame:
             if prev is not None:
                 release_checkpoint(prev)
             prev = dist
+            # early-exit probe only where it can pay for itself: not on
+            # the final hop (the loop ends either way) and not before
+            # hop 3 (a frontier that dies at hop 1/2 means a near-empty
+            # reach whose remaining rounds are trivial; the probe job
+            # costs more than it saves there — measured at sf0.1)
+            if 3 <= h + 1 < max_hops and dist.filter(
+                F.col("dist") == h + 1
+            ).isEmpty():
+                break  # no new nodes: every later hop is a no-op
     finally:
         if owned:
             release_checkpoint(edges)
