@@ -244,6 +244,13 @@ def q_iter_maximal_matching(spark, sf_dir):
     for rnd in range(MATCH_MAX_ROUNDS):
         if active.limit(1).count() == 0:
             break
+        # r12: no checkpoint here — pri is a deterministic narrow map
+        # (xxhash64 of the row + round literal) over the ALREADY
+        # materialized `active`, so the three consumers below recompute
+        # it from in-memory blocks for less than the full second copy
+        # of the edge set the old per-round checkpoint wrote (one fewer
+        # action and one fewer resident block set per round; identical
+        # priorities, hence identical matching)
         e = active.withColumn(
             "pri",
             F.struct(
@@ -251,7 +258,7 @@ def q_iter_maximal_matching(spark, sf_dir):
                 F.col("src"),
                 F.col("dst"),
             ),
-        ).transform(checkpoint_without_stats)
+        )
         inc = e.select(F.col("src").alias("x"), "pri").unionAll(
             e.select(F.col("dst").alias("x"), "pri")
         )
