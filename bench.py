@@ -26,6 +26,12 @@ a delta a regression —
   with both probes that adjudication needs no re-run: scalar flat +
   arrow up + arrow-heavy queries up proportionally => ambient load,
   not a plan change.
+- `queries_noop` (r12, additions-only — the timed loop is unchanged):
+  per-query noop-sink compute seconds, run AFTER the timed loop.  At
+  toy SF the toPandas walls are collection/scheduler-floor dominated
+  and read ~flat across core counts (the r11 low-core leg's ratios all
+  ~0.84-1.04); the noop numbers isolate cluster-side compute so the
+  low-core leg carries a readable parallelism signal.
 """
 
 from __future__ import annotations
@@ -108,6 +114,25 @@ def main() -> None:
         samples[key] = runs
         timings[key] = min(runs)
 
+    # noop-isolated compute seconds (r11 verdict item 2; ADDITIONS-ONLY —
+    # the timed region above is untouched): toPandas wall couples query
+    # compute with Arrow collection + driver-side assembly, which at toy
+    # SF is a fixed floor that masks core-count sensitivity.  The noop
+    # sink (guide §1.4) materializes every column of every row and
+    # discards it, so these numbers isolate cluster-side compute; read
+    # the low-core leg's scaling ratios on THESE, not the toPandas
+    # walls.  Runs AFTER the timed loop so it cannot perturb the
+    # reported warm minima.
+    noop: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries[key]
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        noop[key] = min(runs)
+
     total = round(sum(timings.values()), 3)
     # host-variance telemetry (r6 verdict item 4): the same commits
     # measured 3.67-6.06 s total across sessions, so a single min-of-3
@@ -133,6 +158,8 @@ def main() -> None:
                         "sec": timings["agg_pricing_summary"]},
         "calibration_arrow": {"kernel": "cosine_topk_1000x64",
                               "sec": _arrow_calibration(spark)},
+        "queries_noop": noop,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }))
 
 
