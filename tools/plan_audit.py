@@ -37,8 +37,13 @@ def audit_plan(txt: str) -> dict:
         "cartesian": txt.count("CartesianProduct"),
         "nested_loop": txt.count("BroadcastNestedLoopJoin"),
         "smj": txt.count("SortMergeJoin"),
-        "single_part_window": txt.count("Window ["),
-        "sorts": txt.count("Sort ["),
+        # unpartitioned window/sort funnels show up as a SinglePartition
+        # exchange in formatted explain (the r11 audit's
+        # "single-partition window" class)
+        "single_part_window": txt.count("SinglePartition"),
+        # tree lines print "Sort (n)"; detail sections print "(n) Sort"
+        # — counting the tree spelling counts each node exactly once
+        "sorts": txt.count("Sort ("),
     }
 
 
