@@ -1053,12 +1053,21 @@ def scc(edges: DataFrame, max_passes: int = 64,
             active_nodes = both
             if both.isEmpty():
                 break  # everything peeled — skip a no-op degree round
+            prev_edges = active
             active = (
                 active.join(both.withColumnRenamed("node", "src"), "src")
                 .join(both.withColumnRenamed("node", "dst"), "dst")
                 .select("src", "dst")
                 .transform(checkpoint_without_stats)
             )
+            # the superseded edge checkpoint is the loop's BIG block set
+            # (full edge copy per trim round) and nothing reads it again
+            # — labeled parts reference only node-set checkpoints.  Drop
+            # it once the new eager checkpoint re-roots the lineage, or
+            # an sf100 run retains O(rounds) edge copies and dies
+            # unrolling blocks on a real-executor 8 GiB heap (measured;
+            # see release_checkpoint).
+            release_checkpoint(prev_edges)
         if active_nodes.isEmpty():
             break
         # --- FW-BW coloring pass on the trimmed core (every active node
@@ -1079,12 +1088,16 @@ def scc(edges: DataFrame, max_passes: int = 64,
                          F.col("f").alias("sf"), F.col("b").alias("sb"))
         dl = rest.select(F.col("node").alias("dst"),
                          F.col("f").alias("df"), F.col("b").alias("db"))
+        prev_edges = active
         active = (
             active.join(sl, "src").join(dl, "dst")
             .filter((F.col("sf") == F.col("df")) & (F.col("sb") == F.col("db")))
             .select("src", "dst")
             .transform(checkpoint_without_stats)
         )
+        release_checkpoint(prev_edges)  # same O(rounds)->O(1) edge-copy
+        # bound as the trim loop; `done`/`rest` read j's node-level
+        # blocks, never this edge frame
     if not active_nodes.isEmpty():
         raise RuntimeError(
             f"scc(): {max_passes} FW-BW passes exhausted with active nodes "

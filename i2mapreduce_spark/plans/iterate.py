@@ -24,10 +24,12 @@ reliable `checkpoint()` to HDFS instead — same call site, configurable.
 from __future__ import annotations
 
 import logging
+import os
 import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: one-time latch for the checkpoint_without_stats fallback warning —
@@ -63,8 +65,27 @@ def checkpoint_without_stats(df: DataFrame) -> DataFrame:
     changes no plan choice while making stats arithmetic O(1) again.
     Uses the JVM constructor directly (no public API resets stats);
     falls back to the plain checkpoint if the internals ever move.
+
+    Storage level: Spark's localCheckpoint default keeps blocks
+    DESERIALIZED in the unified pool (JVM ``MEMORY_AND_DISK_DESER``).
+    On a real-executor heap (8 GiB / 8 cores) the sf100 heavy fixpoints
+    die unrolling those object vectors (measured: iter_scc OOM in
+    ``DeserializedValuesHolder``/``PrimitiveVector.resize`` — the
+    object-array doubling blows a tight heap before the spill path can
+    bail).  ``$I2MR_CKPT_LEVEL`` overrides the level for EVERY loop
+    checkpoint: serialized levels (pyspark ``MEMORY_AND_DISK`` — note
+    pyspark's constant IS the serialized variant — or ``DISK_ONLY``)
+    unroll through chunked byte buffers with exact accounting, so they
+    degrade to disk instead of OOM.  Unset keeps Spark's default so the
+    toy-SF driver bench is unaffected; the sf100 sweep legs set
+    ``MEMORY_AND_DISK``.
     """
-    ckpt = df.localCheckpoint(eager=True)
+    level = os.environ.get("I2MR_CKPT_LEVEL")
+    if level:
+        ckpt = df.localCheckpoint(
+            eager=True, storageLevel=getattr(StorageLevel, level))
+    else:
+        ckpt = df.localCheckpoint(eager=True)
     try:
         spark = ckpt.sparkSession
         jvm = spark._jvm

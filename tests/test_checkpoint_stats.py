@@ -59,3 +59,34 @@ def test_iterate_keeps_stats_bounded_across_iterations(spark):
     # without the reset this is >1,200 bits by iteration 6 (doubles per
     # round from ~44); with it the estimate stays a sane 64-bit-ish size
     assert _stats_bits(res.state) < 128
+
+
+def test_ckpt_level_env_sets_serialized_storage_and_identical_results(
+    spark, monkeypatch
+):
+    """$I2MR_CKPT_LEVEL reroutes EVERY loop checkpoint to the named
+    pyspark StorageLevel (the sf100 local[8]x8g legs run serialized
+    MEMORY_AND_DISK: deserialized object-vector unrolls OOM an 8 GiB
+    real-executor heap, chunked serialized unrolls degrade to disk) —
+    and the level is storage-only: results stay identical."""
+    from i2mapreduce_spark.operators.algorithms import scc
+
+    edges = spark.createDataFrame(
+        # two 3-cycles bridged by a DAG path + a pendant trim target
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4),
+         (6, 7)],
+        "src long, dst long",
+    )
+    monkeypatch.delenv("I2MR_CKPT_LEVEL", raising=False)
+    base = {(r["node"], r["scc"]) for r in scc(edges).collect()}
+
+    monkeypatch.setenv("I2MR_CKPT_LEVEL", "MEMORY_AND_DISK")
+    ck = checkpoint_without_stats(spark.range(32).selectExpr("id", "id % 3 v"))
+    lvl = ck._jdf.queryExecution().analyzed().rdd().getStorageLevel()
+    assert not lvl.deserialized() and lvl.useDisk() and lvl.useMemory()
+
+    ser = {(r["node"], r["scc"]) for r in scc(edges).collect()}
+    assert ser == base
+    # released superseded edge checkpoints must not be needed again: a
+    # SECOND full read of the returned frame still works
+    assert len(ser) == 8

@@ -21,6 +21,9 @@ SF10=${SF10:-/tmp/testdata/sf10}
 SF100=${SF100:-/tmp/testdata/sf100}
 export I2MR_DRIVER_MEM=${I2MR_DRIVER_MEM:-8g}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
+# serialized loop checkpoints: deserialized unrolls OOM the 8 GiB heap
+# at sf100 (iter_scc, r12) — chunked serialized unrolls spill instead
+export I2MR_CKPT_LEVEL=${I2MR_CKPT_LEVEL:-MEMORY_AND_DISK}
 export SWEEP_PARTITIONS=${SWEEP_PARTITIONS:-1024}
 export SWEEP_MAX_PARTITION_BYTES=${SWEEP_MAX_PARTITION_BYTES:-33554432}
 KEYS=${KEYS:-"iter_mst_forest iter_triangle_count iter_pagerank iter_scc iter_connected_components"}
