@@ -76,5 +76,16 @@ def get_spark(app_name: str = "i2mapreduce-spark", cpus: str | None = None,
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("I2MR_PERIODIC_GC", "2min"))
     )
+    # Shuffle/spill compression codec, env-parameterised for the scale
+    # sweeps (r12): lz4 (Spark's default, kept when unset so benches
+    # are untouched) trades ratio for speed, and the heavy graph keys'
+    # array-carrying shuffles at sf100 write more spill than a single
+    # local disk holds (iter_triangle_count: >60 GB, disk-full death).
+    # zstd halves-ish the on-disk bytes for a small CPU cost — on a
+    # disk-bound leg that is the difference between finishing and
+    # dying; same reasoning applies to disk-tight real executors.
+    codec = os.environ.get("I2MR_IO_CODEC")
+    if codec:
+        builder = builder.config("spark.io.compression.codec", codec)
     spark = builder.getOrCreate()
     return configure_session(spark, shuffle_partitions)

@@ -24,6 +24,9 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
 # serialized loop checkpoints: deserialized unrolls OOM the 8 GiB heap
 # at sf100 (iter_scc, r12) — chunked serialized unrolls spill instead
 export I2MR_CKPT_LEVEL=${I2MR_CKPT_LEVEL:-MEMORY_AND_DISK}
+# zstd shuffle/spill: the array-carrying triangle shuffle writes >60 GB
+# of lz4 spill at sf100 — more than one local disk (r12 disk-full)
+export I2MR_IO_CODEC=${I2MR_IO_CODEC:-zstd}
 export SWEEP_PARTITIONS=${SWEEP_PARTITIONS:-1024}
 export SWEEP_MAX_PARTITION_BYTES=${SWEEP_MAX_PARTITION_BYTES:-33554432}
 KEYS=${KEYS:-"iter_mst_forest iter_triangle_count iter_pagerank iter_scc iter_connected_components"}
