@@ -134,7 +134,13 @@ def main() -> int:
               # recorded)
               "driver_memory": os.environ.get("I2MR_DRIVER_MEM", "8g"),
               "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-              "advisory_partition_bytes": apb or None}
+              "advisory_partition_bytes": apb or None,
+              # r12: checkpoint storage level and shuffle codec change
+              # both wall and spill, so mixed-config ratios must be
+              # visible (a baseline timed deserialized/lz4 must not
+              # silently join a serialized/zstd min-of-k pool)
+              "ckpt_level": os.environ.get("I2MR_CKPT_LEVEL") or None,
+              "io_codec": os.environ.get("I2MR_IO_CODEC") or None}
     json.dump({"sf_dir": sf_dir, "times": times, "config": config},
               open(out_path, "w"), indent=1)
     print(f"timings written to {out_path}")
