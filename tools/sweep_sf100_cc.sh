@@ -21,9 +21,15 @@ SF10=${SF10:-/tmp/testdata/sf10}
 SF100=${SF100:-/tmp/testdata/sf100}
 export I2MR_DRIVER_MEM=${I2MR_DRIVER_MEM:-8g}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
-# serialized loop checkpoints: deserialized unrolls OOM the 8 GiB heap
-# at sf100 (iter_scc, r12) — chunked serialized unrolls spill instead
-export I2MR_CKPT_LEVEL=${I2MR_CKPT_LEVEL:-MEMORY_AND_DISK}
+# disk-only loop checkpoints: deserialized unrolls OOM the 8 GiB heap
+# at sf100 (iter_scc: PrimitiveVector.resize JVM OOM), and even
+# serialized in-memory blocks hold the unified pool's storage floor —
+# iter_pagerank's sf100 join died UNABLE_TO_ACQUIRE_MEMORY with
+# MEMORY_AND_DISK(SER) checkpoints (both r12, logs in
+# /tmp/sweep_sf100_cc_r12.log + r12_pr_sf100.log).  DISK_ONLY frees
+# the whole pool for execution; checkpoint blocks stream from page
+# cache/disk — the right trade on a real 8 GiB executor
+export I2MR_CKPT_LEVEL=${I2MR_CKPT_LEVEL:-DISK_ONLY}
 # zstd shuffle/spill: the array-carrying triangle shuffle writes >60 GB
 # of lz4 spill at sf100 — more than one local disk (r12 disk-full)
 export I2MR_IO_CODEC=${I2MR_IO_CODEC:-zstd}
