@@ -14,6 +14,8 @@ line numpy replicas with pre-round tolerance.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -883,8 +885,117 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     return chosen
 
 
+#: active-subgraph size (edges AND nodes, each) below which scc()
+#: finishes with one driver-side Tarjan instead of further distributed
+#: trim/coloring rounds — the same bounded local finish boruvka_msf uses
+#: (BORUVKA_LOCAL_EDGES_MAX): early passes at scale run distributed;
+#: the tail, where each trim/coloring round is a fixed-cost job over a
+#: near-empty graph, collapses into one Arrow collect + an O(V+E)
+#: Tarjan.  2M edges is ~32 MB over Arrow — far under the driver caps.
+#: Correctness does not depend on WHEN the switch fires (SCC labels are
+#: min member ids, unique for any algorithm); only the constant factor
+#: does.  Measured at sf0.1: the whole digraph is 36.7k edges, so 11
+#: fixed-overhead rounds (~12.8 s warm) collapse to one bounded collect.
+#: Env-overridable (`I2MR_SCC_LOCAL_MAX`; 0 disables, forcing the pure
+#: distributed path — used by tests to pin that path's behavior).
+SCC_LOCAL_MAX_DEFAULT = 2_000_000
+
+
+def _scc_local_max() -> int:
+    return int(os.environ.get("I2MR_SCC_LOCAL_MAX", SCC_LOCAL_MAX_DEFAULT))
+
+
+def _local_scc_min_labels(
+    node_ids, srcs, dsts
+) -> list[tuple[int, int]]:
+    """Exact SCC labels (node, min member id) over a bounded digraph via
+    iterative Tarjan — the scc() local finish.  `node_ids` must cover
+    every edge endpoint (scc() guarantees this: active edges are always
+    filtered to active-node endpoints); nodes without edges come out as
+    their own singleton SCC.  Deterministic: the label is the component
+    MINIMUM, independent of visit order."""
+    adj: dict[int, list[int]] = {}
+    for u, v in zip(srcs, dsts):
+        adj.setdefault(u, []).append(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstack: set[int] = set()
+    comp_stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    counter = 0
+    empty: tuple[int, ...] = ()
+    for root in node_ids:
+        if root in index:
+            continue
+        work: list[list] = [[root, 0]]  # (node, next-neighbor position)
+        while work:
+            frame = work[-1]
+            v, pi = frame
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                comp_stack.append(v)
+                onstack.add(v)
+            nbrs = adj.get(v, empty)
+            descended = False
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    frame[1] = i + 1
+                    work.append([w, 0])
+                    descended = True
+                    break
+                if w in onstack and index[w] < low[v]:
+                    low[v] = index[w]
+            if descended:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = comp_stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                out.extend((w, m) for w in comp)
+            if work and low[v] < low[work[-1][0]]:
+                low[work[-1][0]] = low[v]
+    return out
+
+
+def _scc_try_local_finish(
+    active: DataFrame, active_nodes: DataFrame
+) -> DataFrame | None:
+    """Bounded probe + local finish for scc(): if the active subgraph
+    fits in `_scc_local_max()` rows (edges and nodes each), collect it
+    over Arrow, Tarjan it, and return the (node, scc) labels; else None.
+
+    The probes are `limit`-bounded counts over already-materialized
+    checkpoint blocks — zero rows move to the driver until the finish
+    actually fires (the Borůvka probe discipline, r11)."""
+    cap = _scc_local_max()
+    if cap <= 0:
+        return None
+    if active_nodes.limit(cap + 1).count() > cap:
+        return None
+    if active.limit(cap + 1).count() > cap:
+        return None
+    spark = active.sparkSession
+    epdf = active.toPandas()
+    npdf = active_nodes.toPandas()
+    labels = _local_scc_min_labels(
+        npdf["node"].tolist(), epdf["src"].tolist(), epdf["dst"].tolist()
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(labels, columns=["node", "scc"]),
+        schema="node long, scc long",
+    )
+
+
 def _fwbw_coloring(active: DataFrame, active_nodes: DataFrame,
-                   iters: int = 16) -> DataFrame:
+                   iters: int = 64) -> DataFrame:
     """Fused forward+backward min-label coloring for scc(): ONE
     pointer-doubling fixpoint over state (node, f, b) where
     f[v] = min id reachable FROM v and b[v] = min id reaching v.
@@ -964,7 +1075,26 @@ def _fwbw_coloring(active: DataFrame, active_nodes: DataFrame,
         last_sum[0] = s
         return d
 
-    return iterate(labels, step, iters, delta_fn=changed, tol=0.5).state
+    res = iterate(labels, step, iters, delta_fn=changed, tol=0.5)
+    if not res.converged:
+        # r12 FIX of a latent correctness bug: the coloring's f == b
+        # certificate is only sound at the TRUE fixpoint — an
+        # unconverged run leaves far nodes still holding f == b == own
+        # id and scc() would silently label them singleton SCCs.
+        # Measured at sf1: the trimmed core converges in 18 rounds, two
+        # OVER the old 16-round cap, splitting a ~4k-member SCC into
+        # singletons (caught by a driver-Tarjan referee when the r12
+        # local finish landed; the sf1 leg was rows-only so counts
+        # still matched).  The cap is now headroom (64 doublings), and
+        # exhausting it is a loud failure — never a wrong labeling.
+        raise RuntimeError(
+            f"scc coloring: {iters}-round cap exhausted before the "
+            "fixpoint (last deltas "
+            f"{[int(d) for d in res.deltas[-3:]]}) — raise iters; an "
+            "unconverged coloring must never be used (f==b is only a "
+            "mutual-reachability certificate at the fixpoint)"
+        )
+    return res.state
 
 
 def scc(edges: DataFrame, max_passes: int = 64,
@@ -1013,7 +1143,20 @@ def scc(edges: DataFrame, max_passes: int = 64,
     active = edges.select("src", "dst").distinct().transform(checkpoint_without_stats)
     active_nodes = _nodes(active).transform(checkpoint_without_stats)
     labeled_parts: list[DataFrame] = []
+    finished_local = False
     for _ in range(max_passes):
+        # bounded local finish (r12, guide §5.1 with the Borůvka probe
+        # discipline): once the active subgraph fits locally, every
+        # further trim/coloring round is a fixed-cost distributed job
+        # over a near-empty graph — one Arrow collect + an O(V+E)
+        # driver Tarjan replaces the whole tail.  Result-identical (SCC
+        # labels are min member ids, algorithm-independent).
+        local = _scc_try_local_finish(active, active_nodes)
+        if local is not None:
+            labeled_parts.append(local)
+            release_checkpoint(active)
+            finished_local = True
+            break
         # --- trim singleton SCCs (no in- or no out-edges, including
         # nodes isolated by earlier peels) to fixpoint.  One peel per
         # materialization: chaining peels lazily between checkpoints was
@@ -1070,6 +1213,14 @@ def scc(edges: DataFrame, max_passes: int = 64,
             release_checkpoint(prev_edges)
         if active_nodes.isEmpty():
             break
+        # second probe site: trimming may have shrunk the core under the
+        # local cap — bail before paying a distributed coloring fixpoint
+        local = _scc_try_local_finish(active, active_nodes)
+        if local is not None:
+            labeled_parts.append(local)
+            release_checkpoint(active)
+            finished_local = True
+            break
         # --- FW-BW coloring pass on the trimmed core (every active node
         # now has >=1 in- and >=1 out-edge, so the colorings cover all)
         j = _fwbw_coloring(active, active_nodes)
@@ -1098,7 +1249,7 @@ def scc(edges: DataFrame, max_passes: int = 64,
         release_checkpoint(prev_edges)  # same O(rounds)->O(1) edge-copy
         # bound as the trim loop; `done`/`rest` read j's node-level
         # blocks, never this edge frame
-    if not active_nodes.isEmpty():
+    if not finished_local and not active_nodes.isEmpty():
         raise RuntimeError(
             f"scc(): {max_passes} FW-BW passes exhausted with active nodes "
             "remaining — raise max_passes (every pass resolves each (f,b) "

@@ -278,14 +278,34 @@ def q_iter_apriori_rules(spark, sf_dir):
     load_tables(spark, sf_dir)
     b = spark.table("baskets")
     item_sup = b.groupBy("item").agg(F.count("*").alias("item_support"))
-    a, c = b.alias("a"), b.alias("b")
+    # r12: pair generation is ARRAY-side, the same rewrite
+    # q_iter_apriori_pairs carries (one groupBy(basket) collect_set +
+    # ordered pairs via nested transform — two shuffles fewer than the
+    # basket self-join; measured 1.4 vs 1.8 s there).  Equivalence to
+    # the self-join the oracle states: baskets is DISTINCT (basket,
+    # item) by construction, so collect_set = the basket's item set and
+    # the lexicographic expansion is exactly the item1 < item2 join;
+    # NULL baskets are excluded (NULL join keys never match), NULL items
+    # are skipped by collect_set (the oracle's item1 < item2 predicate
+    # drops them too).  item_sup stays on the UNFILTERED rows — the
+    # antecedent support counts NULL-basket occurrences, as the oracle's
+    # per-item count does.
+    sets = (
+        b.filter(F.col("basket").isNotNull())
+        .groupBy("basket")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+    )
     pairs = (
-        a.join(
-            c,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) -> "
+                    "transform(slice(its, i + 2, size(its)), "
+                    "y -> struct(x AS item1, y AS item2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+        .groupBy("p.item1", "p.item2")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= APRIORI_MIN_SUPPORT)
     )
@@ -339,6 +359,13 @@ def q_inc_apriori_pairs(spark, sf_dir):
     state = None
     for i in range(N_APRIORI_DELTAS):
         chunk = baskets.filter(F.pmod("basket", F.lit(N_APRIORI_DELTAS)) == i)
+        # r12 measured dead end (do not repeat): generating each batch's
+        # pairs ARRAY-side (the q_iter_apriori_rules rewrite) read 0.90x
+        # here — min-of-3 interleaved 4.29 vs 4.75 s at sf0.1, slower in
+        # all three rounds.  Per-chunk the self-join's big-side shuffle
+        # is only ~1/3 of baskets while the array form still pays a
+        # collect_set aggregation + explode per chunk before fold_delta
+        # re-aggregates; the fold's groupBy dominates either way.
         a, b = chunk.alias("a"), chunk.alias("b")
         pairs = a.join(
             b,

@@ -189,20 +189,28 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_text_bigram_top(spark, sf_dir):
     """Top-20 word bigrams corpus-wide (n-gram extraction, the LM-data
-    staple).  Tokenize -> windowed lead per doc -> count; tiebreak bigram.
-    One narrow window per doc + one agg shuffle — no pair join."""
+    staple).  Tokenize -> adjacent-pair expansion -> count; tiebreak
+    bigram.
+
+    r12 (guide §2.4 remove shuffles outright): bigrams are formed
+    ARRAY-side from the token array — element i paired with element
+    i+1, the exact adjacency the old posexplode + lead-over-
+    (doc_id, pos) window produced — so the per-doc window shuffle+sort
+    disappears; the only exchange left is the count aggregation (plus
+    the top-20 final ordering on its 1-row-per-bigram output)."""
     load_tables(spark, sf_dir)
     d = spark.table("documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-            "pos", "w"
-        ),
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = d.select(toks.alias("t")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bigram")
     )
-    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = toks.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
     return (
-        bigrams.groupBy(F.concat_ws(" ", "w", "w2").alias("bigram"))
+        bigrams.groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
