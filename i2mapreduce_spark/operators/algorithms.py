@@ -69,6 +69,7 @@ def pagerank(
     tol: float | None = None,
     checkpoint_every: int | None = None,
     teleport_to: int | None = None,
+    nodes: DataFrame | None = None,
 ) -> IterationResult:
     """PageRank without dangling-mass redistribution:
     r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u); nodes with no
@@ -92,15 +93,23 @@ def pagerank(
     # whole fixpoint, so their shuffle files survive on local disk
     # until the loop ends.  The checkpoint truncates lineage; only the
     # materialized structure blocks stay resident, released below.
-    nodes = checkpoint_without_stats(
-        _nodes(edges).repartition(n_part, "node")
-    )
+    # A caller-provided `nodes` (r12) must be the exact node set of
+    # `edges`, already checkpointed + repartitioned by node; it is used
+    # as-is and NOT released on exit — warm-start callers whose
+    # perturbation stays inside the node set share one build across the
+    # cold and warm runs instead of paying the distinct shuffle twice.
+    own_nodes = nodes is None
+    if own_nodes:
+        nodes = checkpoint_without_stats(
+            _nodes(edges).repartition(n_part, "node")
+        )
     n = nodes.count()
     if n == 0:
         # empty graph (an empty date slice is routine at scale): the rank
         # vector over zero nodes is empty by definition — return it
         # instead of dividing the teleport mass by zero
-        release_checkpoint(nodes)
+        if own_nodes:
+            release_checkpoint(nodes)
         return IterationResult(
             state=spark.createDataFrame([], "node long, rank double"),
             iterations=0, converged=True, deltas=[],
@@ -179,8 +188,10 @@ def pagerank(
     finally:
         # the returned state is eagerly checkpointed, so the structure
         # blocks can be dropped — repeated calls (warm-start scenarios)
-        # would otherwise pile materialized copies up
-        release_checkpoint(nodes)
+        # would otherwise pile materialized copies up.  Caller-owned
+        # nodes are left alone (the caller may run pagerank again).
+        if own_nodes:
+            release_checkpoint(nodes)
         release_checkpoint(edges_inv)
 
 
