@@ -408,31 +408,45 @@ def simhash_values(df: DataFrame, text_col: str = "text",
     """
     hex_ = F.md5(F.col("w").cast("binary"))
     # byte j of the digest = hex chars (2j+1, 2j+2); little-endian lower
-    # 64 bits = bytes 8..15, where byte 8+k carries result bits 8k..8k+7
-    byte_cols = [
-        F.conv(F.substring(hex_, 2 * (8 + k) + 1, 2), 16, 10).cast("int").alias(f"b{k}")
-        for k in range(8)
+    # 64 bits = bytes 8..15, where byte 8+k carries result bits 8k..8k+7.
+    # r12 (guide §2.3 cheaper per-row work, bit-exact): the old spelling
+    # ran EIGHT conv(substring)->cast string parses per token; two
+    # 8-hex-char words carry the same 64 bits.  conv() reads the hex
+    # big-endian, so word wlo = b8<<24 | b9<<16 | b10<<8 | b11 (bytes
+    # 8..11) and whi likewise for bytes 12..15: digest bit b = 8k + j
+    # (little-endian byte k, bit j) sits at word bit 8*(3 - k%4) + j of
+    # the k<4 ? wlo : whi word — a pure index remap, same bits.
+    word_cols = [
+        F.conv(F.substring(hex_, 17 + 8 * h, 8), 16, 10).cast("long").alias(f"w{h}")
+        for h in range(2)
     ]
     tok = (
         tokens(df, text_col, id_col)
         .select(F.col(id_col), F.explode("toks").alias("w"))
-        .select(F.col(id_col), *byte_cols)
+        .select(F.col(id_col), *word_cols)
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"b{b // 8}"), b % 8).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
+    # vote_b = sum over tokens of (+1 if bit_b else -1) = 2*ones_b - n:
+    # summing the raw bit (no CASE) and counting once is the same exact
+    # integer, with 64 cheaper accumulators
+    def _bit(b: int):
+        k, j = b // 8, b % 8
+        return F.shiftright(
+            F.col(f"w{k // 4}"), 8 * (3 - k % 4) + j
+        ).bitwiseAND(F.lit(1))
+
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(_bit(b)).alias(f"s{b}") for b in range(64)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(*aggs)
     bit_terms = None
     for b in range(64):
         # bit 63 is the int64 sign bit: 1<<63 overflows, use its two's-
         # complement value instead
         bit_val = (1 << b) if b < 63 else -(1 << 63)
-        term = F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        # vote > 0  <=>  2*ones > n
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bit_terms = term if bit_terms is None else bit_terms + term
     return agg.select(id_col, bit_terms.alias("simhash"))
 
